@@ -1,16 +1,7 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract (see SURVEY.md §2 for the operator inventory).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before this module is imported; nothing
+here (or in the ``engine`` package) calls ``ray.init()``/``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +11,34 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: language-ID + quality-filter + scrub pipeline on the
+    sf0.001 ``documents`` table adapted to the corpus shape
+    (repo, path, commit, lang, content)."""
+    from engine.pipelines.quality import corpus_from_documents, quality_pipeline
+
+    ds = corpus_from_documents("/root/testdata/sf0.001")
+    out = quality_pipeline(
+        ds,
+        scorer_concurrency=(1, 4),
+        thresholds={
+            # documents carry natural-language labels outside the code-langid
+            # label set; disable the code-lang rules for this smoke run
+            "known_langs": ("en", "de", "fr", "es", "zh"),
+            "min_mismatch_conf": 2.0,  # conf is <=1 -> lang_mismatch off
+        },
+    )
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from engine.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query."""
+    from engine.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

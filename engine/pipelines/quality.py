@@ -1,0 +1,209 @@
+"""The flagship pipeline: language-ID + quality-filter + PII/toxicity scrub.
+
+Generalizes the reference's six-checker validation run
+(reference: src/main.py:117-152 — Count → Null → Duplicate → Range →
+Transform → Masking over MySQL tables) into one streaming Ray Data
+pipeline over the source-code corpus (SURVEY.md §7.1):
+
+    read_parquet(corpus)
+      -> map_batches(metrics + sha256)          [stateless tasks]
+      -> map_batches(LangIdScorer, actor pool)  [stateful]
+      -> map_batches(PerplexityScorer, actors)  [stateful]
+      -> dedup (local pre-dedup + bucketed groupby shuffle)
+      -> map_batches(verdict rules)             [stateless]
+      -> map_batches(scrubber)                  [stateless, RE2 kernels]
+      -> verdict Dataset (keep/drop + scrubbed content + audit columns)
+
+Everything streams; nothing materializes the corpus. The only all-to-all
+exchange is the dedup groupby (bucketed, skew-capped — see stages/dedup.py).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from ..stages import dedup as dedup_stage
+from ..stages.heuristics import add_metrics, add_verdict
+from ..stages.langid import LangIdScorer
+from ..stages.models import build_models
+from ..stages.perplexity import PerplexityScorer
+from ..stages.scrub import scrub_batch
+from ..audit import CheckResult, CheckStatus, make_result, threshold_status
+
+
+def quality_pipeline(
+    ds,
+    *,
+    scorer_concurrency: tuple[int, int] | int = (1, 8),
+    batch_size: int = 2048,
+    dedup: bool = True,
+    num_buckets: int = dedup_stage.DEFAULT_NUM_BUCKETS,
+    thresholds: Optional[dict] = None,
+):
+    """corpus Dataset -> verdict Dataset (lazy; caller consumes/writes).
+
+    ``thresholds`` may override the verdict-rule knobs (min_chars, ...).
+    """
+    langid, lm = build_models()
+    thresholds = thresholds or {}
+
+    ds = ds.map_batches(add_metrics, batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(
+        LangIdScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=scorer_concurrency,
+        fn_constructor_kwargs={"model": langid},
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        PerplexityScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=scorer_concurrency,
+        fn_constructor_kwargs={"lm": lm},
+        num_cpus=1,
+    )
+    if dedup:
+        ds = dedup_stage.mark_duplicates(ds, num_buckets=num_buckets)
+    ds = ds.map_batches(
+        lambda b: add_verdict(b, **thresholds), batch_format="pyarrow"
+    )
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow")
+    return ds
+
+
+def corpus_from_documents(sf_dir: str):
+    """Adapt the driver ``documents`` table to the corpus input shape
+    (repo, path, commit, lang, content) — used by the entry() smoke run."""
+    import hashlib
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        doc_ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "repo": batch["source"],
+                "path": pa.array([f"doc/{d}.txt" for d in doc_ids], pa.string()),
+                "commit": pa.array(
+                    [hashlib.sha1(str(d).encode()).hexdigest() for d in doc_ids],
+                    pa.string(),
+                ),
+                "lang": batch["lang"],
+                "content": pa.compute.cast(batch["text"], pa.large_string()),
+            }
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Audit over the verdict dataset — CheckResult rows per rule, built from
+# Ray Data aggregates (reference's per-check result rows, SURVEY.md §7.1).
+# ---------------------------------------------------------------------------
+
+_AUDIT_RULES = [
+    # (rule_id, reason / metric, description, max_ratio for tri-state)
+    ("QF-EMPTY", "empty_content", "empty or whitespace-only content", 0.02),
+    ("QF-LANG-NULL", "missing_lang", "missing language label", 0.02),
+    ("QF-LANG-UNK", "unknown_lang", "language label outside model label set", 0.0),
+    ("QF-SHORT", "too_short", "content shorter than min_chars", 0.01),
+    ("QF-LONG", "too_long", "content longer than max_chars", 0.01),
+    ("QF-LINELEN", "long_lines", "max line length above threshold", 0.02),
+    ("QF-ALPHA", "low_alpha", "alphabetic ratio below threshold", 0.02),
+    ("QF-LANGID", "lang_mismatch", "claimed lang disagrees with langid", 0.05),
+    ("QF-PPL", "high_perplexity", "perplexity above threshold", 0.03),
+    ("QF-DUP", "duplicate", "exact-duplicate content (non-first copy)", 0.03),
+]
+
+
+def _audit_partials(batch: pa.Table) -> pa.Table:
+    """Per-batch partial counters (combiner side of the audit aggregate)."""
+    import numpy as np
+
+    reasons = batch["drop_reasons"].to_pylist()
+    counts = {rid: 0 for rid, *_ in _AUDIT_RULES}
+    reason_to_rid = {reason: rid for rid, reason, *_ in _AUDIT_RULES}
+    for lst in reasons:
+        for r in lst or ():
+            rid = reason_to_rid.get(r)
+            if rid:
+                counts[rid] += 1
+    keep = batch["keep"].to_numpy(zero_copy_only=False)
+    row = {
+        "total_rows": [batch.num_rows],
+        "kept_rows": [int(np.sum(keep))],
+        "email_redactions": [int(pc_sum(batch, "email_redactions"))],
+        "key_redactions": [int(pc_sum(batch, "key_redactions"))],
+        "toxic_redactions": [int(pc_sum(batch, "toxic_redactions"))],
+    }
+    for rid, cnt in counts.items():
+        row[rid] = [cnt]
+    return pa.table(row)
+
+
+def pc_sum(batch: pa.Table, col: str) -> int:
+    import pyarrow.compute as pc
+
+    if col not in batch.column_names:
+        return 0
+    v = pc.sum(batch[col]).as_py()
+    return v or 0
+
+
+def audit_results(verdict_ds) -> list[CheckResult]:
+    """One streaming pass -> CheckResult list (partial counts + global sum)."""
+    from ray.data.aggregate import Sum
+
+    partials = verdict_ds.map_batches(_audit_partials, batch_format="pyarrow")
+    cols = (
+        ["total_rows", "kept_rows", "email_redactions", "key_redactions", "toxic_redactions"]
+        + [rid for rid, *_ in _AUDIT_RULES]
+    )
+    totals = partials.aggregate(*[Sum(c, alias_name=c) for c in cols])
+    total_rows = int(totals["total_rows"] or 0)
+
+    results: list[CheckResult] = []
+    for rid, reason, desc, max_ratio in _AUDIT_RULES:
+        viol = int(totals[rid] or 0)
+        ratio = viol / total_rows if total_rows else 0.0
+        status = (
+            threshold_status(ratio, max_ratio)
+            if total_rows
+            else CheckStatus.WARNING
+        )
+        results.append(
+            make_result(
+                rule={"rule_id": rid, "description": desc, "table": "corpus"},
+                check_type="quality",
+                status=status,
+                total_rows=total_rows,
+                violation_count=viol,
+                details={"reason": reason, "max_ratio": max_ratio},
+            )
+        )
+    results.append(
+        make_result(
+            rule={
+                "rule_id": "QF-KEEP",
+                "description": "rows kept after all filters",
+                "table": "corpus",
+            },
+            check_type="lineage",
+            status=CheckStatus.PASS,
+            total_rows=total_rows,
+            violation_count=total_rows - int(totals["kept_rows"] or 0),
+            details={
+                "kept_rows": int(totals["kept_rows"] or 0),
+                "email_redactions": int(totals["email_redactions"] or 0),
+                "key_redactions": int(totals["key_redactions"] or 0),
+                "toxic_redactions": int(totals["toxic_redactions"] or 0),
+            },
+        )
+    )
+    return results

@@ -1,0 +1,95 @@
+"""Flagship pipeline E2E on Ray: F1 vs golden (incl. dedup), determinism
+across parallelism, audit rows, entry() smoke."""
+
+import duckdb
+import numpy as np
+import pytest
+
+from engine import corpus
+from engine.pipelines.quality import audit_results, quality_pipeline
+
+
+@pytest.fixture(scope="module")
+def verdicts(ray_session, corpus_2k):
+    import ray.data as rd
+
+    ds = rd.from_arrow(corpus_2k).repartition(8)
+    out = quality_pipeline(ds, scorer_concurrency=(1, 2), num_buckets=32)
+    return out.materialize()
+
+
+def _golden_keep(tbl):
+    con = duckdb.connect()
+    con.register("c", tbl)
+    rows = con.execute(
+        """
+        SELECT row_id,
+          (violation_class NOT IN ('empty_null','empty_ws','long_line','low_alpha',
+                                   'wrong_lang','gibberish','missing_lang'))
+          AND NOT (content IS NOT NULL AND ROW_NUMBER() OVER
+                   (PARTITION BY content ORDER BY repo, path, commit) > 1) AS keep
+        FROM c
+        """
+    ).fetchall()
+    return dict(rows)
+
+
+def test_keep_f1_with_dedup(verdicts, corpus_2k):
+    golden = _golden_keep(corpus_2k)
+    got = {r["row_id"]: r["keep"] for r in
+           verdicts.select_columns(["row_id", "keep"]).take_all()}
+    ids = sorted(golden)
+    g = np.array([golden[i] for i in ids])
+    k = np.array([got[i] for i in ids])
+    tp = (g & k).sum()
+    f1 = 2 * tp / (g.sum() + k.sum())
+    assert f1 >= 0.99, f1
+
+
+def test_output_schema(verdicts):
+    names = set(verdicts.schema().names)
+    for col in ["repo", "path", "commit", "lang", "content", "n_chars",
+                "lang_pred", "lang_conf", "ppl", "content_sha256_pre",
+                "content_sha256", "keep", "drop_reasons", "dup_flag",
+                "email_redactions", "key_redactions", "toxic_redactions"]:
+        assert col in names, col
+
+
+def test_audit_rows(verdicts):
+    results = audit_results(verdicts)
+    by_id = {r.rule_id: r for r in results}
+    assert by_id["QF-EMPTY"].total_rows == 2000
+    assert by_id["QF-EMPTY"].violation_count == 20
+    assert by_id["QF-LANG-NULL"].violation_count == 20
+    assert by_id["QF-DUP"].violation_count > 0
+    # every audit row carries the 11-column CheckResult shape
+    row = results[0].to_row()
+    for field in ["rule_id", "check_type", "status", "total_rows",
+                  "violation_count", "violation_ratio", "details", "executed_at"]:
+        assert field in row
+
+
+def test_pipeline_parallelism_invariant(ray_session, corpus_2k):
+    """Same verdict bytes at 2 and 12 blocks (precondition of honest
+    scaling numbers)."""
+    import ray.data as rd
+
+    def run(nblocks):
+        ds = rd.from_arrow(corpus_2k).repartition(nblocks)
+        out = quality_pipeline(ds, scorer_concurrency=(1, 2), num_buckets=16)
+        rows = out.select_columns(["row_id", "keep", "content_sha256"]).take_all()
+        return {r["row_id"]: (r["keep"], r["content_sha256"]) for r in rows}
+
+    assert run(2) == run(12)
+
+
+def test_entry_smoke(ray_session):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__ray_entry__")
+    out = mod.entry()
+    t = out.materialize()
+    assert t.count() > 0
+    assert "keep" in t.schema().names

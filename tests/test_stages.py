@@ -1,0 +1,142 @@
+"""Stage-level tests: metrics, scorers, scrub — exact planted counts and
+invariants (reference test philosophy: tests/test_checkers.py:259-455
+asserts exact statuses + violation counts on planted fixtures)."""
+
+import numpy as np
+import pyarrow as pa
+
+from engine import corpus
+from engine.stages.heuristics import add_metrics, add_verdict
+from engine.stages.langid import LangIdScorer
+from engine.stages.perplexity import PerplexityScorer
+from engine.stages.scrub import scrub_batch
+
+
+def _run_chain(tbl, models):
+    langid, lm = models
+    b = add_metrics(tbl)
+    b = LangIdScorer(langid)(b)
+    b = PerplexityScorer(lm)(b)
+    b = add_verdict(b)
+    return scrub_batch(b)
+
+
+def test_metrics_vectorized_values(corpus_2k):
+    b = add_metrics(corpus_2k)
+    content = corpus_2k["content"].to_pylist()
+    n_chars = b["n_chars"].to_pylist()
+    max_line = b["max_line_len"].to_pylist()
+    n_lines = b["n_lines"].to_pylist()
+    alpha = b["alpha_ratio"].to_pylist()
+    for i in [0, 1, 17, 123, 999, 1999]:
+        c = content[i] or ""
+        assert n_chars[i] == len(c.encode())
+        lines = c.split("\n")
+        assert n_lines[i] == len(lines)
+        assert max_line[i] == max((len(l.encode()) for l in lines), default=0)
+        exp_alpha = sum(ch.isascii() and ch.isalpha() for ch in c) / max(len(c), 1)
+        assert abs(alpha[i] - exp_alpha) < 1e-12
+
+
+def test_sha256_matches_hashlib(corpus_2k):
+    import hashlib
+
+    b = add_metrics(corpus_2k)
+    content = corpus_2k["content"].to_pylist()
+    hashes = b["content_sha256_pre"].to_pylist()
+    for i in [0, 5, 77, 1500]:
+        if content[i] is None:
+            assert hashes[i] is None
+        else:
+            assert hashes[i] == hashlib.sha256(content[i].encode()).hexdigest()
+
+
+def test_keep_agreement_f1(corpus_2k, models):
+    """Keep/drop F1 vs golden labels >= 0.99 (BASELINE.md target) —
+    dedup excluded here (covered in test_dedup / test_pipeline)."""
+    b = _run_chain(corpus_2k, models)
+    cls = np.array(b["violation_class"].to_pylist(), dtype=object)
+    keep = b["keep"].to_numpy(zero_copy_only=False)
+    exp = ~np.isin(cls, list(corpus.DROP_CLASSES))
+    tp = (keep & exp).sum()
+    prec = tp / max(keep.sum(), 1)
+    rec = tp / max(exp.sum(), 1)
+    f1 = 2 * prec * rec / (prec + rec)
+    assert f1 >= 0.99, f1
+
+
+def test_planted_drop_reasons_detected(corpus_2k, models):
+    b = _run_chain(corpus_2k, models)
+    cls = np.array(b["violation_class"].to_pylist(), dtype=object)
+    reasons = b["drop_reasons"].to_pylist()
+    for klass, reason in corpus.DROP_REASON_FOR_CLASS.items():
+        mask = cls == klass
+        hit = np.array([reason in (r or []) for r in reasons])
+        assert hit[mask].mean() == 1.0, (klass, reason, hit[mask].mean())
+
+
+def test_scrub_counts_exact(corpus_2k, models):
+    b = _run_chain(corpus_2k, models)
+    cls = np.array(b["violation_class"].to_pylist(), dtype=object)
+    email = b["email_redactions"].to_numpy()
+    key = b["key_redactions"].to_numpy()
+    toxic = b["toxic_redactions"].to_numpy()
+    assert (email[cls == "email"] == 1).all()
+    assert (key[cls == "secret"] == 1).all()
+    assert (toxic[cls == "toxic"] == 1).all()
+    clean = ~np.isin(cls, ["email", "secret", "toxic"])
+    assert email[clean].sum() == 0 and key[clean].sum() == 0 and toxic[clean].sum() == 0
+
+
+def test_sha256_invariant_untouched_rows(corpus_2k, models):
+    """input_hint invariant: rows with no redactions keep identical bytes."""
+    b = _run_chain(corpus_2k, models)
+    cls = np.array(b["violation_class"].to_pylist(), dtype=object)
+    pre = np.array(b["content_sha256_pre"].to_pylist(), dtype=object)
+    post = np.array(b["content_sha256"].to_pylist(), dtype=object)
+    touched = np.isin(cls, ["email", "secret", "toxic"])
+    for p, q in zip(pre[~touched], post[~touched]):
+        assert p == q
+    for p, q in zip(pre[touched], post[touched]):
+        assert p != q
+
+
+def test_scrub_idempotent(corpus_2k):
+    """Scrubbing an already-scrubbed batch changes nothing (SURVEY §7.4.3)."""
+    once = scrub_batch(corpus_2k)
+    twice = scrub_batch(once.select(["repo", "path", "commit", "lang", "content"]))
+    assert once["content"].to_pylist() == twice["content"].to_pylist()
+    assert pa.compute.sum(twice["email_redactions"]).as_py() == 0
+
+
+def test_scorer_determinism_across_batches(corpus_2k, models):
+    langid, lm = models
+    full = PerplexityScorer(lm)(LangIdScorer(langid)(corpus_2k))
+    a = corpus_2k.slice(0, 633)
+    bt = corpus_2k.slice(633)
+    parts = pa.concat_tables(
+        [PerplexityScorer(lm)(LangIdScorer(langid)(a)),
+         PerplexityScorer(lm)(LangIdScorer(langid)(bt))]
+    )
+    assert full["lang_pred"].to_pylist() == parts["lang_pred"].to_pylist()
+    assert full["ppl"].to_pylist() == parts["ppl"].to_pylist()
+    assert full["lang_conf"].to_pylist() == parts["lang_conf"].to_pylist()
+
+
+def test_langid_accuracy_on_clean(corpus_2k, models):
+    langid, _ = models
+    b = LangIdScorer(langid)(corpus_2k)
+    cls = np.array(b["violation_class"].to_pylist(), dtype=object)
+    pred = np.array(b["lang_pred"].to_pylist(), dtype=object)
+    actual = np.array(b["actual_lang"].to_pylist(), dtype=object)
+    clean = np.isin(cls, ["clean", "wrong_lang", "email", "secret", "toxic", "duplicate"])
+    assert (pred[clean] == actual[clean]).mean() >= 0.995
+
+
+def test_perplexity_separation(corpus_2k, models):
+    _, lm = models
+    b = PerplexityScorer(lm)(add_metrics(corpus_2k))
+    cls = np.array(b["violation_class"].to_pylist(), dtype=object)
+    ppl = b["ppl"].to_numpy()
+    assert ppl[cls == "clean"].max() < corpus.MAX_PPL
+    assert ppl[cls == "gibberish"].min() > corpus.MAX_PPL
