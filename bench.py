@@ -1,0 +1,163 @@
+"""Benchmark harness (driver contract): prints ONE JSON line on stdout.
+
+Headline: the flagship language-ID + quality-filter + scrub pipeline over a
+deterministic synthetic source-code corpus sized to the scale factor
+(6M rows/sf -> 600k files at sf0.1), read from partitioned Parquet,
+written to partitioned Parquet — end-to-end streaming, the metric the
+north_rule grades (files/s filter+scrub throughput).
+
+Also times a representative query set over $GRAFT_SF_DIR tables.
+
+``--scaling``: reruns the headline in fresh processes at num_cpus=8 and
+num_cpus=32 over the SAME corpus bytes and reports throughput at both
+plus scaling efficiency (the sandbox stand-in for N vs 4N nodes).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+ROWS_PER_SF = 6_000_000
+CORPUS_BLOCKS = 256  # >= 4 blocks/cpu at 32 cpus; >=128 per FIXTURES.md F5
+
+QUERY_SET = [
+    "null_blank_documents_text",
+    "range_check_quantity",
+    "dup_groups_documents_text",
+    "fk_orphans_lineitem_orders",
+    "daily_rollup_events",
+    "daily_count_compare_orders_lineitem",
+    "agg_compare_revenue",
+    "exact_dedup_documents",
+    "sha256_documents",
+    "outlier_3sigma_events",
+]
+
+
+def _sf_from_dir(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def corpus_path(sf: float) -> str:
+    return f"/tmp/graft_corpus/sf{sf}"
+
+
+def ensure_corpus(sf: float) -> tuple[str, int]:
+    """Write (once, cached) the bench corpus as partitioned Parquet."""
+    from engine.corpus import write_corpus
+
+    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
+    path = corpus_path(sf)
+    os.makedirs(path, exist_ok=True)
+    write_corpus(path, n_rows, num_blocks=CORPUS_BLOCKS)
+    return path, n_rows
+
+
+def run_headline(path: str, out_dir: str) -> float:
+    """read_parquet -> quality pipeline -> write_parquet; returns seconds."""
+    import ray.data as rd
+
+    from engine.pipelines.quality import quality_pipeline
+
+    t0 = time.time()
+    ds = rd.read_parquet(path)
+    out = quality_pipeline(
+        ds,
+        scorer_concurrency=(1, max(NUM_CPUS - 4, 2)),
+        batch_size=2048,
+        num_buckets=max(NUM_CPUS * 8, 64),
+    )
+    out.write_parquet(out_dir)
+    return time.time() - t0
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sf = _sf_from_dir(SF_DIR)
+    path, n_rows = ensure_corpus(sf)
+
+    # warm the page cache so we measure compute+shuffle, not first disk read
+    ray.data.read_parquet(path).count()
+
+    out_dir = f"/tmp/graft_bench_out/sf{sf}_cpus{NUM_CPUS}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    headline = run_headline(path, out_dir)
+
+    from engine.queries import QUERIES
+
+    qtimes: dict[str, float] = {}
+    for name in QUERY_SET:
+        t0 = time.time()
+        QUERIES[name](SF_DIR)
+        qtimes[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "corpus_filter_scrub_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "files_per_sec": round(n_rows / headline, 1),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    """Same corpus, fresh processes at 8 and 32 CPUs -> efficiency."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "sec_8cpu": t8,
+        "sec_32cpu": t32,
+        "files_per_sec_8cpu": results[8]["files_per_sec"],
+        "files_per_sec_32cpu": results[32]["files_per_sec"],
+        "speedup": round(t8 / t32, 3),
+        "scaling_efficiency": round(eff, 3),
+        "sf": results[32]["sf"],
+        "corpus_rows": results[32]["corpus_rows"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

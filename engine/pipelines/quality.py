@@ -25,10 +25,9 @@ from typing import Optional
 import pyarrow as pa
 
 from ..stages import dedup as dedup_stage
-from ..stages.heuristics import add_metrics, add_verdict
-from ..stages.langid import LangIdScorer
+from ..stages.heuristics import add_verdict
 from ..stages.models import build_models
-from ..stages.perplexity import PerplexityScorer
+from ..stages.score import ScoreStage
 from ..stages.scrub import scrub_batch
 from ..audit import CheckResult, CheckStatus, make_result, threshold_status
 
@@ -49,21 +48,12 @@ def quality_pipeline(
     langid, lm = build_models()
     thresholds = thresholds or {}
 
-    ds = ds.map_batches(add_metrics, batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(
-        LangIdScorer,
+        ScoreStage,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=scorer_concurrency,
-        fn_constructor_kwargs={"model": langid},
-        num_cpus=1,
-    )
-    ds = ds.map_batches(
-        PerplexityScorer,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=scorer_concurrency,
-        fn_constructor_kwargs={"lm": lm},
+        fn_constructor_kwargs={"langid": langid, "lm": lm},
         num_cpus=1,
     )
     if dedup:

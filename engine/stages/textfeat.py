@@ -125,11 +125,16 @@ def per_doc_gram_scores(
     if len(gram_ids) == 0:
         return np.zeros(out_shape), n_valid
 
-    w = weights[gram_ids].astype(np.float64, copy=False)
-    if w.ndim == 1:
-        w = np.where(valid, w, 0.0)
-    else:
-        w = np.where(valid[:, None], w, 0.0)
+    # Invalid (cross-doc) grams are redirected to an appended all-zero
+    # weight row — one tiny scatter instead of a full masked copy of the
+    # gathered matrix (hot-path optimization; memory traffic dominates).
+    wext = _zero_row_extended(weights)
+    bad = np.flatnonzero(~valid)
+    ids = gram_ids
+    if len(bad):
+        ids = gram_ids.copy()
+        ids[bad] = len(weights)
+    w = wext[ids]  # float32 gather — no float64 up-cast on the hot path
     # Per-doc sums via reduceat over nonempty segments only. Summation is
     # strictly within-doc and left-to-right — a doc's score never depends on
     # its batch neighbours (determinism across batch boundaries), unlike a
@@ -139,5 +144,23 @@ def per_doc_gram_scores(
     sums = np.zeros(out_shape)
     if nonempty.any():
         seg = np.add.reduceat(w, starts[nonempty], axis=0)
-        sums[nonempty] = seg
+        sums[nonempty] = seg.astype(np.float64)
     return sums, n_valid
+
+
+_EXT_CACHE: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _zero_row_extended(weights: np.ndarray) -> np.ndarray:
+    """weights with one extra all-zero row appended (cached per array)."""
+    key = id(weights)
+    hit = _EXT_CACHE.get(key)
+    if hit is not None and hit[0] is weights:
+        return hit[1]
+    w32 = weights.astype(np.float32, copy=False)
+    pad = np.zeros((1,) + w32.shape[1:], dtype=np.float32)
+    ext = np.concatenate([w32, pad], axis=0)
+    if len(_EXT_CACHE) >= 4:
+        _EXT_CACHE.clear()
+    _EXT_CACHE[key] = (weights, ext)
+    return ext
