@@ -19,7 +19,6 @@ def entry() -> Any:
     ds = corpus_from_documents("/root/testdata/sf0.001")
     out = quality_pipeline(
         ds,
-        scorer_concurrency=(1, 4),
         thresholds={
             # documents carry natural-language labels outside the code-langid
             # label set; disable the code-lang rules for this smoke run

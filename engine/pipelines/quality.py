@@ -27,7 +27,7 @@ import pyarrow as pa
 from ..stages import dedup as dedup_stage
 from ..stages.heuristics import add_verdict
 from ..stages.models import build_models
-from ..stages.score import ScoreStage
+from ..stages.score import ScoreStage, scorer_task
 from ..stages.scrub import scrub_batch
 from ..audit import CheckResult, CheckStatus, make_result, threshold_status
 
@@ -35,27 +35,40 @@ from ..audit import CheckResult, CheckStatus, make_result, threshold_status
 def quality_pipeline(
     ds,
     *,
-    scorer_concurrency: tuple[int, int] | int = (1, 8),
-    batch_size: int = 2048,
+    scorer_concurrency: tuple[int, int] | int | None = None,
+    batch_size: Optional[int] = None,
     dedup: bool = True,
     num_buckets: int = dedup_stage.DEFAULT_NUM_BUCKETS,
     thresholds: Optional[dict] = None,
 ):
     """corpus Dataset -> verdict Dataset (lazy; caller consumes/writes).
 
+    ``scorer_concurrency=None`` (default) runs the fused scorer as
+    stateless tasks with object-store-cached models — elastic across the
+    node, no actor-pool ramp-up (see stages/score.py). Pass an int or
+    ``(min, max)`` to force an actor pool instead.
     ``thresholds`` may override the verdict-rule knobs (min_chars, ...).
     """
+    import ray
+
     langid, lm = build_models()
     thresholds = thresholds or {}
 
-    ds = ds.map_batches(
-        ScoreStage,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=scorer_concurrency,
-        fn_constructor_kwargs={"langid": langid, "lm": lm},
-        num_cpus=1,
-    )
+    if scorer_concurrency is None:
+        score_fn = scorer_task(ray.put(langid), ray.put(lm))
+        ds = ds.map_batches(
+            score_fn, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+    else:
+        ds = ds.map_batches(
+            ScoreStage,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=scorer_concurrency,
+            fn_constructor_kwargs={"langid": langid, "lm": lm},
+            num_cpus=1,
+        )
     if dedup:
         ds = dedup_stage.mark_duplicates(ds, num_buckets=num_buckets)
     ds = ds.map_batches(
