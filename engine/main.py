@@ -1,0 +1,122 @@
+"""CLI entry point — reference parity surface.
+
+Reference: ``python -m src.main --env … --checks … --report {all,html,csv,
+none} --config-dir …`` with exit codes 0 ok / 1 any-FAIL / 2 connect
+error / 3 unexpected (src/main.py:46-77, 219-228).
+
+Graft: ``python -m engine.main --input DIR --output DIR [--checks …]
+[--report all|html|csv|none] [--config-dir …] [--parts N] [--num-cpus N]``
+running the checkpointed flagship pipeline + audit + reports. Exit codes:
+0 all checks pass / 1 any FAIL / 2 input unreadable / 3 unexpected error.
+
+This entry point owns its Ray session (guarded init + shutdown); library
+code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+logger = logging.getLogger("engine")
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="engine.main",
+                                description="Ray-Data quality-filter engine")
+    p.add_argument("--input", required=True, help="input corpus parquet dir")
+    p.add_argument("--output", required=True, help="output dir (partitioned)")
+    p.add_argument("--checks", default="quality",
+                   help="comma list: quality (flagship); audit-only subsets TBD")
+    p.add_argument("--report", choices=["all", "html", "csv", "none"],
+                   default="all")
+    p.add_argument("--report-dir", default="reports")
+    p.add_argument("--config-dir", default=None)
+    p.add_argument("--parts", type=int, default=16,
+                   help="checkpoint partitions (resume granularity)")
+    p.add_argument("--num-cpus", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def run(args) -> int:
+    import ray
+
+    if not os.path.isdir(args.input):
+        logger.error("input dir not found: %s", args.input)
+        return 2
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from .audit import summarize
+    from .checkpoint import run_checkpointed
+    from .pipelines.quality import audit_results
+    from .report import CSVReporter, HTMLReporter
+    from .rules import quality_thresholds
+
+    thresholds = quality_thresholds(args.config_dir)
+    summary_run = run_checkpointed(
+        args.input, args.output, n_parts=args.parts, thresholds=thresholds,
+        progress=lambda pid, m: logger.info(
+            "partition %d committed: %d rows, %d kept (%.1fs)",
+            pid, m["rows"], m["rows_kept"], m["wall_sec"]),
+    )
+    logger.info("run summary: %s", json.dumps(summary_run))
+
+    # audit over the committed output (streaming read of small columns)
+    import glob
+
+    verdict_ds = ray.data.read_parquet(
+        sorted(glob.glob(os.path.join(args.output, "part-*", "*.parquet")))
+    )
+    results = audit_results(verdict_ds)
+    check_summary = summarize(results)
+    logger.info("checks: %s", json.dumps(check_summary))
+
+    if args.report in ("all", "csv"):
+        path = CSVReporter(args.report_dir).generate(results, check_summary)
+        logger.info("csv report: %s", path)
+    if args.report in ("all", "html"):
+        path = HTMLReporter(args.report_dir).generate(results, check_summary)
+        logger.info("html report: %s", path)
+
+    return 1 if check_summary["failed"] > 0 else 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s %(levelname)s %(message)s")
+    args = parse_args(argv)
+    owns_session = False
+    try:
+        import ray
+
+        owns_session = not ray.is_initialized()
+        return run(args)
+    except FileNotFoundError as e:
+        logger.error("input error: %s", e)
+        return 2
+    except Exception:
+        logger.exception("unexpected error")
+        return 3
+    finally:
+        import ray
+
+        if owns_session and ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

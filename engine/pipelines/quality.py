@@ -38,6 +38,7 @@ def quality_pipeline(
     scorer_concurrency: tuple[int, int] | int | None = None,
     batch_size: Optional[int] = None,
     dedup: bool = True,
+    dup_flag_fn=None,
     num_buckets: int = dedup_stage.DEFAULT_NUM_BUCKETS,
     thresholds: Optional[dict] = None,
 ):
@@ -69,7 +70,11 @@ def quality_pipeline(
             fn_constructor_kwargs={"langid": langid, "lm": lm},
             num_cpus=1,
         )
-    if dedup:
+    if dup_flag_fn is not None:
+        # externally computed duplicate verdicts (checkpointed runs join
+        # their partition's decision file — see engine/checkpoint.py)
+        ds = ds.map_batches(dup_flag_fn, batch_format="pyarrow")
+    elif dedup:
         ds = dedup_stage.mark_duplicates(ds, num_buckets=num_buckets)
     ds = ds.map_batches(
         lambda b: add_verdict(b, **thresholds), batch_format="pyarrow"

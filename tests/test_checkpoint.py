@@ -1,0 +1,92 @@
+"""Checkpoint/resume: kill-after-k-partitions simulation (BASELINE.md) —
+re-run skips committed partitions and final output is identical."""
+
+import json
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from engine import corpus
+from engine.checkpoint import plan_partitions, run_checkpointed
+
+
+@pytest.fixture(scope="module")
+def ckpt_dirs(ray_session, tmp_path_factory):
+    base = tmp_path_factory.mktemp("ckpt")
+    in_dir = str(base / "in")
+    corpus.write_corpus(in_dir, 4000, num_blocks=8)
+    return in_dir, str(base / "out")
+
+
+def test_partition_plan_stable(ckpt_dirs):
+    in_dir, _ = ckpt_dirs
+    a = plan_partitions(in_dir, 4)
+    b = plan_partitions(in_dir, 4)
+    assert a == b
+    assert sum(len(p) for p in a) == len(
+        [f for f in os.listdir(in_dir) if f.endswith(".parquet")]
+    )
+
+
+def test_run_resume_and_identical_output(ckpt_dirs):
+    in_dir, out_dir = ckpt_dirs
+    s1 = run_checkpointed(in_dir, out_dir, n_parts=4)
+    assert len(s1["computed"]) == 4 and not s1["skipped_committed"]
+    assert s1["rows"] == 4000
+
+    con = duckdb.connect()
+    before = con.execute(
+        f"SELECT path, keep, content_sha256 FROM read_parquet('{out_dir}/part-*/*.parquet') ORDER BY path"
+    ).fetchall()
+
+    # kill-after-k: wipe partitions 2,3 and re-run
+    for pid in (2, 3):
+        os.remove(f"{out_dir}/_manifest/part-{pid:05d}.json")
+        shutil.rmtree(f"{out_dir}/part-{pid:05d}")
+    s2 = run_checkpointed(in_dir, out_dir, n_parts=4)
+    assert s2["computed"] == [2, 3]
+    assert s2["skipped_committed"] == [0, 1]
+
+    after = con.execute(
+        f"SELECT path, keep, content_sha256 FROM read_parquet('{out_dir}/part-*/*.parquet') ORDER BY path"
+    ).fetchall()
+    assert before == after
+
+    # idempotent third run: everything skipped
+    s3 = run_checkpointed(in_dir, out_dir, n_parts=4)
+    assert not s3["computed"] and len(s3["skipped_committed"]) == 4
+
+
+def test_manifest_lineage(ckpt_dirs):
+    in_dir, out_dir = ckpt_dirs
+    with open(f"{out_dir}/_manifest/part-00000.json") as fh:
+        m = json.load(fh)
+    for field in ["partition", "input_files", "engine_version", "rules_hash",
+                  "rows", "rows_kept", "drop_reason_counts", "wall_sec",
+                  "email_redactions", "committed_at"]:
+        assert field in m, field
+    assert all(os.path.exists(f) for f in m["input_files"])
+
+
+def test_checkpointed_matches_single_stream(ckpt_dirs):
+    """The metadata-shuffle dedup path must agree with the single-stream
+    full-row-shuffle path row for row."""
+    import ray.data as rd
+
+    from engine.pipelines.quality import quality_pipeline
+
+    in_dir, out_dir = ckpt_dirs
+    single = {
+        r["path"]: (r["keep"], r["dup_flag"])
+        for r in quality_pipeline(rd.read_parquet(in_dir))
+        .select_columns(["path", "keep", "dup_flag"]).take_all()
+    }
+    con = duckdb.connect()
+    ck = con.execute(
+        f"SELECT path, keep, dup_flag FROM read_parquet('{out_dir}/part-*/*.parquet')"
+    ).fetchall()
+    assert len(ck) == len(single)
+    for path, keep, dup in ck:
+        assert single[path] == (keep, dup), path
