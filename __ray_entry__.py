@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from engine.queries import QUERIES
+    import engine.queries_ext  # noqa: F401  (registers the extended set)
 
     return dict(QUERIES)
 
@@ -39,5 +40,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every SQL-expressible query."""
     from engine.queries import ORACLE_SQL
+    import engine.queries_ext  # noqa: F401
 
     return dict(ORACLE_SQL)

@@ -1,0 +1,430 @@
+"""Extended queries: embeddings / similarity / near-dup / text analysis.
+
+Registered into the same QUERIES / ORACLE_SQL registry as engine.queries.
+Float policy: DuckDB's list_* kernels accumulate in float32, so derived
+similarity values are emitted as ``*_x10k`` integers (1e-4 precision —
+two orders of magnitude above f32-vs-f64 noise) on both sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .queries import QUERIES, ORACLE_SQL, _row, _t, query  # noqa: F401
+from .stages.textstats import BPE_TOKEN_RE, WS_TOKEN_RE, _STOPWORDS
+
+
+def _x10k(arr) -> pa.Array:
+    return pc.cast(pc.floor(pc.add(pc.multiply(arr, 10000.0), 0.5)), pa.int64())
+
+
+# ===========================================================================
+# Similarity search over embeddings
+# ===========================================================================
+
+@query(
+    "knn_embeddings_cosine",
+    """
+    SELECT vec_id,
+           CAST(floor(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+                * 10000 + 0.5) AS BIGINT) AS sim_x10k
+    FROM embeddings
+    ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) DESC,
+             vec_id
+    LIMIT 10
+    """,
+)
+def knn_embeddings_cosine(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-10 for query vector vec_id=0 — broadcast
+    query + per-batch matmul + driver merge (stages/similarity.py)."""
+    from .stages.similarity import knn_brute_force
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = None
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            qvec = np.asarray(b["embedding"].to_pylist()[ids.index(0)])
+            break
+    out = knn_brute_force(ds, qvec.reshape(1, -1), k=10)
+    return pa.table({
+        "vec_id": out["key"],
+        "sim_x10k": _x10k(out["sim"]),
+    })
+
+
+@query(
+    "embedding_centroids_by_label",
+    """
+    SELECT label, CAST(ord AS BIGINT) AS dim,
+           CAST(floor(avg(val) * 10000 + 0.5) AS BIGINT) AS avg_x10k
+    FROM (SELECT label, unnest(embedding) AS val,
+                 unnest(generate_series(1, len(embedding))) AS ord
+          FROM embeddings)
+    GROUP BY label, ord ORDER BY label, ord
+    """,
+)
+def embedding_centroids_by_label(sf_dir: str) -> pa.Table:
+    """Per-label centroid: partial (sum, count) per batch -> tiny global
+    reduce — the pre-aggregation pattern, never a row shuffle."""
+    ds = _t(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = np.asarray(batch["label"].to_pylist())
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        rows = []
+        for lab in np.unique(labels):
+            sub = mat[labels == lab]
+            rows.append({"label": int(lab), "vsum": sub.sum(axis=0).tolist(),
+                         "n": int(len(sub))})
+        return pa.Table.from_pylist(rows)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    acc: dict[int, tuple[np.ndarray, int]] = {}
+    for r in parts:
+        s, n = acc.get(r["label"], (0.0, 0))
+        acc[r["label"]] = (np.asarray(r["vsum"]) + s, n + r["n"])
+    labels_out, dims, avgs = [], [], []
+    for lab in sorted(acc):
+        s, n = acc[lab]
+        mean = s / n
+        for d, v in enumerate(mean, start=1):
+            labels_out.append(lab)
+            dims.append(d)
+            avgs.append(int(np.floor(v * 10000 + 0.5)))
+    return pa.table({
+        "label": pa.array(labels_out, pa.int32()),
+        "dim": pa.array(dims, pa.int64()),
+        "avg_x10k": pa.array(avgs, pa.int64()),
+    })
+
+
+@query(
+    "embedding_norm_check",
+    """
+    SELECT count(*) AS total_rows,
+           count(*) FILTER (WHERE abs(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) - 1.0) > 0.01)
+               AS violation_count,
+           CASE WHEN count(*) FILTER (WHERE abs(sqrt(list_dot_product(
+               CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) - 1.0) > 0.01) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM embeddings
+    """,
+)
+def embedding_norm_check(sf_dir: str) -> pa.Table:
+    """Range-check semantics (M4) applied to vector norms."""
+    ds = _t(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        return pa.table({"total": [len(norms)],
+                         "viol": [int((np.abs(norms - 1.0) > 0.01).sum())]})
+
+    agg = ds.map_batches(partial, batch_format="pyarrow")
+    total = int(agg.sum("total"))
+    viol = int(agg.sum("viol")) if total else 0
+    return _row(total_rows=total, violation_count=viol,
+                status="PASS" if viol == 0 else "FAIL")
+
+
+# ===========================================================================
+# Text analysis over documents
+# ===========================================================================
+
+@query(
+    "token_count_bpe_documents",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS bpe_token_count,
+           CAST(len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS BIGINT) AS ws_token_count
+    FROM documents ORDER BY doc_id
+    """,
+)
+def token_count_bpe_documents(sf_dir: str) -> pa.Table:
+    from .stages.textstats import add_token_counts
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: add_token_counts(b).select(
+            ["doc_id", "bpe_token_count", "ws_token_count"]),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "bpe_token_count", "ws_token_count"])
+
+
+_STOP_PAT = r"(?i)\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+
+@query(
+    "quality_score_documents_composite",
+    f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) AS punct,
+             GREATEST(CAST(len(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS DOUBLE), 1) AS words,
+             CAST(len(regexp_extract_all(text, '{_STOP_PAT}')) AS DOUBLE) AS stops
+      FROM documents)
+    SELECT doc_id,
+           CAST(floor((
+             0.4 * (LEAST(GREATEST(n / 200.0, 0), 1) * LEAST(GREATEST((20000.0 - n) / 20000.0, 0), 1))
+           + 0.3 * (1.0 - LEAST(GREATEST(abs(punct / words - 0.1) * 2, 0), 1))
+           + 0.3 * LEAST(GREATEST(stops / words / 0.3, 0), 1)
+           ) * 10000 + 0.5) AS BIGINT) AS quality_score_x10k
+    FROM m ORDER BY doc_id
+    """,
+)
+def quality_score_documents_composite(sf_dir: str) -> pa.Table:
+    from .stages.textstats import add_quality_score
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = add_quality_score(batch)
+        return pa.table({"doc_id": t["doc_id"],
+                         "quality_score_x10k": _x10k(t["quality_score"])})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "quality_score_x10k"])
+
+
+@query(
+    "lang_rollup_documents",
+    """
+    SELECT lang, count(*) AS doc_count,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(floor(avg(length(text)) * 100 + 0.5) AS BIGINT) AS avg_chars_x100
+    FROM documents GROUP BY lang ORDER BY lang
+    """,
+)
+def lang_rollup_documents(sf_dir: str) -> pa.Table:
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    proj = ds.map_batches(
+        lambda b: pa.table({"lang": b["lang"],
+                            "n": pc.utf8_length(b["text"]).cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    g = proj.groupby("lang").aggregate(
+        Count(alias_name="doc_count"), Sum("n", alias_name="total_chars")
+    ).sort("lang")
+    t = pa.Table.from_pylist(g.take_all())
+    avg = pc.divide(pc.cast(t["total_chars"], pa.float64()),
+                    pc.cast(t["doc_count"], pa.float64()))
+    return pa.table({
+        "lang": t["lang"],
+        "doc_count": t["doc_count"],
+        "total_chars": t["total_chars"],
+        "avg_chars_x100": pc.cast(pc.floor(pc.add(pc.multiply(avg, 100.0), 0.5)), pa.int64()),
+    })
+
+
+@query(
+    "ngram_jaccard_docs_pair",
+    """
+    WITH a AS (SELECT DISTINCT substring(t, i, 8) AS sh FROM
+          (SELECT text AS t, unnest(generate_series(1, length(text) - 7)) AS i
+           FROM documents WHERE doc_id = 0)),
+         b AS (SELECT DISTINCT substring(t, i, 8) AS sh FROM
+          (SELECT text AS t, unnest(generate_series(1, length(text) - 7)) AS i
+           FROM documents WHERE doc_id = 1))
+    SELECT CAST(floor((SELECT count(*) FROM (SELECT sh FROM a INTERSECT SELECT sh FROM b)) * 10000.0
+           / (SELECT count(*) FROM (SELECT sh FROM a UNION SELECT sh FROM b)) + 0.5) AS BIGINT)
+           AS jaccard_x10k
+    """,
+)
+def ngram_jaccard_docs_pair(sf_dir: str) -> pa.Table:
+    """Exact 8-gram Jaccard between doc 0 and doc 1 (the near-dup
+    verification metric; ASCII text so byte==char shingles)."""
+    from .stages.neardup import ngram_jaccard
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    texts = {r["doc_id"]: r["text"]
+             for r in ds.filter(expr="doc_id < 2").take_all()}
+    j = ngram_jaccard(texts[0], texts[1])
+    return _row(jaccard_x10k=int(np.floor(j * 10000 + 0.5)))
+
+
+# ===========================================================================
+# Rows-only queries (no SQL equivalent; driver records rows-only check)
+# ===========================================================================
+
+@query("langid_documents")
+def langid_documents(sf_dir: str) -> pa.Table:
+    """Trained char-n-gram langid over documents (model labels are the
+    code-corpus langs; deterministic scores either way)."""
+    import ray
+
+    from .stages.models import build_models
+    from .stages.score import scorer_task
+
+    langid, lm = build_models()
+    fn = scorer_task(ray.put(langid), ray.put(lm), content_col="text")
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    t = pa.Table.from_pylist(out.take_all())
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "lang_pred": t["lang_pred"],
+        "lang_conf_x10k": _x10k(t["lang_conf"]),
+        "ppl_x10k": _x10k(t["ppl"]),
+    })
+
+
+@query("heuristic_langid_documents")
+def heuristic_langid_documents(sf_dir: str) -> pa.Table:
+    from .stages.textstats import heuristic_langid
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: pa.table({"doc_id": b["doc_id"],
+                            "lang_guess": pa.array(heuristic_langid(b["text"]))}),
+        batch_format="pyarrow",
+    ).sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "lang_guess"])
+
+
+@query("minhash_signatures_documents")
+def minhash_signatures_documents(sf_dir: str) -> pa.Table:
+    """First 4 MinHash signature values per doc (deterministic)."""
+    from .stages.neardup import minhash_signatures
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = minhash_signatures(batch["text"], num_perm=16)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            **{f"sig{j}": pa.array(sigs[:, j].astype(np.int64), pa.int64())
+               for j in range(4)},
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "sig0", "sig1", "sig2", "sig3"])
+
+
+@query("minhash_lsh_clusters_documents")
+def minhash_lsh_clusters_documents(sf_dir: str) -> pa.Table:
+    from .stages.neardup import minhash_lsh_dedup
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    clusters, rep_of = minhash_lsh_dedup(ds, jaccard_threshold=0.7)
+    rows = [{"cluster_rep": c[0], "member": m} for c in clusters for m in c]
+    if not rows:
+        return pa.table({"cluster_rep": pa.array([], pa.int64()),
+                         "member": pa.array([], pa.int64())})
+    return pa.Table.from_pylist(rows)
+
+
+@query("simhash_documents")
+def simhash_documents(sf_dir: str) -> pa.Table:
+    from .stages.neardup import simhash64
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = simhash64(batch["text"])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "simhash_hex": pa.array([f"{v:016x}" for v in fp])})
+
+    out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "simhash_hex"])
+
+
+@query("embedding_neardup_pairs")
+def embedding_neardup_pairs_q(sf_dir: str) -> pa.Table:
+    from .stages.neardup import embedding_neardup_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    keys, vecs = [], []
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        keys.extend(b["vec_id"].to_pylist())
+        vecs.extend(b["embedding"].to_pylist())
+    pairs = embedding_neardup_pairs(keys, np.asarray(vecs), threshold=0.95)
+    return pa.table({
+        "vec_a": pa.array([p[0] for p in pairs], pa.int64()),
+        "vec_b": pa.array([p[1] for p in pairs], pa.int64()),
+    })
+
+
+@query("lsh_knn_embeddings")
+def lsh_knn_embeddings(sf_dir: str) -> pa.Table:
+    """ANN top-10 via random-hyperplane LSH (scale path; recall vs the
+    brute-force baseline asserted in tests)."""
+    from .stages.similarity import build_lsh_index
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index = build_lsh_index(ds, n_planes=10)
+    qvec = None
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            qvec = np.asarray(b["embedding"].to_pylist()[ids.index(0)])
+            break
+    hits = index.query(qvec, k=10, probe_bits=2)
+    return pa.table({
+        "vec_id": pa.array([h[0] for h in hits], pa.int64()),
+        "sim_x10k": pa.array([int(np.floor(h[1] * 10000 + 0.5)) for h in hits],
+                             pa.int64()),
+    })
+
+
+@query("fingerprint_documents")
+def fingerprint_documents(sf_dir: str) -> pa.Table:
+    from .stages.textstats import winnowing_fingerprints
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = winnowing_fingerprints(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+            "min_fingerprint": pa.array(
+                [int(min(f)) if f else 0 for f in fps], pa.int64()),
+        })
+
+    out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "n_fingerprints", "min_fingerprint"])
+
+
+@query("corpus_pipeline_summary")
+def corpus_pipeline_summary(sf_dir: str) -> pa.Table:
+    """Flagship pipeline over the self-generated 2k corpus: one summary
+    row of keep/drop/redaction counts (deterministic; rows-only)."""
+    import ray.data as rd
+
+    from . import corpus
+    from .pipelines.quality import quality_pipeline
+
+    tbl = corpus.generate_table(2000, with_golden=False)
+    out = quality_pipeline(rd.from_arrow(tbl).repartition(8), num_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "rows": [batch.num_rows],
+            "kept": [int(pc.sum(pc.cast(batch["keep"], pa.int64())).as_py() or 0)],
+            "dups": [int(pc.sum(pc.cast(batch["dup_flag"], pa.int64())).as_py() or 0)],
+            "emails": [int(pc.sum(batch["email_redactions"]).as_py() or 0)],
+            "keys": [int(pc.sum(batch["key_redactions"]).as_py() or 0)],
+            "toxic": [int(pc.sum(batch["toxic_redactions"]).as_py() or 0)],
+        })
+
+    agg = out.map_batches(partial, batch_format="pyarrow")
+    from ray.data.aggregate import Sum
+
+    tot = agg.aggregate(*[Sum(c, alias_name=c)
+                          for c in ["rows", "kept", "dups", "emails", "keys", "toxic"]])
+    return _row(rows=int(tot["rows"]), kept=int(tot["kept"]),
+                duplicates=int(tot["dups"]), email_redactions=int(tot["emails"]),
+                key_redactions=int(tot["keys"]), toxic_redactions=int(tot["toxic"]))

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines.
+
+- token counting: whitespace tokens + a BPE-ish regex token count, both
+  as single vectorized RE2 kernels per batch;
+- quality scoring: length / punctuation / stopword-ratio composite;
+- document fingerprinting: winnowing over rolling-hash shingles
+  (Schleimer et al., the classic local fingerprinting algorithm) — the
+  deterministic fingerprint set that makes partial-overlap detection
+  cheap downstream;
+- language-ID heuristic: stopword + character-class n-gram scoring for
+  natural-language text (the from-scratch model in stages/langid.py is
+  the trained path; this is the zero-training fallback).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .textfeat import byte_view
+from .neardup import _shingles
+
+#: BPE-ish token pattern: runs of letters, runs of digits, or single
+#: non-space symbols — approximates subword pre-tokenization.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+WS_TOKEN_RE = r"[^\s]+"
+
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"},
+    "fr": {"le", "la", "les", "et", "est", "un", "une", "des", "dans", "pour"},
+    "es": {"el", "la", "los", "las", "es", "un", "una", "que", "en", "por"},
+}
+
+
+def add_token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append ws_token_count and bpe_token_count (vectorized RE2)."""
+    col = batch[text_col]
+    ws = pc.count_substring_regex(pc.fill_null(col, ""), WS_TOKEN_RE)
+    bpe = pc.count_substring_regex(pc.fill_null(col, ""), BPE_TOKEN_RE)
+    return batch.append_column(
+        "ws_token_count", ws.cast(pa.int64())
+    ).append_column("bpe_token_count", bpe.cast(pa.int64()))
+
+
+def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite 0..1 quality score: length band + punctuation ratio +
+    stopword ratio (English stopword set), vectorized."""
+    col = pc.fill_null(batch[text_col], "")
+    n = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = pc.count_substring_regex(col, r"[.,;:!?]").to_numpy(zero_copy_only=False)
+    words = pc.count_substring_regex(col, WS_TOKEN_RE).to_numpy(zero_copy_only=False)
+    stop_pat = r"(?i)\b(?:" + "|".join(sorted(_STOPWORDS["en"])) + r")\b"
+    stops = pc.count_substring_regex(col, stop_pat).to_numpy(zero_copy_only=False)
+
+    len_score = np.clip(n / 200.0, 0, 1) * np.clip((20000 - n) / 20000.0, 0, 1)
+    wo = np.maximum(words, 1)
+    punct_ratio = punct / wo
+    punct_score = 1.0 - np.clip(np.abs(punct_ratio - 0.1) * 2, 0, 1)
+    stop_score = np.clip(stops / wo / 0.3, 0, 1)
+    score = 0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score
+    return batch.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+def winnowing_fingerprints(
+    texts: pa.Array | pa.ChunkedArray, k: int = 8, window: int = 16
+) -> list[list[int]]:
+    """Winnowing fingerprint set per doc: in every ``window`` consecutive
+    k-gram hashes keep the minimum (rightmost on ties) — guarantees any
+    shared substring of length >= window+k-1 yields a shared fingerprint.
+    Deterministic; returns sorted unique fingerprints per doc."""
+    data, offsets = byte_view(texts)
+    hashes, starts, counts = _shingles(data, offsets, k)
+    out: list[list[int]] = []
+    for d in range(len(counts)):
+        c = int(counts[d])
+        h = hashes[starts[d] : starts[d] + c]
+        if c == 0:
+            out.append([])
+            continue
+        if c <= window:
+            out.append([int(h.min())] if c else [])
+            continue
+        # sliding-window minimum via stride trick (windows = c-window+1)
+        sw = np.lib.stride_tricks.sliding_window_view(h, window)
+        mins = sw.min(axis=1)
+        out.append(sorted(set(int(x) for x in np.unique(mins))))
+    return out
+
+
+def add_fingerprints(batch: pa.Table, text_col: str = "text",
+                     k: int = 8, window: int = 16) -> pa.Table:
+    fps = winnowing_fingerprints(batch[text_col], k, window)
+    return batch.append_column(
+        "fingerprints", pa.array(fps, pa.list_(pa.uint64()))
+    )
+
+
+def heuristic_langid(texts: pa.Array | pa.ChunkedArray) -> list[str]:
+    """Zero-training language guess: CJK character presence -> zh;
+    otherwise argmax stopword-hit count (en/de/fr/es), ties -> en."""
+    vals = texts.to_pylist() if not isinstance(texts, list) else texts
+    out = []
+    for t in vals:
+        t = (t or "").lower()
+        if any("一" <= ch <= "鿿" for ch in t):
+            out.append("zh")
+            continue
+        words = set(t.split())
+        best, best_n = "en", -1
+        for lang in ("en", "de", "es", "fr"):  # fixed order = deterministic ties
+            n = len(words & _STOPWORDS[lang])
+            if n > best_n:
+                best, best_n = lang, n
+        out.append(best)
+    return out

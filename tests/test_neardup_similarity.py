@@ -1,0 +1,238 @@
+"""Near-dup family + similarity search + text analysis + multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.stages.neardup import (
+    embedding_neardup_pairs,
+    minhash_lsh_dedup,
+    minhash_signatures,
+    ngram_jaccard,
+    signature_jaccard,
+    simhash64,
+    simhash_neardup_pairs,
+    hamming64,
+)
+
+BASE = ("def compute_total(values):\n    total = 0\n"
+        "    for v in values:\n        total += v\n    return total\n") * 4
+NEAR = BASE.replace("total", "summed", 2)  # small edit
+FAR = "SELECT a, b FROM table_x WHERE a > 10 ORDER BY b DESC;\n" * 5
+
+
+def test_ngram_jaccard_values():
+    assert ngram_jaccard(BASE, BASE) == 1.0
+    assert 0.5 < ngram_jaccard(BASE, NEAR) < 1.0
+    assert ngram_jaccard(BASE, FAR) < 0.1
+    assert ngram_jaccard("", "") == 1.0
+    assert ngram_jaccard(BASE, "") == 0.0
+
+
+def test_minhash_estimates_jaccard():
+    texts = pa.array([BASE, NEAR, FAR], pa.large_string())
+    sigs = minhash_signatures(texts, num_perm=256)
+    est_near = signature_jaccard(sigs[0], sigs[1])
+    est_far = signature_jaccard(sigs[0], sigs[2])
+    exact_near = ngram_jaccard(BASE, NEAR)
+    assert abs(est_near - exact_near) < 0.12
+    assert est_far < 0.1
+
+
+def test_minhash_deterministic_and_batch_independent():
+    texts = [BASE, NEAR, FAR, BASE + "x", FAR + "y"]
+    full = minhash_signatures(pa.array(texts, pa.large_string()))
+    parts = np.vstack([
+        minhash_signatures(pa.array(texts[:2], pa.large_string())),
+        minhash_signatures(pa.array(texts[2:], pa.large_string())),
+    ])
+    assert (full == parts).all()
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session):
+    import ray.data as rd
+
+    rows = [
+        {"doc_id": 0, "text": BASE},
+        {"doc_id": 1, "text": NEAR},          # near-dup of 0
+        {"doc_id": 2, "text": FAR},
+        {"doc_id": 3, "text": BASE},          # exact dup of 0
+        {"doc_id": 4, "text": "completely different short text here"},
+    ]
+    ds = rd.from_items(rows).repartition(3)
+    clusters, rep_of = minhash_lsh_dedup(ds, jaccard_threshold=0.6)
+    cluster_with_0 = next(c for c in clusters if 0 in c)
+    assert 1 in cluster_with_0 and 3 in cluster_with_0
+    assert 2 not in cluster_with_0 and 4 not in cluster_with_0
+    assert rep_of[3] == 0  # deterministic keep-first: min key representative
+
+
+def test_simhash_properties():
+    fps = simhash64(pa.array([BASE, BASE, NEAR, FAR], pa.large_string()))
+    assert fps[0] == fps[1]
+    d_near = hamming64(fps[0:1], fps[2:3])[0]
+    d_far = hamming64(fps[0:1], fps[3:4])[0]
+    assert d_near < d_far
+    assert d_near <= 12
+
+
+def test_simhash_neardup_pairs():
+    keys = [10, 20, 30, 40]
+    fps = simhash64(pa.array([BASE, BASE, NEAR, FAR], pa.large_string()))
+    pairs = simhash_neardup_pairs(keys, fps, max_hamming=3)
+    assert (10, 20) in pairs
+    assert all(40 not in p for p in pairs)
+
+
+def test_embedding_neardup():
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal(32)
+    near = base + rng.standard_normal(32) * 0.01
+    far = rng.standard_normal(32)
+    pairs = embedding_neardup_pairs([1, 2, 3], np.stack([base, near, far]), 0.95)
+    assert pairs == [(1, 2)]
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def test_knn_brute_force_self_top1(ray_session):
+    import ray.data as rd
+
+    from engine.stages.similarity import knn_brute_force
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(ds.filter(expr="vec_id == 5").take_all()[0]["embedding"])
+    out = knn_brute_force(ds, q.reshape(1, -1), k=5)
+    assert out["key"][0].as_py() == 5  # the query vector itself ranks first
+    assert abs(out["sim"][0].as_py() - 1.0) < 1e-9
+    sims = out["sim"].to_pylist()
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_recall_on_planted_neighbors(ray_session):
+    """LSH is built for *close* neighbors: plant perturbed copies around
+    base vectors and require high recall of those. (On unclustered random
+    vectors — e.g. the testdata embeddings, where the nearest neighbor
+    sits at cosine ~0.33 — hyperplane LSH legitimately needs many probes;
+    that regime is the brute-force path's job.)"""
+    import ray.data as rd
+
+    from engine.stages.similarity import LSHIndex
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    noise = rng.standard_normal((400, 64))
+    bases = rng.standard_normal((5, 64))
+    planted = []
+    for bi, b in enumerate(bases):
+        for j in range(10):
+            planted.append(b + rng.standard_normal(64) * 0.05)
+    vecs = np.vstack([noise, planted])
+    keys = np.arange(len(vecs))
+    index = LSHIndex(64, n_planes=10, seed=42)
+    index.add(keys, vecs)
+    recalls = []
+    for bi, b in enumerate(bases):
+        truth = set(range(400 + bi * 10, 400 + bi * 10 + 10))
+        got = {k for k, _ in index.query(b, k=10, probe_bits=2)}
+        recalls.append(len(truth & got) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def test_token_counts_match_re():
+    import re
+
+    from engine.stages.textstats import BPE_TOKEN_RE, add_token_counts
+
+    texts = ["hello world 123", "a,b;c", "", "  spaced   out  ", "x"]
+    t = add_token_counts(pa.table({"text": texts}))
+    for i, s in enumerate(texts):
+        assert t["ws_token_count"][i].as_py() == len(s.split())
+        assert t["bpe_token_count"][i].as_py() == len(re.findall(BPE_TOKEN_RE, s))
+
+
+def test_winnowing_shared_substring_guarantee():
+    from engine.stages.textstats import winnowing_fingerprints
+
+    shared = "this exact shared passage is long enough to fingerprint"
+    a = "prefix one " + shared + " suffix alpha"
+    b = "totally different opening " + shared + " and another tail"
+    fa, fb = winnowing_fingerprints(pa.array([a, b]), k=8, window=16)
+    assert set(fa) & set(fb)  # guarantee: shared substring >= window+k-1
+    fc = winnowing_fingerprints(pa.array(["nothing in common whatsoever zzz"]))[0]
+    assert not (set(fa) & set(fc))
+
+
+def test_heuristic_langid():
+    from engine.stages.textstats import heuristic_langid
+
+    out = heuristic_langid(pa.array([
+        "the cat is in the house and it is warm",
+        "der Hund ist nicht mit der Katze",
+        "le chat est dans la maison pour un moment",
+        "el perro es un animal que vive en la casa",
+        "这是一个中文句子",
+    ]))
+    assert out == ["en", "de", "fr", "es", "zh"]
+
+
+def test_quality_score_range():
+    from engine.stages.textstats import add_quality_score
+
+    t = add_quality_score(pa.table({"text": [
+        "", "the quick brown fox, it jumps; over the lazy dog. " * 10, "x" * 50000,
+    ]}))
+    scores = t["quality_score"].to_pylist()
+    assert all(0.0 <= s <= 1.0 for s in scores)
+    assert scores[1] > scores[0] and scores[1] > scores[2]
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def test_fake_decoder_pipeline(ray_session):
+    import ray.data as rd
+
+    from engine.stages.multimodal import (
+        FakeDecoder, decode_stage, synth_media_table)
+
+    tbl = synth_media_table(64, "image")
+    out = decode_stage(rd.from_arrow(tbl), concurrency=(1, 2)).materialize()
+    assert out.count() == 64
+    schema = out.schema()
+    feat_type = schema.types[schema.names.index("features")]
+    assert pa.types.is_fixed_size_list(feat_type)
+    assert feat_type.list_size == FakeDecoder.FEATURE_DIM
+    rows = out.take(2)
+    assert len(rows[0]["payload_sha256"]) == 64
+    # deterministic: same payload -> same features on a rerun
+    again = decode_stage(rd.from_arrow(tbl), concurrency=(1, 2)).materialize()
+    a = {r["media_id"]: r["payload_sha256"] for r in out.take_all()}
+    b = {r["media_id"]: r["payload_sha256"] for r in again.take_all()}
+    assert a == b
+
+
+def test_decode_stub_raises():
+    from engine.stages.multimodal import DecodeStub, synth_media_table
+
+    stub = DecodeStub("jpeg")
+    with pytest.raises(NotImplementedError):
+        stub(synth_media_table(2))
+
+
+def test_frame_sampling(ray_session):
+    import ray.data as rd
+
+    from engine.stages.multimodal import frame_sample_stage, synth_media_table
+
+    tbl = synth_media_table(10, "video")  # duration 1000ms each
+    out = frame_sample_stage(rd.from_arrow(tbl), every_ms=200).materialize()
+    assert out.count() == 10 * 5
+    rows = [r for r in out.take_all() if r["media_id"] == 3]
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 200, 400, 600, 800]
