@@ -9,6 +9,14 @@ partial+final pattern the reference hand-rolled for TS-1 chunked counting
 (src/db_connector.py:151-189), which Ray Data gives natively.
 """
 
+from .extra import (
+    allowed_values_check,
+    composite_fk_check,
+    date_order_check,
+    duplicate_rate_stats,
+    hierarchy_cycle_check,
+    soft_delete_check,
+)
 from .core import (
     count_check,
     date_range_check,
@@ -26,6 +34,12 @@ from .core import (
 )
 
 __all__ = [
+    "allowed_values_check",
+    "composite_fk_check",
+    "date_order_check",
+    "duplicate_rate_stats",
+    "hierarchy_cycle_check",
+    "soft_delete_check",
     "count_check",
     "date_range_check",
     "duplicate_check",

@@ -1,0 +1,214 @@
+"""Template-only reference checks (SQL templates with no Python caller in
+the reference) implemented as first-class operators: composite-key FK,
+allowed-values, date-order, duplicate-rate stats, soft-delete reference,
+and the recursive hierarchy/cycle walk."""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..audit import CheckResult, CheckStatus, make_result
+from .base import reduce_batches
+from .core import _rule
+
+
+def allowed_values_check(
+    ds, column: str, allowed: Sequence[Any], rule: Optional[dict] = None
+) -> CheckResult:
+    """M9 enum predicate: col NOT IN allowed (checks/check_range.sql:98-111)."""
+    rule = _rule(rule, rule_id="RNG-ENUM", description="allowed values", column=column)
+    value_set = pa.array(list(allowed))
+
+    def partial(batch: pa.Table) -> dict:
+        col = batch[column]
+        valid = pc.is_valid(col)
+        bad = pc.and_(valid, pc.invert(pc.is_in(col, value_set=value_set)))
+        return {"total": len(col) - col.null_count,
+                "viol": int(pc.sum(bad.cast(pa.int64())).as_py() or 0)}
+
+    agg = reduce_batches(ds, partial, {"total": "sum", "viol": "sum"})
+    viol = int(agg["viol"] or 0)
+    return make_result(rule, "range",
+                       CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
+                       total_rows=int(agg["total"] or 0), violation_count=viol,
+                       details={"allowed_values": list(allowed)})
+
+
+def date_order_check(
+    ds, start_col: str, end_col: str, rule: Optional[dict] = None
+) -> CheckResult:
+    """M10 row-wise column ordering: start > end is a violation
+    (checks/check_range.sql:133-140)."""
+    rule = _rule(rule, rule_id="RNG-ORDER", description="date order",
+                 column=f"{start_col}>{end_col}")
+
+    def partial(batch: pa.Table) -> dict:
+        s, e = batch[start_col], batch[end_col]
+        both = pc.and_(pc.is_valid(s), pc.is_valid(e))
+        bad = pc.and_(both, pc.greater(s, e))
+        return {"total": int(pc.sum(both.cast(pa.int64())).as_py() or 0),
+                "viol": int(pc.sum(bad.cast(pa.int64())).as_py() or 0)}
+
+    agg = reduce_batches(ds, partial, {"total": "sum", "viol": "sum"})
+    viol = int(agg["viol"] or 0)
+    return make_result(rule, "range",
+                       CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
+                       total_rows=int(agg["total"] or 0), violation_count=viol,
+                       details={"start_column": start_col, "end_column": end_col})
+
+
+def composite_fk_check(
+    child_ds,
+    fk_columns: Sequence[str],
+    parent_ds,
+    parent_columns: Sequence[str],
+    rule: Optional[dict] = None,
+) -> CheckResult:
+    """J2 multi-column FK orphans (checks/check_foreign_key.sql:42-56):
+    composite keys joined into one string key, then the broadcast
+    anti-join pattern of the single-column check."""
+    import ray
+
+    rule = _rule(rule, rule_id="FK-COMP", description="composite fk",
+                 column=",".join(fk_columns))
+    fk_columns = list(fk_columns)
+    parent_columns = list(parent_columns)
+
+    def join_key(batch: pa.Table, cols: list[str]) -> pa.Array:
+        parts = [pc.cast(batch[c], pa.string()) for c in cols]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, "\x1f")
+        return joined  # null if ANY component is null (SQL AND-semantics)
+
+    parent_keys: set = set()
+    for b in parent_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        parent_keys.update(k for k in join_key(b, parent_columns).to_pylist()
+                           if k is not None)
+    keys_ref = ray.put(pa.array(sorted(parent_keys)))
+
+    def partial(batch: pa.Table) -> dict:
+        keys = ray.get(keys_ref)
+        jk = join_key(batch, fk_columns)
+        valid = pc.is_valid(jk)
+        orphan = pc.and_(valid, pc.invert(pc.is_in(jk, value_set=keys)))
+        return {"total": int(pc.sum(valid.cast(pa.int64())).as_py() or 0),
+                "orphans": int(pc.sum(orphan.cast(pa.int64())).as_py() or 0)}
+
+    agg = reduce_batches(child_ds, partial, {"total": "sum", "orphans": "sum"})
+    orphans = int(agg["orphans"] or 0)
+    return make_result(rule, "foreign_key",
+                       CheckStatus.PASS if orphans == 0 else CheckStatus.FAIL,
+                       total_rows=int(agg["total"] or 0),
+                       violation_count=orphans,
+                       details={"parent_columns": parent_columns})
+
+
+def duplicate_rate_stats(
+    ds, columns: Sequence[str], rule: Optional[dict] = None
+) -> CheckResult:
+    """A9 duplicate-rate profile (checks/check_duplicates.sql:51-62):
+    total rows, distinct keys, duplicate rows, duplicate percentage."""
+    from ray.data.aggregate import Count
+
+    rule = _rule(rule, rule_id="DUP-RATE", description="duplicate rate",
+                 column=",".join(columns))
+    columns = list(columns)
+    total = ds.count()
+    grouped = ds.groupby(columns).aggregate(Count(alias_name="cnt"))
+
+    def gpartial(batch: pa.Table) -> dict:
+        cnt = batch["cnt"].to_numpy()
+        return {"distinct": int(len(cnt)), "dup_rows": int((cnt - 1).sum())}
+
+    agg = reduce_batches(grouped, gpartial, {"distinct": "sum", "dup_rows": "sum"})
+    distinct = int(agg["distinct"] or 0)
+    dup_rows = int(agg["dup_rows"] or 0)
+    ratio = dup_rows / total if total else 0.0
+    return make_result(rule, "duplicate",
+                       CheckStatus.PASS if dup_rows == 0 else CheckStatus.WARNING,
+                       total_rows=total, violation_count=dup_rows,
+                       details={"distinct_keys": distinct,
+                                "duplicate_pct": round(ratio * 100, 4)})
+
+
+def soft_delete_check(
+    child_ds,
+    fk_column: str,
+    parent_ds,
+    parent_column: str,
+    flag_column: str,
+    deleted_values: Sequence[Any],
+    rule: Optional[dict] = None,
+) -> CheckResult:
+    """J7 soft-delete reference (checks/check_foreign_key.sql:121-131):
+    children referencing logically-deleted parents. Broadcast the
+    deleted-parent key set, probe with is_in — no join shuffle."""
+    import ray
+
+    rule = _rule(rule, rule_id="FK-SOFTDEL", description="soft-delete refs",
+                 column=fk_column)
+    deleted_set = pa.array(list(deleted_values))
+    deleted_keys: set = set()
+    for b in parent_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mask = pc.is_in(b[flag_column], value_set=deleted_set)
+        deleted_keys.update(b[parent_column].filter(mask).to_pylist())
+    keys_ref = ray.put(pa.array(sorted(deleted_keys)))
+
+    def partial(batch: pa.Table) -> dict:
+        keys = ray.get(keys_ref)
+        col = batch[fk_column]
+        valid = pc.is_valid(col)
+        bad = pc.and_(valid, pc.is_in(col, value_set=keys))
+        return {"total": len(col) - col.null_count,
+                "viol": int(pc.sum(bad.cast(pa.int64())).as_py() or 0)}
+
+    agg = reduce_batches(child_ds, partial, {"total": "sum", "viol": "sum"})
+    viol = int(agg["viol"] or 0)
+    return make_result(rule, "foreign_key",
+                       CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
+                       total_rows=int(agg["total"] or 0), violation_count=viol,
+                       details={"deleted_parent_keys": len(deleted_keys),
+                                "flag_column": flag_column})
+
+
+def hierarchy_cycle_check(
+    ds, id_column: str, parent_column: str, max_depth: int = 100,
+    rule: Optional[dict] = None,
+) -> CheckResult:
+    """J9 recursive hierarchy walk with cycle guard
+    (checks/check_foreign_key.sql:85-119, the PostgreSQL recursive CTE).
+
+    Implementation: collect the (id -> parent) edge map (hierarchies are
+    dimension-sized — this is the broadcast-small-side regime; a
+    billion-node hierarchy would use iterative frontier joins instead),
+    then vectorized pointer-doubling to find nodes that never reach a
+    root within max_depth (cycles or over-deep chains)."""
+    rule = _rule(rule, rule_id="FK-CYCLE", description="hierarchy cycles",
+                 column=id_column)
+    ids, parents = [], []
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ids.extend(b[id_column].to_pylist())
+        parents.extend(b[parent_column].to_pylist())
+    index = {v: i for i, v in enumerate(ids)}
+    n = len(ids)
+    # next[i] = row index of parent, -1 = root (null or dangling parent)
+    nxt = np.array(
+        [index.get(p, -1) if p is not None else -1 for p in parents],
+        dtype=np.int64,
+    )
+    cur = nxt.copy()
+    depth = 0
+    while depth < max_depth and (cur >= 0).any():
+        step = np.where(cur >= 0, nxt[np.clip(cur, 0, n - 1)], -1)
+        cur = step
+        depth += 1
+    stuck = int((cur >= 0).sum())  # never reached a root: cycle / too deep
+    return make_result(rule, "foreign_key",
+                       CheckStatus.PASS if stuck == 0 else CheckStatus.FAIL,
+                       total_rows=n, violation_count=stuck,
+                       details={"max_depth": max_depth})

@@ -27,22 +27,79 @@ logger = logging.getLogger("engine")
 def parse_args(argv=None) -> argparse.Namespace:
     p = argparse.ArgumentParser(prog="engine.main",
                                 description="Ray-Data quality-filter engine")
-    p.add_argument("--input", required=True, help="input corpus parquet dir")
-    p.add_argument("--output", required=True, help="output dir (partitioned)")
-    p.add_argument("--checks", default="quality",
-                   help="comma list: quality (flagship); audit-only subsets TBD")
-    p.add_argument("--report", choices=["all", "html", "csv", "none"],
+    sub = p.add_subparsers(dest="mode")
+
+    q = sub.add_parser("quality", help="flagship corpus filter+scrub run")
+    q.add_argument("--input", required=True, help="input corpus parquet dir")
+    q.add_argument("--output", required=True, help="output dir (partitioned)")
+    q.add_argument("--report", choices=["all", "html", "csv", "none"],
                    default="all")
-    p.add_argument("--report-dir", default="reports")
-    p.add_argument("--config-dir", default=None)
-    p.add_argument("--parts", type=int, default=16,
+    q.add_argument("--report-dir", default="reports")
+    q.add_argument("--config-dir", default=None)
+    q.add_argument("--parts", type=int, default=16,
                    help="checkpoint partitions (resume granularity)")
-    p.add_argument("--num-cpus", type=int, default=None)
-    return p.parse_args(argv)
+    q.add_argument("--num-cpus", type=int, default=None)
+
+    v = sub.add_parser("validate",
+                       help="rule-driven checks over parquet tables "
+                            "(reference run_validation parity)")
+    v.add_argument("--tables", required=True, help="dir of {table}.parquet")
+    v.add_argument("--checks", default=None,
+                   help="comma list of count,null,duplicate,range,transform,masking")
+    v.add_argument("--report", choices=["all", "html", "csv", "none"],
+                   default="all")
+    v.add_argument("--report-dir", default="reports")
+    v.add_argument("--config-dir", default=None)
+    v.add_argument("--num-cpus", type=int, default=None)
+
+    args, extra = p.parse_known_args(argv)
+    if args.mode is None:
+        # bare-flag compatibility: default to the quality pipeline
+        args = q.parse_args(extra if extra else (argv or []))
+        args.mode = "quality"
+    return args
+
+
+def run_validate(args) -> int:
+    """Reference run_validation parity over parquet tables."""
+    import ray
+
+    if not os.path.isdir(args.tables):
+        logger.error("tables dir not found: %s", args.tables)
+        return 2
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from .report import CSVReporter, HTMLReporter
+    from .rules import load_rules
+    from .validate import run_validation
+
+    rules = load_rules(args.config_dir)
+    checks = args.checks.split(",") if args.checks else None
+    results, summary = run_validation(args.tables, rules, checks)
+    for r in results:
+        logger.info("[%s] %s -> %s (%d/%d)", r.rule_id, r.check_type,
+                    r.status.value, r.violation_count, r.total_rows)
+    logger.info("summary: %s", json.dumps(summary))
+    if args.report in ("all", "csv"):
+        logger.info("csv report: %s",
+                    CSVReporter(args.report_dir).generate(results, summary))
+    if args.report in ("all", "html"):
+        logger.info("html report: %s",
+                    HTMLReporter(args.report_dir).generate(results, summary))
+    return 1 if summary["failed"] > 0 else 0
 
 
 def run(args) -> int:
     import ray
+
+    if args.mode == "validate":
+        return run_validate(args)
 
     if not os.path.isdir(args.input):
         logger.error("input dir not found: %s", args.input)

