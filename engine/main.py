@@ -52,12 +52,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     v.add_argument("--config-dir", default=None)
     v.add_argument("--num-cpus", type=int, default=None)
 
-    args, extra = p.parse_known_args(argv)
-    if args.mode is None:
-        # bare-flag compatibility: default to the quality pipeline
-        args = q.parse_args(extra if extra else (argv or []))
-        args.mode = "quality"
-    return args
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    if not argv or argv[0].startswith("-"):
+        argv = ["quality"] + argv  # bare-flag compatibility
+    return p.parse_args(argv)
 
 
 def run_validate(args) -> int:
