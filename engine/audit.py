@@ -164,6 +164,29 @@ def results_to_table(results: list[CheckResult]) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=AUDIT_SCHEMA)
 
 
+def write_results(results: list[CheckResult], audit_dir: str, run_id: str) -> str:
+    """Append-mode audit sink (reference: the ``dq_validation_results``
+    history table, sql/init_schema.sql:128-143) — one parquet file per
+    run under ``audit_dir/run_id=<id>/``; reading the directory yields
+    the full check history across runs."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    out = os.path.join(audit_dir, f"run_id={run_id}")
+    os.makedirs(out, exist_ok=True)
+    path = os.path.join(out, "results.parquet")
+    pq.write_table(results_to_table(results), path)
+    return path
+
+
+def read_history(audit_dir: str):
+    """All runs' audit rows as one Dataset (hive-partitioned by run_id)."""
+    import ray.data as rd
+
+    return rd.read_parquet(audit_dir)
+
+
 def summarize(results: list[CheckResult]) -> dict:
     """Status-wise summary (main.py:157-171 / base_checker.py:137-152 parity)."""
     total = len(results)

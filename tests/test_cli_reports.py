@@ -92,3 +92,18 @@ def test_cli_bad_input_exit_2():
 
     assert main(["--input", "/nonexistent/xyz", "--output", "/tmp/x",
                  "--report", "none"]) == 2
+
+
+def test_audit_sink_roundtrip(ray_session, tmp_path):
+    from engine.audit import read_history, write_results
+
+    adir = str(tmp_path / "audit")
+    write_results(_results(), adir, "run1")
+    write_results(_results()[:2], adir, "run2")
+    ds = read_history(adir)
+    assert ds.count() == 5
+    runs = {r["run_id"] for r in ds.select_columns(["run_id"]).take_all()}
+    assert runs == {"run1", "run2"}
+    row = ds.take(1)[0]
+    for col in ["rule_id", "status", "violation_ratio", "details", "executed_at"]:
+        assert col in row
