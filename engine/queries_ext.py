@@ -575,3 +575,65 @@ def percentage_range_discount(sf_dir: str) -> pa.Table:
                             "l_discount", 0, 0.1)
     return _row(total_rows=r.total_rows, violation_count=r.violation_count,
                 status=r.status.value)
+
+
+# ===========================================================================
+# Windowed aggregates over the events log (stream-shaped semantics)
+# ===========================================================================
+
+@query(
+    "tumbling_window_events",
+    """
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 21600) AS BIGINT) AS window_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events
+    GROUP BY user_id, window_id
+    ORDER BY user_id, window_id
+    """,
+)
+def tumbling_window_events(sf_dir: str) -> pa.Table:
+    """6-hour tumbling windows per user (stages/windows.py): derived
+    window column + one groupby aggregate — no special streaming runtime."""
+    from .stages.windows import tumbling_window_agg
+
+    ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds, "user_id", "ts", "value").sort(
+        ["user_id", "window_id"])
+    t = pa.Table.from_pylist(out.take_all())
+    return t.select(["user_id", "window_id", "n_events", "total_value_cents"])
+
+
+@query(
+    "session_window_events",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (SELECT user_id, event_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d)
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def session_window_events(sf_dir: str) -> pa.Table:
+    """Gap-based session windows (30-min gap) via groupby(key).map_groups
+    with a deterministic (ts, event_id) in-group sort."""
+    from .stages.windows import session_window_agg
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = session_window_agg(ds, "user_id", "ts", "event_id").sort(
+        ["user_id", "session_id"])
+    t = pa.Table.from_pylist(out.take_all())
+    return t.select(["user_id", "session_id", "n_events",
+                     "session_start", "session_end"])

@@ -133,3 +133,51 @@ def test_hierarchy_clean():
     clean = pa.table({"id": [1, 2, 3], "parent": [None, 1, 2]})
     r = ck.hierarchy_cycle_check(rd.from_arrow(clean), "id", "parent")
     assert r.status == CheckStatus.PASS and r.violation_count == 0
+
+
+# ---------------------------------------------------------------------------
+# windowed aggregates
+# ---------------------------------------------------------------------------
+
+def test_tumbling_window_exact(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.windows import tumbling_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "ts": base, "value": 1.0},
+        {"user_id": 1, "ts": base + dt.timedelta(hours=1), "value": 2.0},
+        {"user_id": 1, "ts": base + dt.timedelta(hours=7), "value": 4.0},
+        {"user_id": 2, "ts": base, "value": 8.0},
+    ]
+    out = tumbling_window_agg(rd.from_items(rows), "user_id", "ts", "value",
+                              window_sec=21600).take_all()
+    got = {(r["user_id"], r["window_id"]): (r["n_events"], r["total_value_cents"])
+           for r in out}
+    w0 = int(base.timestamp() * 1_000_000) // (21600 * 1_000_000)
+    assert got[(1, w0)] == (2, 300)
+    assert got[(1, w0 + 1)] == (1, 400)
+    assert got[(2, w0)] == (1, 800)
+
+
+def test_session_window_exact(ray_session):
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.windows import session_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"user_id": 1, "event_id": 1, "ts": base},
+        {"user_id": 1, "event_id": 2, "ts": base + dt.timedelta(minutes=10)},
+        {"user_id": 1, "event_id": 3, "ts": base + dt.timedelta(minutes=70)},  # new session
+        {"user_id": 2, "event_id": 4, "ts": base},
+    ]
+    out = session_window_agg(rd.from_items(rows), "user_id", "ts", "event_id",
+                             gap_sec=1800).take_all()
+    sess = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
+    assert sess == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
