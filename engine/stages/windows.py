@@ -27,9 +27,10 @@ def add_tumbling_window(batch: pa.Table, ts_col: str = "ts",
                         window_sec: int = 21600) -> pa.Table:
     """Append ``window_id = floor(epoch_seconds / window_sec)`` (int64)."""
     ts = batch[ts_col]
-    ns = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)  # epoch micros for us-ts
-    # timestamp("us") casts to int64 microseconds
-    window = ns // (window_sec * 1_000_000)
+    if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+        ts = ts.cast(pa.timestamp("us"))  # normalize unit before epoch math
+    micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    window = micros // (window_sec * 1_000_000)
     return batch.append_column("window_id", pa.array(window, pa.int64()))
 
 

@@ -157,7 +157,8 @@ def test_tumbling_window_exact(ray_session):
                               window_sec=21600).take_all()
     got = {(r["user_id"], r["window_id"]): (r["n_events"], r["total_value_cents"])
            for r in out}
-    w0 = int(base.timestamp() * 1_000_000) // (21600 * 1_000_000)
+    # arrow timestamps are UTC-naive: epoch from the UTC reading of `base`
+    w0 = int(base.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000) // (21600 * 1_000_000)
     assert got[(1, w0)] == (2, 300)
     assert got[(1, w0 + 1)] == (1, 400)
     assert got[(2, w0)] == (1, 800)
