@@ -150,11 +150,16 @@ def scaling() -> None:
     results = {}
     for ncpu in (4, 8, 16, 32):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+        best = None
+        for _ in range(2):  # best-of-2: damp shared-box noise
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
     eff_4_16 = (results[4]["value"] / results[16]["value"]) / 4
     eff_8_32 = (results[8]["value"] / results[32]["value"]) / 4
     print(json.dumps({

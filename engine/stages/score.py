@@ -18,7 +18,7 @@ import numpy as np
 import pyarrow as pa
 
 from .heuristics import add_metrics
-from .langid import LangIdModel, gram_ids_quadgram, gram_ids_trigram
+from .langid import LangIdModel
 from .perplexity import NGramLM
 from .textfeat import byte_view, gram_ids_bigram, per_doc_gram_scores
 
@@ -85,7 +85,7 @@ class ScoreStage:
     #: memory bandwidth (the stage's bottleneck). Perplexity stays whole-doc
     #: (its table is 1 column — cheap — and gibberish must be caught
     #: anywhere in the file).
-    LANGID_PREFIX = 512
+    LANGID_PREFIX = 256
 
     def __init__(self, langid: LangIdModel, lm: NGramLM, content_col: str = "content"):
         self.langid = langid
@@ -98,24 +98,7 @@ class ScoreStage:
         data, offsets = byte_view(batch[self.content_col])
 
         pdata, poffsets = prefix_view(data, offsets, self.LANGID_PREFIX)
-        big_ids, big_valid = gram_ids_bigram(pdata, poffsets)
-        tri_ids, tri_valid = gram_ids_trigram(pdata, poffsets)
-        quad_ids, quad_valid = gram_ids_quadgram(pdata, poffsets)
-
-        # langid: NB score = sum of per-gram log-likelihoods over all 3 sets
-        w = self.langid.weights
-        s1, n1 = per_doc_gram_scores(w, big_ids, big_valid, poffsets)
-        s2, n2 = per_doc_gram_scores(w, tri_ids, tri_valid, poffsets)
-        s3, n3 = per_doc_gram_scores(w, quad_ids, quad_valid, poffsets)
-        sums = s1 + s2 + s3
-        n_valid = n1 + n2 + n3
-        logp = sums / np.maximum(n_valid, 1)[:, None] + self.langid.priors[None, :] / 100.0
-        pred = np.argmax(logp, axis=1)
-        z = logp * 20.0
-        z = z - z.max(axis=1, keepdims=True)
-        ez = np.exp(z)
-        conf = ez[np.arange(len(pred)), pred] / ez.sum(axis=1)
-        conf = np.where(n_valid > 0, conf, 0.0)
+        pred, conf = self.langid.predict_arrays(pdata, poffsets)
 
         # perplexity is whole-doc (1-column table, cheap gather)
         fbig_ids, fbig_valid = gram_ids_bigram(data, offsets)
