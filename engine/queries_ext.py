@@ -637,3 +637,60 @@ def session_window_events(sf_dir: str) -> pa.Table:
     t = pa.Table.from_pylist(out.take_all())
     return t.select(["user_id", "session_id", "n_events",
                      "session_start", "session_end"])
+
+
+@query(
+    "pricing_summary_lineitem",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary_lineitem(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-flavor pricing summary: filter pushed into the batch
+    transform, money in integer cents, partial-friendly groupby."""
+    import datetime as dt
+
+    from ray.data.aggregate import Count, Sum
+
+    from .queries import _cents
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_shipdate"])
+    cutoff = dt.datetime(1998, 9, 2)
+
+    def project(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch["l_shipdate"], pa.scalar(cutoff))
+        b = batch.filter(keep)
+        disc_price = pc.multiply(b["l_extendedprice"],
+                                 pc.subtract(1.0, b["l_discount"]))
+        return pa.table({
+            "l_returnflag": b["l_returnflag"],
+            "l_linestatus": b["l_linestatus"],
+            "qty_cents": _cents(b["l_quantity"]),
+            "price_cents": _cents(b["l_extendedprice"]),
+            "disc_cents": _cents(disc_price),
+        })
+
+    g = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty_cents", alias_name="sum_qty_cents"),
+            Sum("price_cents", alias_name="sum_base_price_cents"),
+            Sum("disc_cents", alias_name="sum_disc_price_cents"),
+            Count(alias_name="count_order"),
+        )
+        .sort(["l_returnflag", "l_linestatus"])
+    )
+    return pa.Table.from_pylist(g.take_all()).select(
+        ["l_returnflag", "l_linestatus", "sum_qty_cents",
+         "sum_base_price_cents", "sum_disc_price_cents", "count_order"])

@@ -93,3 +93,36 @@ def test_entry_smoke(ray_session):
     t = out.materialize()
     assert t.count() > 0
     assert "keep" in t.schema().names
+
+
+def test_actor_mode_scorer_matches_tasks_mode(ray_session, corpus_2k):
+    """The actor-pool scorer path (explicit concurrency) must produce the
+    same verdicts as the default tasks-mode path."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(corpus_2k).repartition(4)
+    tasks = quality_pipeline(ds, num_buckets=16)
+    actors = quality_pipeline(ds, scorer_concurrency=(1, 2), num_buckets=16)
+    a = {r["row_id"]: (r["keep"], r["lang_pred"])
+         for r in tasks.select_columns(["row_id", "keep", "lang_pred"]).take_all()}
+    b = {r["row_id"]: (r["keep"], r["lang_pred"])
+         for r in actors.select_columns(["row_id", "keep", "lang_pred"]).take_all()}
+    assert a == b
+
+
+def test_example_script(ray_session):
+    """The runnable example detects every planted issue (reference
+    examples/sample_validation.py parity)."""
+    import examples.sample_validation as ex
+
+    import tempfile
+
+    from engine.validate import run_validation
+
+    with tempfile.TemporaryDirectory() as td:
+        ex.build_tables(td)
+        results, summary = run_validation(td, ex.RULES)
+    counts = {r.rule_id: r.violation_count for r in results}
+    assert counts == {"CNT-001": 1, "NULL-001": 2, "DUP-001": 1,
+                      "RNG-001": 1, "FK-001": 1, "MASK-001": 2, "MASK-004": 2}
+    assert summary["failed"] == 7
