@@ -42,6 +42,10 @@ QUERY_SET = [
     "exact_dedup_documents",
     "sha256_documents",
     "outlier_3sigma_events",
+    "pricing_summary_lineitem",
+    "tumbling_window_events",
+    "knn_embeddings_cosine",
+    "minhash_signatures_documents",
 ]
 
 
@@ -117,6 +121,7 @@ def main() -> None:
     headline = run_headline(path, out_dir)
 
     from engine.queries import QUERIES
+    import engine.queries_ext  # noqa: F401
 
     qtimes: dict[str, float] = {}
     for name in QUERY_SET:

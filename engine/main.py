@@ -140,6 +140,15 @@ def run(args) -> int:
     check_summary = summarize(results)
     logger.info("checks: %s", json.dumps(check_summary))
 
+    # append to the audit history (S8 parity: dq_validation_results)
+    from datetime import datetime
+
+    from .audit import write_results
+
+    run_id = datetime.now().strftime("%Y%m%d_%H%M%S")
+    audit_path = write_results(results, os.path.join(args.output, "_audit"), run_id)
+    logger.info("audit history: %s", audit_path)
+
     if args.report in ("all", "csv"):
         path = CSVReporter(args.report_dir).generate(results, check_summary)
         logger.info("csv report: %s", path)
