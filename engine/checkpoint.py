@@ -139,20 +139,26 @@ def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
     return out
 
 
-def _load_decisions(decisions_dir: str, pid: int) -> dict:
+def _joined_key(t: pa.Table) -> pa.Array:
+    """(repo, path, commit) -> one string key (vectorized)."""
+    k = pc.binary_join_element_wise(t["repo"], t["path"], "\x1f")
+    return pc.binary_join_element_wise(k, t["commit"], "\x1f")
+
+
+def _load_decisions(decisions_dir: str, pid: int):
+    """Partition decisions as (sorted_keys, flags) numpy arrays — probed
+    with vectorized searchsorted in the quality pass, no per-row dicts."""
+    import numpy as np
     import pyarrow.dataset as pads
 
     path = os.path.join(decisions_dir, f"pid={pid}")
     if not os.path.isdir(path):
-        return {}
+        return (np.array([], dtype=object), np.array([], dtype=bool))
     t = pads.dataset(path).to_table(columns=["repo", "path", "commit", "dup_flag"])
-    return {
-        (r, p, c): bool(f)
-        for r, p, c, f in zip(
-            t["repo"].to_pylist(), t["path"].to_pylist(),
-            t["commit"].to_pylist(), t["dup_flag"].to_pylist(),
-        )
-    }
+    keys = _joined_key(t).to_numpy(zero_copy_only=False)
+    flags = t["dup_flag"].to_numpy(zero_copy_only=False).astype(bool)
+    order = np.argsort(keys)
+    return keys[order], flags[order]
 
 
 # ---------------------------------------------------------------------------
@@ -161,17 +167,18 @@ def _load_decisions(decisions_dir: str, pid: int) -> dict:
 
 def _attach_decisions(decisions_ref):
     def fn(batch: pa.Table) -> pa.Table:
+        import numpy as np
         import ray
 
-        d = ray.get(decisions_ref)
-        flags = [
-            d.get((r, p, c), False)
-            for r, p, c in zip(
-                batch["repo"].to_pylist(), batch["path"].to_pylist(),
-                batch["commit"].to_pylist(),
-            )
-        ]
-        return batch.append_column("dup_flag", pa.array(flags, pa.bool_()))
+        keys, flags = ray.get(decisions_ref)
+        bk = _joined_key(batch).to_numpy(zero_copy_only=False)
+        if len(keys):
+            pos = np.clip(np.searchsorted(keys, bk), 0, len(keys) - 1)
+            hit = keys[pos] == bk
+            out = np.where(hit, flags[pos], False)
+        else:
+            out = np.zeros(len(bk), dtype=bool)
+        return batch.append_column("dup_flag", pa.array(out, pa.bool_()))
 
     return fn
 

@@ -140,3 +140,43 @@ def test_perplexity_separation(corpus_2k, models):
     ppl = b["ppl"].to_numpy()
     assert ppl[cls == "clean"].max() < corpus.MAX_PPL
     assert ppl[cls == "gibberish"].min() > corpus.MAX_PPL
+
+
+def test_unicode_content_robustness(models):
+    """Non-ASCII content flows through every stage without crashing and
+    with byte-consistent metrics (documented byte-level semantics)."""
+    import pyarrow as pa
+
+    texts = [
+        "def func():\n    return 'héllo wörld'\n",
+        "中文注释 # comment\nprint('日本語')\n" * 3,
+        "émoji 🎉 line\n" * 10,
+        "plain ascii line\n" * 5,
+    ]
+    tbl = pa.table({
+        "repo": ["r"] * 4, "path": [f"p{i}" for i in range(4)],
+        "commit": [f"c{i}" for i in range(4)],
+        "lang": ["python"] * 4,
+        "content": pa.array(texts, pa.large_string()),
+    })
+    b = _run_chain(tbl, models)
+    n_chars = b["n_chars"].to_pylist()
+    for i, t in enumerate(texts):
+        assert n_chars[i] == len(t.encode())  # byte-based by design
+    assert all(isinstance(p, str) for p in b["lang_pred"].to_pylist())
+    assert all(x >= 0 for x in b["ppl"].to_pylist())
+    # scrub must not corrupt multibyte sequences
+    for orig, scrubbed in zip(texts, b["content"].to_pylist()):
+        assert scrubbed == orig  # nothing to redact -> byte-identical
+
+
+def test_scrub_redacts_in_unicode_context():
+    import pyarrow as pa
+
+    from engine.stages.scrub import scrub_batch
+
+    t = pa.table({"content": pa.array(
+        ["日本語テキスト contact a@b.co おわり\n"], pa.large_string())})
+    out = scrub_batch(t)
+    assert out["content"][0].as_py() == "日本語テキスト contact <EMAIL> おわり\n"
+    assert out["email_redactions"][0].as_py() == 1
