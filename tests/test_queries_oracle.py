@@ -9,6 +9,7 @@ SF_DIR = "/root/testdata/sf0.001"
 
 
 def _pairs():
+    import engine.queries_ext  # noqa: F401  (registers the extended set)
     from engine.queries import ORACLE_SQL, QUERIES
 
     return sorted(ORACLE_SQL), QUERIES, ORACLE_SQL
