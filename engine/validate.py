@@ -53,6 +53,12 @@ def _run_count_rule(cat: TableCatalog, rule: dict) -> CheckResult:
     tc = rule.get("target_count")
     src = cat.load(rule["source_table"]) if sc is None else None
     tgt = cat.load(rule["target_table"]) if tc is None else None
+    # where_clause parity (CNT-004-style conditional counts): a Ray Data
+    # filter expression applied to both sides before counting
+    expr = rule.get("filter_expr")
+    if expr:
+        src = src.filter(expr=expr) if src is not None else None
+        tgt = tgt.filter(expr=expr) if tgt is not None else None
     return ck.count_check(src, tgt, threshold, rule=rule,
                           source_count=sc, target_count=tc)
 

@@ -182,3 +182,44 @@ def test_session_window_exact(ray_session):
                              gap_sec=1800).take_all()
     sess = {(r["user_id"], r["session_id"]): r["n_events"] for r in out}
     assert sess == {(1, 0): 2, (1, 1): 1, (2, 0): 1}
+
+
+def test_count_rule_filter_expr(ray_session):
+    """where_clause parity: conditional count compare (CNT-004 analogue)."""
+    rules = {"count": [{
+        "rule_id": "CNT-F", "description": "open orders only",
+        "source_table": "orders", "target_table": "orders",
+        "filter_expr": "o_orderstatus == 'O'", "threshold": 0.0,
+    }]}
+    results, _ = run_validation(SF_DIR, rules)
+    r = results[0]
+    assert r.status == CheckStatus.PASS  # same filtered table both sides
+    assert r.details["source_count"] == r.details["target_count"] > 0
+
+
+def test_pipeline_empty_input(ray_session):
+    """An empty corpus flows through the full pipeline without crashing."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from engine.pipelines.quality import quality_pipeline
+    from engine.schema import CORPUS_SCHEMA
+
+    empty = rd.from_arrow(CORPUS_SCHEMA.empty_table())
+    out = quality_pipeline(empty, num_buckets=4).materialize()
+    assert out.count() == 0
+
+
+def test_rows_only_queries_rerun_identical(ray_session):
+    """Every rows-only (no-oracle) query must return identical results on
+    a second call — the driver's weaker check still needs determinism."""
+    import pandas as pd
+
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    rows_only = [n for n in QUERIES if n not in ORACLE_SQL]
+    for name in rows_only:
+        a = QUERIES[name](SF_DIR).to_pandas()
+        b = QUERIES[name](SF_DIR).to_pandas()
+        pd.testing.assert_frame_equal(a, b), name
