@@ -694,3 +694,25 @@ def pricing_summary_lineitem(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(g.take_all()).select(
         ["l_returnflag", "l_linestatus", "sum_qty_cents",
          "sum_base_price_cents", "sum_disc_price_cents", "count_order"])
+
+
+@query("ivf_knn_embeddings")
+def ivf_knn_embeddings(sf_dir: str) -> pa.Table:
+    """ANN top-10 via IVF (k-means cells, nprobe=4) — the inverted-file
+    scale path alongside LSH; recall vs brute force asserted in tests."""
+    from .stages.similarity import build_ivf_index
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    index = build_ivf_index(ds, n_lists=16)
+    qvec = None
+    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
+        ids = b["vec_id"].to_pylist()
+        if 0 in ids:
+            qvec = np.asarray(b["embedding"].to_pylist()[ids.index(0)])
+            break
+    hits = index.query(qvec, k=10, nprobe=4)
+    return pa.table({
+        "vec_id": pa.array([h[0] for h in hits], pa.int64()),
+        "sim_x10k": pa.array([int(np.floor(h[1] * 10000 + 0.5)) for h in hits],
+                             pa.int64()),
+    })

@@ -137,6 +137,73 @@ class LSHIndex:
         return [(int(keys[i]), float(sims[i])) for i in order]
 
 
+class IVFIndex:
+    """Inverted-file ANN index: a deterministic k-means coarse quantizer
+    (fixed seed, fixed iterations — no RNG at query time) partitions
+    vectors into ``n_lists`` cells; queries scan only the ``nprobe``
+    nearest cells. The cell id is the natural partition key at cluster
+    scale (build = one groupby on cell; probe = read nprobe partitions).
+    """
+
+    def __init__(self, n_lists: int = 16, n_iter: int = 10, seed: int = 42):
+        self.n_lists = n_lists
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: Optional[np.ndarray] = None
+        self.lists: dict[int, list[tuple[int, np.ndarray]]] = {}
+
+    def fit(self, vecs: np.ndarray) -> None:
+        """Lloyd's k-means on unit vectors (cosine == dot after norm)."""
+        v = _normalize(vecs)
+        rng = np.random.Generator(np.random.PCG64(self.seed))
+        init = rng.choice(len(v), size=min(self.n_lists, len(v)), replace=False)
+        c = v[np.sort(init)].copy()
+        for _ in range(self.n_iter):
+            assign = np.argmax(v @ c.T, axis=1)
+            for j in range(len(c)):
+                members = v[assign == j]
+                if len(members):
+                    m = members.mean(axis=0)
+                    c[j] = m / max(np.linalg.norm(m), 1e-12)
+        self.centroids = c
+
+    def add(self, keys: np.ndarray, vecs: np.ndarray) -> None:
+        v = _normalize(vecs)
+        assign = np.argmax(v @ self.centroids.T, axis=1)
+        for key, a, vec in zip(keys, assign, v):
+            self.lists.setdefault(int(a), []).append((int(key), vec))
+
+    def query(self, vec: np.ndarray, k: int = 10, nprobe: int = 4):
+        v = _normalize(vec.reshape(1, -1))[0]
+        order = np.argsort(-(self.centroids @ v))[:nprobe]
+        cand: list[tuple[int, np.ndarray]] = []
+        for cell in order:
+            cand.extend(self.lists.get(int(cell), ()))
+        if not cand:
+            return []
+        keys = np.array([c[0] for c in cand])
+        mat = np.stack([c[1] for c in cand])
+        sims = mat @ v
+        top = np.lexsort((keys, -sims))[:k]
+        return [(int(keys[i]), float(sims[i])) for i in top]
+
+
+def build_ivf_index(ds, vec_col: str = "embedding", key_col: str = "vec_id",
+                    n_lists: int = 16, seed: int = 42) -> IVFIndex:
+    """Two streaming passes: fit the quantizer on the data (small sample
+    suffices at scale), then assign every vector to its cell."""
+    keys_all, vecs_all = [], []
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        keys_all.append(np.asarray(batch[key_col].to_pylist()))
+        vecs_all.append(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
+    keys = np.concatenate(keys_all)
+    vecs = np.vstack(vecs_all)
+    index = IVFIndex(n_lists=n_lists, seed=seed)
+    index.fit(vecs)
+    index.add(keys, vecs)
+    return index
+
+
 def build_lsh_index(ds, vec_col: str = "embedding", key_col: str = "vec_id",
                     n_planes: int = 12, seed: int = 42) -> LSHIndex:
     """Build the bucketed index from a Dataset (streaming batches)."""
