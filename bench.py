@@ -86,8 +86,12 @@ def run_headline(path: str, out_dir: str) -> float:
     warm = rd.read_parquet(path).limit(20_000)
     quality_pipeline(warm, num_buckets=64).count()
 
+    # ~1.5 blocks per CPU measured fastest (200 small blocks paid ~2.5x in
+    # per-block scheduling + sort-partition overhead at 32 CPUs); the 256
+    # input FILES are unchanged — the read coalesces them into fewer blocks
+    n_blocks = max(NUM_CPUS * 3 // 2, 8)
     t0 = time.time()
-    ds = rd.read_parquet(path)
+    ds = rd.read_parquet(path, override_num_blocks=n_blocks)
     out = quality_pipeline(ds, num_buckets=max(NUM_CPUS * 8, 256))
     out.write_parquet(out_dir)
     return time.time() - t0
