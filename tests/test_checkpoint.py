@@ -90,3 +90,38 @@ def test_checkpointed_matches_single_stream(ckpt_dirs):
     assert len(ck) == len(single)
     for path, keep, dup in ck:
         assert single[path] == (keep, dup), path
+
+
+def test_dedup_metadata_phase_resume(ray_session, tmp_path):
+    """Phase-A hashing is itself resumable: wiping one pid's metadata and
+    its marker recomputes only that pid; decisions stay identical."""
+    import glob
+
+    from engine import corpus
+    from engine.checkpoint import dedup_decisions, plan_partitions
+
+    in_dir = str(tmp_path / "in")
+    corpus.write_corpus(in_dir, 1000, num_blocks=4)
+    work = str(tmp_path / "work")
+    parts = plan_partitions(in_dir, 4)
+
+    d1 = dedup_decisions(parts, work)
+    before = sorted(glob.glob(f"{d1}/pid=*/**/*.parquet", recursive=True))
+    assert before
+
+    import duckdb
+
+    con = duckdb.connect()
+    snap1 = con.execute(
+        f"SELECT repo, path, commit, dup_flag FROM read_parquet('{d1}/pid=*/*.parquet') ORDER BY path"
+    ).fetchall()
+
+    # wipe pid 2's metadata + marker AND the committed decisions; re-run
+    shutil.rmtree(f"{work}/_dedupmeta/pid=2")
+    os.remove(f"{work}/_dedupmeta/.done-2")
+    shutil.rmtree(d1)
+    d2 = dedup_decisions(parts, work)
+    snap2 = con.execute(
+        f"SELECT repo, path, commit, dup_flag FROM read_parquet('{d2}/pid=*/*.parquet') ORDER BY path"
+    ).fetchall()
+    assert snap1 == snap2

@@ -180,3 +180,19 @@ def test_scrub_redacts_in_unicode_context():
     out = scrub_batch(t)
     assert out["content"][0].as_py() == "日本語テキスト contact <EMAIL> おわり\n"
     assert out["email_redactions"][0].as_py() == 1
+
+
+def test_unknown_lang_rule(models):
+    """A lang label outside the model's label set -> unknown_lang drop
+    (the FK/allowed-values referential rule, SURVEY §7.1)."""
+    import pyarrow as pa
+
+    tbl = pa.table({
+        "repo": ["r"], "path": ["p"], "commit": ["c"],
+        "lang": ["cobol"],
+        "content": pa.array(["some perfectly fine text content here\n"],
+                            pa.large_string()),
+    })
+    b = _run_chain(tbl, models)
+    assert b["keep"][0].as_py() is False
+    assert "unknown_lang" in b["drop_reasons"][0].as_py()
