@@ -716,3 +716,35 @@ def ivf_knn_embeddings(sf_dir: str) -> pa.Table:
         "sim_x10k": pa.array([int(np.floor(h[1] * 10000 + 0.5)) for h in hits],
                              pa.int64()),
     })
+
+
+@query(
+    "top_sources_documents",
+    """
+    SELECT source, count(*) AS doc_count
+    FROM documents GROUP BY source
+    ORDER BY doc_count DESC, source LIMIT 5
+    """,
+)
+def top_sources_documents(sf_dir: str) -> pa.Table:
+    """Heavy-hitter profile (skew diagnosis input): exact top-k groups."""
+    from ray.data.aggregate import Count
+
+    g = (
+        _t(sf_dir, "documents", ["source"])
+        .groupby("source").aggregate(Count(alias_name="doc_count"))
+        .sort(["doc_count", "source"], descending=[True, False])
+        .limit(5)
+    )
+    return pa.Table.from_pylist(g.take_all()).select(["source", "doc_count"])
+
+
+@query("approx_distinct_orderkeys")
+def approx_distinct_orderkeys(sf_dir: str) -> pa.Table:
+    """HLL approximate COUNT(DISTINCT l_orderkey): mergeable per-batch
+    sketches, one streaming pass, no shuffle (stages/sketches.py).
+    Rows-only (approximate by design); accuracy asserted in tests."""
+    from .stages.sketches import approx_distinct
+
+    est = approx_distinct(_t(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey")
+    return _row(approx_distinct=int(est))

@@ -267,3 +267,45 @@ def test_ivf_deterministic(ray_session):
     a = build_ivf_index(ds, n_lists=16).query(q, k=10, nprobe=4)
     b = build_ivf_index(ds, n_lists=16).query(q, k=10, nprobe=4)
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# sketches
+# ---------------------------------------------------------------------------
+
+def test_hll_accuracy_ints(ray_session):
+    import ray.data as rd
+
+    from engine.stages.sketches import approx_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/lineitem.parquet",
+                         columns=["l_orderkey"])
+    exact = len(ds.unique("l_orderkey"))
+    est = approx_distinct(ds, "l_orderkey")
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_hll_accuracy_strings(ray_session):
+    import ray.data as rd
+
+    from engine.stages.sketches import approx_distinct
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["text"])
+    exact = 500  # all distinct at sf0.001
+    est = approx_distinct(ds, "text")
+    assert abs(est - exact) / exact < 0.08, est
+
+
+def test_hll_merge_equals_single_pass():
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.stages.sketches import hll_estimate, hll_merge, hll_partial
+
+    vals = [f"key-{i}" for i in range(10000)]
+    full = hll_partial(pa.array(vals))
+    merged = hll_merge([hll_partial(pa.array(vals[:3000])),
+                        hll_partial(pa.array(vals[3000:]))])
+    assert (full == merged).all()  # mergeability is exact, not approximate
+    assert abs(hll_estimate(full) - 10000) / 10000 < 0.05
