@@ -66,3 +66,36 @@ def test_dedup_keeps_exactly_one_per_group(ray_session, corpus_2k):
     groups = t[t.content.notna()].groupby("content")
     for _, g in groups:
         assert (~g.dup).sum() == 1  # exactly one keeper per content group
+
+
+def test_dedup_pathological_skew(ray_session):
+    """50% of all rows share ONE content hash (monster group). The
+    in-batch pre-dedup caps shuffle-side group size at <= n_blocks and
+    exactly one global winner survives — the giant-repo/skew claim of
+    docs/SCALE.md made concrete."""
+    import time
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    n = 40000
+    texts = ["THE ONE HOT CONTENT\n" * 20 if i % 2 == 0
+             else f"unique content {i}\n" * 5 for i in range(n)]
+    tbl = pa.table({
+        "repo": [f"r{i % 7}" for i in range(n)],
+        "path": [f"p{i:06d}" for i in range(n)],
+        "commit": [f"c{i:06d}" for i in range(n)],
+        "lang": ["text"] * n,
+        "content": pa.array(texts, pa.large_string()),
+    })
+    ds = rd.from_arrow(add_metrics(tbl)).repartition(16)
+    t0 = time.time()
+    out = mark_duplicates(ds, num_buckets=32)
+    rows = out.select_columns(["path", "dup_flag"]).take_all()
+    dt = time.time() - t0
+    flags = {r["path"]: r["dup_flag"] for r in rows}
+    hot_keepers = [p for p, f in flags.items()
+                   if not f and int(p[1:]) % 2 == 0]
+    assert hot_keepers == ["p000000"]  # min (repo,path,commit) = r0/p000000
+    assert sum(not f for f in flags.values()) == 1 + n // 2  # 1 hot + uniques
+    assert dt < 60, dt  # no blowup on the monster group
