@@ -748,3 +748,32 @@ def approx_distinct_orderkeys(sf_dir: str) -> pa.Table:
 
     est = approx_distinct(_t(sf_dir, "lineitem", ["l_orderkey"]), "l_orderkey")
     return _row(approx_distinct=int(est))
+
+
+@query(
+    "value_percentiles_events",
+    """
+    SELECT CAST(floor(quantile_cont(value, 0.25) * 100 + 0.5) AS BIGINT) AS p25_cents,
+           CAST(floor(quantile_cont(value, 0.50) * 100 + 0.5) AS BIGINT) AS p50_cents,
+           CAST(floor(quantile_cont(value, 0.75) * 100 + 0.5) AS BIGINT) AS p75_cents,
+           CAST(floor(quantile_cont(value, 0.95) * 100 + 0.5) AS BIGINT) AS p95_cents
+    FROM events
+    """,
+)
+def value_percentiles_events(sf_dir: str) -> pa.Table:
+    """Percentile profile via the Quantile aggregate (linear
+    interpolation — verified to match quantile_cont to 1e-9; emitted as
+    cents so last-ulp interpolation noise can't flip the hash)."""
+    import math
+
+    from ray.data.aggregate import Quantile
+
+    ds = _t(sf_dir, "events", ["value"])
+    out = ds.aggregate(
+        Quantile("value", q=0.25, alias_name="p25"),
+        Quantile("value", q=0.50, alias_name="p50"),
+        Quantile("value", q=0.75, alias_name="p75"),
+        Quantile("value", q=0.95, alias_name="p95"),
+    )
+    return _row(**{f"{k}_cents": int(math.floor(out[k] * 100 + 0.5))
+                   for k in ["p25", "p50", "p75", "p95"]})
