@@ -2,8 +2,6 @@
 
 import os
 
-import pytest
-
 from engine.audit import CheckResult, CheckStatus, summarize
 from engine.report import CSVReporter, HTMLReporter
 from engine.rules import load_rules, quality_thresholds

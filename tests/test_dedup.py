@@ -3,7 +3,6 @@ at two parallelism layouts (SURVEY.md §7.4.4 — "first" must be the min
 (repo,path,commit) tiebreak, never arrival order)."""
 
 import duckdb
-import numpy as np
 import pyarrow as pa
 
 from engine import corpus
