@@ -58,6 +58,15 @@ def plan_partitions(input_dir: str, n_parts: int = 16) -> list[list[str]]:
     return [files[i::n_parts] for i in range(n_parts)]
 
 
+def _blocks_hint(n_files: int) -> int:
+    """~1.5 blocks per CPU (measured 2.5x faster than many small blocks),
+    bounded by file count so tiny partitions aren't over-split."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(min(cpus * 3 // 2, n_files), 1)
+
+
 def _rules_hash(thresholds: Optional[dict]) -> str:
     from . import corpus
 
@@ -113,7 +122,8 @@ def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
         done = os.path.join(meta_dir, f".done-{pid}")  # dot-file: invisible
         if os.path.exists(done):                       # to the parquet reader
             continue
-        ds = rd.read_parquet(files, columns=["repo", "path", "commit", "content"])
+        ds = rd.read_parquet(files, columns=["repo", "path", "commit", "content"],
+                             override_num_blocks=_blocks_hint(len(files)))
         meta = ds.map_batches(
             lambda b: add_metrics(b).select(
                 ["repo", "path", "commit", "content_sha256_pre"]),
@@ -246,7 +256,7 @@ def run_checkpointed(
         decisions = _load_decisions(decisions_dir, pid)
         dref = ray.put(decisions)
 
-        ds = rd.read_parquet(files)
+        ds = rd.read_parquet(files, override_num_blocks=_blocks_hint(len(files)))
         ds = quality_pipeline(
             ds, dedup=False, dup_flag_fn=_attach_decisions(dref),
             thresholds=thresholds,
