@@ -38,6 +38,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     q.add_argument("--config-dir", default=None)
     q.add_argument("--parts", type=int, default=16,
                    help="checkpoint partitions (resume granularity)")
+    q.add_argument("--overwrite", action="store_true",
+                   help="wipe the output dir first instead of resuming")
     q.add_argument("--num-cpus", type=int, default=None)
 
     v = sub.add_parser("validate",
@@ -115,8 +117,13 @@ def run(args) -> int:
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
+    import shutil
+
     from .audit import summarize
     from .checkpoint import run_checkpointed
+
+    if getattr(args, "overwrite", False):
+        shutil.rmtree(args.output, ignore_errors=True)
     from .pipelines.quality import audit_results
     from .report import CSVReporter, HTMLReporter
     from .rules import quality_thresholds

@@ -115,7 +115,7 @@ def corpus_from_documents(sf_dir: str):
 # Ray Data aggregates (reference's per-check result rows, SURVEY.md §7.1).
 # ---------------------------------------------------------------------------
 
-_AUDIT_RULES = [
+_DEFAULT_AUDIT_RULES = [
     # (rule_id, reason / metric, description, max_ratio for tri-state)
     ("QF-EMPTY", "empty_content", "empty or whitespace-only content", 0.02),
     ("QF-LANG-NULL", "missing_lang", "missing language label", 0.02),
@@ -128,6 +128,29 @@ _AUDIT_RULES = [
     ("QF-PPL", "high_perplexity", "perplexity above threshold", 0.03),
     ("QF-DUP", "duplicate", "exact-duplicate content (non-first copy)", 0.03),
 ]
+
+
+def _audit_rules(config_dir=None):
+    """Audit bands from config/rules/audit_rules.yml when present
+    (YAML-driven rule surface, ConfigLoader parity); built-ins otherwise."""
+    try:
+        from ..rules import load_rules
+
+        yaml_rules = load_rules(config_dir).get("audit", [])
+    except Exception:
+        yaml_rules = []
+    if not yaml_rules:
+        return list(_DEFAULT_AUDIT_RULES)
+    defaults = {rid: desc for rid, _, desc, _ in _DEFAULT_AUDIT_RULES}
+    return [
+        (r["rule_id"], r["reason"],
+         r.get("description", defaults.get(r["rule_id"], r["reason"])),
+         float(r.get("max_ratio", 0.0)))
+        for r in yaml_rules
+    ]
+
+
+_AUDIT_RULES = _audit_rules()
 
 
 def _audit_partials(batch: pa.Table) -> pa.Table:
