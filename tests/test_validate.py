@@ -223,3 +223,31 @@ def test_rows_only_queries_rerun_identical(ray_session):
         a = QUERIES[name](SF_DIR).to_pandas()
         b = QUERIES[name](SF_DIR).to_pandas()
         pd.testing.assert_frame_equal(a, b), name
+
+
+def test_salted_groupby_equals_plain(ray_session):
+    """Salted two-stage aggregation == plain groupby, exactly, on skewed
+    keys (one key holds 50% of rows)."""
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from engine.stages.aggregates import salted_groupby_agg
+
+    n = 20000
+    keys = ["hot" if i % 2 == 0 else f"k{i % 37}" for i in range(n)]
+    vals = [float((i * 7) % 1000) / 4 for i in range(n)]
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(8)
+
+    salted = salted_groupby_agg(ds, "k", [("v", "sum"), ("v", "count"),
+                                          ("v", "min"), ("v", "max")], n_salt=8)
+    plain = ds.groupby("k").aggregate(
+        Sum("v", alias_name="sum_v"), Count(alias_name="count_v"),
+        Min("v", alias_name="min_v"), Max("v", alias_name="max_v"))
+
+    a = {r["k"]: (round(r["sum_v"], 6), r["count_v"], r["min_v"], r["max_v"])
+         for r in salted.take_all()}
+    b = {r["k"]: (round(r["sum_v"], 6), r["count_v"], r["min_v"], r["max_v"])
+         for r in plain.take_all()}
+    assert a == b
+    assert a["hot"][1] == n // 2
