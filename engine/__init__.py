@@ -18,3 +18,24 @@ Nothing here calls ``ray.init()``; callers own the Ray session.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy convenience exports (keep `import engine` free of Ray imports)."""
+    if name == "quality_pipeline":
+        from .pipelines.quality import quality_pipeline
+
+        return quality_pipeline
+    if name == "run_validation":
+        from .validate import run_validation
+
+        return run_validation
+    if name == "run_checkpointed":
+        from .checkpoint import run_checkpointed
+
+        return run_checkpointed
+    if name == "CheckResult":
+        from .audit import CheckResult
+
+        return CheckResult
+    raise AttributeError(name)

@@ -82,6 +82,12 @@ def run_validate(args) -> int:
     rules = load_rules(args.config_dir)
     checks = args.checks.split(",") if args.checks else None
     results, summary = run_validation(args.tables, rules, checks)
+    from datetime import datetime
+
+    from .audit import write_results
+
+    run_id = datetime.now().strftime("%Y%m%d_%H%M%S")
+    write_results(results, os.path.join(args.report_dir, "_audit"), run_id)
     for r in results:
         logger.info("[%s] %s -> %s (%d/%d)", r.rule_id, r.check_type,
                     r.status.value, r.violation_count, r.total_rows)
