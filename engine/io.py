@@ -68,3 +68,45 @@ def write_corpus_parquet(ds, out_dir: str, *, min_rows_per_file: Optional[int] =
         kwargs["min_rows_per_file"] = min_rows_per_file
     ds.write_parquet(out_dir, **kwargs)
     return out_dir
+
+
+_EXT_LANG = {"py": "python", "js": "javascript", "c": "c", "h": "c",
+             "md": "markdown", "txt": "text"}
+
+
+def read_corpus_from_files(root_dir: str, repo: str | None = None):
+    """Ingest a raw source tree as corpus rows: one row per file,
+    ``lang`` inferred from the extension, ``commit`` = sha1 of the file
+    bytes (content-addressed identity — no VCS required).
+
+    Uses ``read_binary_files(include_paths=True)`` so ingestion is
+    file-parallel; decode + shaping happens vectorized per batch.
+    """
+    import hashlib
+    import os
+
+    import ray.data as rd
+
+    repo_name = repo or os.path.basename(os.path.abspath(root_dir))
+    ds = rd.read_binary_files(root_dir, include_paths=True)
+    prefix = os.path.abspath(root_dir) + os.sep
+
+    def shape(batch: pa.Table) -> pa.Table:
+        paths, langs, commits, contents = [], [], [], []
+        for path, data in zip(batch["path"].to_pylist(),
+                              batch["bytes"].to_pylist()):
+            rel = path[len(prefix):] if path.startswith(prefix) else path
+            ext = rel.rsplit(".", 1)[-1].lower() if "." in rel else ""
+            paths.append(rel)
+            langs.append(_EXT_LANG.get(ext))
+            commits.append(hashlib.sha1(data).hexdigest())
+            contents.append(data.decode("utf-8", errors="replace"))
+        return pa.table({
+            "repo": pa.array([repo_name] * batch.num_rows, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.large_string()),
+        })
+
+    return ds.map_batches(shape, batch_format="pyarrow")

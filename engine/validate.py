@@ -178,6 +178,16 @@ _DISPATCH = {
 }
 
 
+def register_check_type(name: str, runner) -> None:
+    """User-extension surface (reference: subclass BaseChecker,
+    docs/architecture.md:184-188): register a new check type whose YAML
+    rules (``<name>_rules:``) dispatch to ``runner(catalog, rule) ->
+    CheckResult``. Registered types run after the built-in chain."""
+    _DISPATCH[name] = runner
+    if name not in CHECK_ORDER:
+        CHECK_ORDER.append(name)
+
+
 def run_validation(
     tables_dir: str,
     rules_by_type: dict[str, list[dict]],

@@ -123,3 +123,55 @@ def test_read_corpus_missing_column_errors(ray_session, tmp_path):
 
     with pytest.raises(Exception):
         read_corpus(p).materialize()
+
+
+def test_read_corpus_from_files(ray_session, tmp_path):
+    """Raw source-tree ingestion: one corpus row per file, lang from
+    extension, content-addressed commit."""
+    src = tmp_path / "myrepo" / "src"
+    src.mkdir(parents=True)
+    (src / "a.py").write_text("def f():\n    return 1\n")
+    (src / "b.js").write_text("const x = 1;\n")
+    (src / "notes.txt").write_text("plain words here\n")
+    (src / "mystery.xyz").write_text("???\n")
+
+    from engine.io import read_corpus_from_files
+
+    ds = read_corpus_from_files(str(tmp_path / "myrepo"))
+    rows = {r["path"]: r for r in ds.take_all()}
+    assert len(rows) == 4
+    assert rows["src/a.py"]["lang"] == "python"
+    assert rows["src/b.js"]["lang"] == "javascript"
+    assert rows["src/mystery.xyz"]["lang"] is None
+    assert rows["src/a.py"]["content"].startswith("def f()")
+    import hashlib
+
+    assert rows["src/a.py"]["commit"] == hashlib.sha1(
+        (src / "a.py").read_bytes()).hexdigest()
+    # flows straight into the flagship pipeline
+    from engine.pipelines.quality import quality_pipeline
+
+    out = quality_pipeline(ds, num_buckets=4).materialize()
+    assert out.count() == 4
+
+
+def test_register_custom_check_type(ray_session):
+    """§2.10 extension surface: a new check type via register_check_type."""
+    from engine.audit import CheckStatus, make_result
+    from engine.validate import run_validation, register_check_type
+
+    def rowcount_parity(cat, rule):
+        n = cat.load(rule["table"]).count()
+        status = CheckStatus.PASS if n % 2 == rule.get("parity", 0) else CheckStatus.FAIL
+        return make_result(rule, "rowparity", status, total_rows=n)
+
+    register_check_type("rowparity", rowcount_parity)
+    rules = {"rowparity": [
+        {"rule_id": "RP-1", "description": "even rows", "table": "orders",
+         "parity": 0},
+    ]}
+    results, summary = run_validation("/root/testdata/sf0.001", rules,
+                                      checks=["rowparity"])
+    assert results[0].check_type == "rowparity"
+    assert results[0].status in (CheckStatus.PASS, CheckStatus.FAIL)
+    assert summary["total_checks"] == 1
