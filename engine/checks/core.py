@@ -35,15 +35,11 @@ def _rule(rule: Optional[dict], **defaults) -> dict:
 # NullChecker — src/checker/null_checker.py:36-118 (TS-2 empty-string mode)
 # ---------------------------------------------------------------------------
 
-def null_check(
-    ds,
-    column: str,
-    max_null_ratio: float = 0.0,
-    include_empty_string: bool = False,
-    rule: Optional[dict] = None,
-) -> CheckResult:
-    """NULL(-or-blank) ratio vs threshold; tri-state PASS/WARNING/FAIL."""
-    rule = _rule(rule, rule_id="NULL", description="null check", column=column)
+def null_builder(rule: dict):
+    """(partial, spec, finalize, columns) for the fused rule compiler."""
+    column = rule["column"]
+    include_empty_string = rule.get("include_empty_string", False)
+    max_null_ratio = rule.get("max_null_ratio", 0.0)
 
     def partial(batch: pa.Table) -> dict:
         col = batch[column]
@@ -54,23 +50,41 @@ def null_check(
             d["empty"] = int(pc.sum(pc.equal(trimmed, "").cast(pa.int64())).as_py() or 0)
         return d
 
-    agg = reduce_batches(ds, partial, {"total": "sum", "pure_null": "sum", "empty": "sum"})
-    total = int(agg["total"] or 0)
-    if total == 0:
-        return make_result(rule, "null", CheckStatus.WARNING,
-                           details={"message": "table is empty"})
-    null_count = int(agg["pure_null"] or 0) + int(agg["empty"] or 0)
-    ratio = null_count / total
-    details = {
-        "max_null_ratio": max_null_ratio,
-        "actual_null_ratio": round(ratio, 6),
-        "include_empty_string": include_empty_string,
-    }
-    if include_empty_string:
-        details["pure_null_count"] = int(agg["pure_null"] or 0)
-        details["empty_string_count"] = int(agg["empty"] or 0)
-    return make_result(rule, "null", threshold_status(ratio, max_null_ratio),
-                       total_rows=total, violation_count=null_count, details=details)
+    def finalize(agg: dict) -> CheckResult:
+        total = int(agg["total"] or 0)
+        if total == 0:
+            return make_result(rule, "null", CheckStatus.WARNING,
+                               details={"message": "table is empty"})
+        null_count = int(agg["pure_null"] or 0) + int(agg["empty"] or 0)
+        ratio = null_count / total
+        details = {
+            "max_null_ratio": max_null_ratio,
+            "actual_null_ratio": round(ratio, 6),
+            "include_empty_string": include_empty_string,
+        }
+        if include_empty_string:
+            details["pure_null_count"] = int(agg["pure_null"] or 0)
+            details["empty_string_count"] = int(agg["empty"] or 0)
+        return make_result(rule, "null", threshold_status(ratio, max_null_ratio),
+                           total_rows=total, violation_count=null_count,
+                           details=details)
+
+    return partial, {"total": "sum", "pure_null": "sum", "empty": "sum"}, finalize, [column]
+
+
+def null_check(
+    ds,
+    column: str,
+    max_null_ratio: float = 0.0,
+    include_empty_string: bool = False,
+    rule: Optional[dict] = None,
+) -> CheckResult:
+    """NULL(-or-blank) ratio vs threshold; tri-state PASS/WARNING/FAIL."""
+    rule = _rule(rule, rule_id="NULL", description="null check", column=column,
+                 max_null_ratio=max_null_ratio,
+                 include_empty_string=include_empty_string)
+    partial, spec, finalize, _ = null_builder(rule)
+    return finalize(reduce_batches(ds, partial, spec))
 
 
 # ---------------------------------------------------------------------------

@@ -192,23 +192,61 @@ def run_validation(
     tables_dir: str,
     rules_by_type: dict[str, list[dict]],
     checks: Optional[list[str]] = None,
+    fuse: bool = True,
 ) -> tuple[list[CheckResult], dict]:
     """Sequential checker chain with per-rule error isolation
     (main.py:117-152 + base_checker.py:127-135 parity).
 
+    ``fuse=True`` (default) compiles every fusable single-table rule into
+    one scan per table (checks/fused.py — the M17 rule compiler); result
+    *order* and semantics are identical to the per-rule path, which a
+    table-level failure falls back to (preserving per-rule ERROR rows).
+
     Returns ``(results, summary)`` exactly like the reference's
     ``run_validation``.
     """
+    from .checks import fused as fused_mod
+
     cat = TableCatalog(tables_dir)
     selected = checks or CHECK_ORDER
-    results: list[CheckResult] = []
+
+    ordered: list[tuple[int, str, dict]] = []
+    idx = 0
     for ctype in CHECK_ORDER:
         if ctype not in selected:
             continue
         for rule in rules_by_type.get(ctype, []):
-            try:
-                results.append(_DISPATCH[ctype](cat, rule))
-            except Exception as e:  # ERROR row, keep going
-                logger.error("[%s] %s failed: %s", rule.get("rule_id"), ctype, e)
-                results.append(make_error_result(rule, ctype, e))
+            ordered.append((idx, ctype, rule))
+            idx += 1
+
+    slots: dict[int, CheckResult] = {}
+    by_table: dict[str, list] = {}
+    singles: list[tuple[int, str, dict]] = []
+    for i, ctype, rule in ordered:
+        b = fused_mod.builder_for(ctype, rule, cat) if fuse else None
+        if b is not None and "table" in rule:
+            by_table.setdefault(rule["table"], []).append((i, ctype, rule, b))
+        else:
+            singles.append((i, ctype, rule))
+
+    for table, entries in by_table.items():
+        try:
+            for i, result in fused_mod.run_fused_table(cat, table, entries):
+                slots[i] = result
+        except Exception as e:
+            # fused scan failed (e.g. one rule names a bad column): fall
+            # back to per-rule execution so only the offending rule ERRORs
+            logger.warning("fused scan of %s failed (%s); per-rule fallback",
+                           table, e)
+            for i, ctype, rule, _ in entries:
+                singles.append((i, ctype, rule))
+
+    for i, ctype, rule in singles:
+        try:
+            slots[i] = _DISPATCH[ctype](cat, rule)
+        except Exception as e:  # ERROR row, keep going
+            logger.error("[%s] %s failed: %s", rule.get("rule_id"), ctype, e)
+            slots[i] = make_error_result(rule, ctype, e)
+
+    results = [slots[i] for i in sorted(slots)]
     return results, summarize(results)

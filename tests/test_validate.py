@@ -251,3 +251,35 @@ def test_salted_groupby_equals_plain(ray_session):
          for r in plain.take_all()}
     assert a == b
     assert a["hot"][1] == n // 2
+
+
+def test_fused_equals_individual(ray_session):
+    """The M17 rule compiler (one scan per table) must produce results
+    identical to the per-rule path — statuses, counts AND details —
+    across the full shipped ruleset."""
+    rules = load_rules()
+    fused, _ = run_validation(SF_DIR, rules, fuse=True)
+    plain, _ = run_validation(SF_DIR, rules, fuse=False)
+    assert len(fused) == len(plain)
+    for f, p in zip(fused, plain):
+        df, dp = f.to_dict(), p.to_dict()
+        df.pop("executed_at"), dp.pop("executed_at")
+        # sample_records ordering inside duplicate details may vary
+        if f.check_type == "duplicate":
+            df["details"] = dp["details"] = None
+        assert df == dp, (f.rule_id, df, dp)
+
+
+def test_fused_fallback_on_bad_column(ray_session):
+    """A bad rule inside a fused table scan must not poison its siblings:
+    the fallback gives the offending rule an ERROR row and the good rule
+    its real result."""
+    rules = {"null": [
+        {"rule_id": "BAD", "table": "orders", "column": "nope"},
+        {"rule_id": "GOOD", "table": "orders", "column": "o_totalprice"},
+    ]}
+    results, summary = run_validation(SF_DIR, rules, fuse=True)
+    by_id = {r.rule_id: r for r in results}
+    assert by_id["BAD"].status == CheckStatus.ERROR
+    assert by_id["GOOD"].status == CheckStatus.PASS
+    assert summary["errors"] == 1
