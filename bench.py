@@ -133,6 +133,14 @@ def main() -> None:
         QUERIES[name](SF_DIR)
         qtimes[name] = round(time.time() - t0, 3)
 
+    # rule-driven validation chain over the SF tables (fused rule compiler)
+    from engine.rules import load_rules
+    from engine.validate import run_validation
+
+    t0 = time.time()
+    _, vsummary = run_validation(SF_DIR, load_rules())
+    validate_sec = round(time.time() - t0, 3)
+
     result = {
         "metric": "corpus_filter_scrub_sec",
         "value": round(headline, 3),
@@ -142,6 +150,8 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
         "corpus_rows": n_rows,
         "files_per_sec": round(n_rows / headline, 1),
+        "validate_sec": validate_sec,
+        "validate_checks": vsummary["total_checks"],
     }
     ray.shutdown()
     print(json.dumps(result))
