@@ -6,8 +6,20 @@ here (or in the ``engine`` package) calls ``ray.init()``/``ray.shutdown()``.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
+
+# Driver-side insurance: make the engine package resolve even if this
+# module is loaded by file path (importlib spec) without the repo root on
+# sys.path. Note: Ray WORKER processes inherit their module search path
+# from the raylet started at ray.init — they find `engine` when the
+# driver ran from the repo root (the normal case) or with the repo on
+# PYTHONPATH at init time.
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
 
 
 def entry() -> Any:
