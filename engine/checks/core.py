@@ -494,29 +494,44 @@ def join_compare_check(
     anti-pattern)."""
     rule = _rule(rule, rule_id="TRF-JOIN", description="join compare")
 
-    s = src_ds.select_columns([join_key, compare_column]).rename_columns(
-        {compare_column: "src_value"}
-    )
-    t = tgt_ds.select_columns([join_key, compare_column]).rename_columns(
-        {compare_column: "tgt_value"}
-    )
+    def mark(ds, value_alias, marker):
+        def fn(batch: pa.Table) -> pa.Table:
+            # presence marker distinguishes "row missing after the outer
+            # join" from "row present with a NULL value" — the reference
+            # treats those differently (transform_checker.py:134-156:
+            # both-None -> ok, one-None -> mismatch, missing -> missing_*)
+            return pa.table({
+                join_key: batch[join_key],
+                value_alias: batch[compare_column],
+                marker: pa.array(np.ones(batch.num_rows, np.int8)),
+            })
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    s = mark(src_ds.select_columns([join_key, compare_column]), "src_value", "src_present")
+    t = mark(tgt_ds.select_columns([join_key, compare_column]), "tgt_value", "tgt_present")
     j = s.join(t, "full_outer", num_partitions=num_partitions,
                on=(join_key,), validate_schemas=True)
 
     def partial(batch: pa.Table) -> dict:
-        sv = batch["src_value"]
-        tv = batch["tgt_value"]
+        s_missing = pc.is_null(batch["src_present"]).to_numpy(zero_copy_only=False)
+        t_missing = pc.is_null(batch["tgt_present"]).to_numpy(zero_copy_only=False)
+        sv, tv = batch["src_value"], batch["tgt_value"]
         s_null = pc.is_null(sv).to_numpy(zero_copy_only=False)
         t_null = pc.is_null(tv).to_numpy(zero_copy_only=False)
         sa = pc.cast(pc.fill_null(sv, 0), pa.float64()).to_numpy()
         ta = pc.cast(pc.fill_null(tv, 0), pa.float64()).to_numpy()
-        both = (~s_null) & (~t_null)
-        mismatch = both & (np.abs(sa - ta) > tolerance)
+        both_rows = (~s_missing) & (~t_missing)
+        # both values NULL -> no mismatch; exactly one NULL -> mismatch;
+        # both present -> tolerance compare (transform_checker.py:144-156)
+        one_null = both_rows & (s_null ^ t_null)
+        both_vals = both_rows & ~s_null & ~t_null
+        value_mismatch = one_null | (both_vals & (np.abs(sa - ta) > tolerance))
         return {
             "total_keys": batch.num_rows,
-            "missing_in_target": int(t_null.sum() - (t_null & s_null).sum()),
-            "missing_in_source": int(s_null.sum() - (t_null & s_null).sum()),
-            "value_mismatch": int(mismatch.sum()),
+            "missing_in_target": int(t_missing.sum()),
+            "missing_in_source": int(s_missing.sum()),
+            "value_mismatch": int(value_mismatch.sum()),
         }
 
     agg = reduce_batches(

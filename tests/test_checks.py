@@ -180,3 +180,24 @@ def test_zero_source_guard():
     r = ck.count_check(empty, also_empty, threshold=0.0)
     assert r.status == CheckStatus.PASS  # 0 vs 0 -> diff_ratio 0.0
     assert r.details["diff_ratio"] == 0.0
+
+
+def test_join_compare_null_value_semantics(ray_session):
+    """Reference parity (transform_checker.py:134-156): both values NULL ->
+    no mismatch; one NULL -> mismatch; missing row -> missing_*, and a
+    present-but-NULL value is NOT a missing row."""
+    import ray.data as rd
+
+    src = rd.from_arrow(pa.table({
+        "k": [1, 2, 3, 4], "v": [10.0, None, None, 40.0]}))
+    tgt = rd.from_arrow(pa.table({
+        "k": [1, 2, 3, 5], "v": [10.0, None, 30.0, 50.0]}))
+    r = ck.join_compare_check(src, tgt, "k", "v", tolerance=0.0)
+    d = r.details
+    # k=1 equal; k=2 both NULL -> ok; k=3 one NULL -> mismatch;
+    # k=4 missing in target; k=5 missing in source
+    assert d["missing_in_target"] == 1
+    assert d["missing_in_source"] == 1
+    assert d["value_mismatches"] == 1
+    assert r.violation_count == 3
+    assert r.total_rows == 5
