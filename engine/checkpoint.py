@@ -88,6 +88,24 @@ def _rules_hash(thresholds: Optional[dict]) -> str:
 # Phase 1 — global dedup decision pass (metadata-only shuffle)
 # ---------------------------------------------------------------------------
 
+def _plan_hash(partitions: list[list[str]]) -> str:
+    """Hash of the file->partition plan: any change (files added/removed,
+    round-robin shifted) must invalidate cached dedup decisions."""
+    return hashlib.sha256(
+        json.dumps(partitions, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+def _marker_valid(path: str, expected: str) -> bool:
+    """True iff a marker file exists AND records the expected plan hash.
+    Round-1 markers contained 'ok' (no hash) — treated as stale."""
+    try:
+        with open(path) as fh:
+            return fh.read().strip() == expected
+    except OSError:
+        return False
+
+
 def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
     """Compute cross-partition duplicate verdicts; write them partitioned
     by input partition. Returns the decisions directory.
@@ -103,24 +121,39 @@ def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
        ``_dedupmeta/pid=N`` metadata rows (committed marker per pid);
     B. once: read all metadata (hive pid column recovered) ->
        mark_duplicates -> write ``_dedup`` partitioned by pid.
+
+    Every skip is validated against the current partition plan: the global
+    ``_SUCCESS`` marker records the full plan hash, each per-pid ``.done``
+    marker records that partition's file-list hash — adding input files
+    (which shifts the round-robin plan) invalidates exactly the stale parts.
     """
     import ray.data as rd
 
     from .stages.dedup import mark_duplicates
     from .stages.heuristics import add_metrics
 
+    plan_hash = _plan_hash(partitions)
     out = os.path.join(work_dir, "_dedup")
     marker = os.path.join(out, "_SUCCESS")
-    if os.path.exists(marker):
+    if _marker_valid(marker, plan_hash):
         return out
 
     # Phase A — per-partition hashing to metadata parquet (resumable)
     meta_dir = os.path.join(work_dir, "_dedupmeta")
     os.makedirs(meta_dir, exist_ok=True)
+    # drop metadata of partitions beyond the current plan (plan shrank)
+    for stale in os.listdir(meta_dir):
+        if stale.startswith("pid=") and int(stale[4:]) >= len(partitions):
+            shutil.rmtree(os.path.join(meta_dir, stale), ignore_errors=True)
+            try:
+                os.remove(os.path.join(meta_dir, f".done-{stale[4:]}"))
+            except OSError:
+                pass
     for pid, files in enumerate(partitions):
         pdir = os.path.join(meta_dir, f"pid={pid}")
         done = os.path.join(meta_dir, f".done-{pid}")  # dot-file: invisible
-        if os.path.exists(done):                       # to the parquet reader
+        files_hash = _plan_hash([files])               # to the parquet reader
+        if _marker_valid(done, files_hash) and os.path.isdir(pdir):
             continue
         ds = rd.read_parquet(files, columns=["repo", "path", "commit", "content"],
                              override_num_blocks=_blocks_hint(len(files)))
@@ -134,7 +167,7 @@ def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
         shutil.rmtree(pdir, ignore_errors=True)
         os.replace(tmp, pdir)
         with open(done, "w") as fh:
-            fh.write("ok")
+            fh.write(files_hash)
 
     # Phase B — one global metadata-only dedup shuffle
     tmp = out + ".tmp-" + uuid.uuid4().hex[:8]
@@ -145,7 +178,7 @@ def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
     shutil.rmtree(out, ignore_errors=True)
     os.replace(tmp, out)
     with open(marker, "w") as fh:
-        fh.write("ok")
+        fh.write(plan_hash)
     return out
 
 
@@ -248,8 +281,21 @@ def run_checkpointed(
         mpath = os.path.join(manifest_dir, f"part-{pid:05d}.json")
         part_dir = os.path.join(out_dir, f"part-{pid:05d}")
         if os.path.exists(mpath) and os.path.isdir(part_dir):
-            skipped.append(pid)
-            continue
+            # a committed manifest only counts if it was computed under the
+            # SAME rules and the SAME input files — otherwise a re-run with
+            # changed thresholds (or a shifted partition plan) would silently
+            # mix outputs across rule sets (resume-correctness guard)
+            try:
+                with open(mpath) as fh:
+                    prev = json.load(fh)
+                fresh = (prev.get("rules_hash") == rules_hash
+                         and prev.get("input_files") == files)
+            except (OSError, json.JSONDecodeError):
+                fresh = False
+            if fresh:
+                skipped.append(pid)
+                continue
+            os.remove(mpath)
         t0 = time.time()
         import ray
 

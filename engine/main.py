@@ -149,7 +149,7 @@ def run(args) -> int:
     verdict_ds = ray.data.read_parquet(
         sorted(glob.glob(os.path.join(args.output, "part-*", "*.parquet")))
     )
-    results = audit_results(verdict_ds)
+    results = audit_results(verdict_ds, config_dir=args.config_dir)
     check_summary = summarize(results)
     logger.info("checks: %s", json.dumps(check_summary))
 

@@ -150,16 +150,13 @@ def _audit_rules(config_dir=None):
     ]
 
 
-_AUDIT_RULES = _audit_rules()
-
-
-def _audit_partials(batch: pa.Table) -> pa.Table:
+def _audit_partials(batch: pa.Table, audit_rules) -> pa.Table:
     """Per-batch partial counters (combiner side of the audit aggregate)."""
     import numpy as np
 
     reasons = batch["drop_reasons"].to_pylist()
-    counts = {rid: 0 for rid, *_ in _AUDIT_RULES}
-    reason_to_rid = {reason: rid for rid, reason, *_ in _AUDIT_RULES}
+    counts = {rid: 0 for rid, *_ in audit_rules}
+    reason_to_rid = {reason: rid for rid, reason, *_ in audit_rules}
     for lst in reasons:
         for r in lst or ():
             rid = reason_to_rid.get(r)
@@ -187,20 +184,27 @@ def pc_sum(batch: pa.Table, col: str) -> int:
     return v or 0
 
 
-def audit_results(verdict_ds) -> list[CheckResult]:
-    """One streaming pass -> CheckResult list (partial counts + global sum)."""
+def audit_results(verdict_ds, config_dir=None) -> list[CheckResult]:
+    """One streaming pass -> CheckResult list (partial counts + global sum).
+
+    ``config_dir`` selects the audit-band YAML at run time (never cached at
+    import: a user-supplied --config-dir and live YAML edits must be honored).
+    """
     from ray.data.aggregate import Sum
 
-    partials = verdict_ds.map_batches(_audit_partials, batch_format="pyarrow")
+    audit_rules = _audit_rules(config_dir)
+    partials = verdict_ds.map_batches(
+        lambda b: _audit_partials(b, audit_rules), batch_format="pyarrow"
+    )
     cols = (
         ["total_rows", "kept_rows", "email_redactions", "key_redactions", "toxic_redactions"]
-        + [rid for rid, *_ in _AUDIT_RULES]
+        + [rid for rid, *_ in audit_rules]
     )
     totals = partials.aggregate(*[Sum(c, alias_name=c) for c in cols])
     total_rows = int(totals["total_rows"] or 0)
 
     results: list[CheckResult] = []
-    for rid, reason, desc, max_ratio in _AUDIT_RULES:
+    for rid, reason, desc, max_ratio in audit_rules:
         viol = int(totals[rid] or 0)
         ratio = viol / total_rows if total_rows else 0.0
         status = (

@@ -252,7 +252,18 @@ def simhash_neardup_pairs(
 ) -> list[tuple]:
     """Near-dup pairs within a Hamming radius via the 4x16-bit pigeonhole
     bucketing (any pair within radius 3 shares at least one exact 16-bit
-    quarter). Deterministic output order."""
+    quarter). Deterministic output order.
+
+    ``max_hamming`` must be <= 3: with 4 sub-keys the pigeonhole guarantee
+    breaks at radius 4 (the differing bits can span all four quarters), so
+    larger radii would silently miss qualifying pairs.
+    """
+    if max_hamming > 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the radius-3 recall "
+            "guarantee of 4x16-bit pigeonhole bucketing; use more sub-keys "
+            "or an all-pairs scan for larger radii"
+        )
     buckets: dict = {}
     for i, fp in enumerate(fingerprints):
         for q in range(4):

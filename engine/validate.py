@@ -223,7 +223,16 @@ def run_validation(
     by_table: dict[str, list] = {}
     singles: list[tuple[int, str, dict]] = []
     for i, ctype, rule in ordered:
-        b = fused_mod.builder_for(ctype, rule, cat) if fuse else None
+        # builder construction itself can fail (e.g. an FK builder eagerly
+        # loads a missing parent table): route such rules to the per-rule
+        # path, which has the ERROR-row handling — one bad rule must never
+        # abort the run (base_checker.py:127-135 per-rule isolation).
+        try:
+            b = fused_mod.builder_for(ctype, rule, cat) if fuse else None
+        except Exception as e:
+            logger.warning("[%s] fused builder failed (%s); per-rule path",
+                           rule.get("rule_id"), e)
+            b = None
         if b is not None and "table" in rule:
             by_table.setdefault(rule["table"], []).append((i, ctype, rule, b))
         else:

@@ -125,3 +125,58 @@ def test_dedup_metadata_phase_resume(ray_session, tmp_path):
         f"SELECT repo, path, commit, dup_flag FROM read_parquet('{d2}/pid=*/*.parquet') ORDER BY path"
     ).fetchall()
     assert snap1 == snap2
+
+
+def test_resume_invalidated_by_rules_change(ray_session, tmp_path):
+    """A committed manifest is only honored if it was produced under the
+    SAME rules_hash and input files — changed thresholds must recompute
+    every partition instead of silently mixing rule sets."""
+    from engine.checkpoint import run_checkpointed
+
+    in_dir = str(tmp_path / "in")
+    corpus.write_corpus(in_dir, 800, num_blocks=4)
+    out_dir = str(tmp_path / "out")
+
+    s1 = run_checkpointed(in_dir, out_dir, n_parts=2)
+    assert len(s1["computed"]) == 2
+
+    # same rules -> full skip
+    s2 = run_checkpointed(in_dir, out_dir, n_parts=2)
+    assert not s2["computed"]
+
+    # changed thresholds -> stale manifests invalidated, all recomputed
+    s3 = run_checkpointed(in_dir, out_dir, n_parts=2,
+                          thresholds={"min_chars": 5})
+    assert len(s3["computed"]) == 2 and not s3["skipped_committed"]
+    assert s3["rules_hash"] != s1["rules_hash"]
+
+
+def test_dedup_marker_invalidated_by_plan_change(ray_session, tmp_path):
+    """The dedup _SUCCESS marker records the partition-plan hash; adding an
+    input file (shifting the round-robin plan) must recompute decisions."""
+    import pyarrow.parquet as pq
+
+    from engine.checkpoint import dedup_decisions, plan_partitions
+
+    in_dir = str(tmp_path / "in")
+    corpus.write_corpus(in_dir, 400, num_blocks=4)
+    work = str(tmp_path / "work")
+
+    parts1 = plan_partitions(in_dir, 2)
+    dedup_decisions(parts1, work)
+
+    # add one more input file -> new plan -> marker must not be trusted
+    src = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(in_dir, src))
+    pq.write_table(t.slice(0, 10), os.path.join(in_dir, "zz-extra.parquet"))
+    parts2 = plan_partitions(in_dir, 2)
+    assert parts2 != parts1
+
+    d = dedup_decisions(parts2, work)
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{d}/pid=*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 410  # decisions cover the NEW plan, not the stale cached one

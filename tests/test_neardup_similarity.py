@@ -309,3 +309,16 @@ def test_hll_merge_equals_single_pass():
                         hll_partial(pa.array(vals[3000:]))])
     assert (full == merged).all()  # mergeability is exact, not approximate
     assert abs(hll_estimate(full) - 10000) / 10000 < 0.05
+
+
+def test_simhash_max_hamming_bound():
+    """4x16-bit pigeonhole bucketing only guarantees recall to radius 3:
+    larger radii must be rejected, not silently lossy."""
+    import numpy as np
+    import pytest
+
+    from engine.stages.neardup import simhash_neardup_pairs
+
+    fps = np.array([0, 0xF], dtype=np.uint64)
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_neardup_pairs([1, 2], fps, max_hamming=4)

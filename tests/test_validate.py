@@ -283,3 +283,21 @@ def test_fused_fallback_on_bad_column(ray_session):
     assert by_id["BAD"].status == CheckStatus.ERROR
     assert by_id["GOOD"].status == CheckStatus.PASS
     assert summary["errors"] == 1
+
+
+def test_fused_fk_missing_parent_isolated(ray_session):
+    """Fused mode: an FK rule whose parent table doesn't exist must produce
+    an ERROR row and keep the run going (the fused FK builder eagerly loads
+    the parent — its failure routes the rule to the per-rule path)."""
+    rules = {"range": [
+        {"rule_id": "FK-BAD", "check_type": "foreign_key", "table": "orders",
+         "column": "o_custkey", "parent_table": "no_such_table",
+         "parent_column": "nope"},
+        {"rule_id": "RNG-GOOD", "check_type": "range", "table": "lineitem",
+         "column": "l_quantity", "min_value": 0, "max_value": 60},
+    ]}
+    results, summary = run_validation(SF_DIR, rules, fuse=True)
+    by_id = {r.rule_id: r for r in results}
+    assert by_id["FK-BAD"].status == CheckStatus.ERROR
+    assert by_id["RNG-GOOD"].status == CheckStatus.PASS
+    assert summary["errors"] == 1
