@@ -6,11 +6,14 @@ Beyond the reference's exact GROUP-BY duplicate check
 RNG at score time):
 
 - **MinHash + LSH**: byte-shingle -> P permutation min-hashes -> band
-  buckets; candidate pairs from shared buckets; verified by signature
-  (or exact shingle) Jaccard; clusters via union-find over the verified
-  edge list. Pipeline shape: per-batch signatures (map_batches) ->
-  explode (band, band_hash, doc) rows -> ``groupby(band_hash)`` (the only
-  shuffle — bucket rows are tiny triples) -> per-bucket pair generation.
+  buckets; pairs generated AND signature-Jaccard-verified inside each
+  band bucket (signatures ride the band rows, so they are co-located by
+  construction); clusters via iterative min-label propagation (join +
+  groupby Min until fixed point). Pipeline shape: per-batch signatures
+  (map_batches) -> explode (band, band_hash, key, sig) rows ->
+  ``groupby(band, band_hash)`` (the only corpus-sized shuffle) ->
+  per-bucket verify -> edge Dataset -> label propagation. Nothing
+  corpus-sized ever reaches the driver.
 - **SimHash**: 64-bit sign fingerprint of hashed shingles; near-dups =
   fingerprints within a Hamming radius (bucketed by 16-bit sub-keys —
   the standard pigeonhole trick: radius<=3 implies one of 4 sub-keys
@@ -20,19 +23,23 @@ RNG at score time):
 - **Embedding cosine**: near-dup pairs above a cosine threshold via
   block matmul against a broadcast matrix (see similarity.py for ANN).
 
-Scale notes (documented partitioning assumptions): bucket rows are
-(band_hash, doc_key) — ~24 B each, so the LSH shuffle is metadata-sized;
-a hot bucket (many identical docs) degrades to exact-dup behaviour and is
-capped by pair_limit per bucket; union-find runs on the driver over
-VERIFIED edges only, which is valid while the verified-duplicate edge
-count fits driver memory — for larger edge sets swap in the iterative
-min-label-propagation (groupby) variant of the same clustering.
+Scale notes (documented partitioning assumptions): band rows carry the
+full signature (num_perm*8 bytes x bands copies) — bounded and
+content-independent, the price of single-shuffle in-bucket verification;
+a hot bucket (many identical docs) degrades to exact-dup behaviour: star
+edges from the bucket minimum are always checked (linear) and the
+remaining pairs are capped by pair_limit per bucket; clustering is the
+distributed min-label propagation over the VERIFIED edge Dataset — the
+driver never holds candidate pairs, signatures, or labels beyond the
+final (near-duplicate-set-sized) cluster listing that the convenience
+wrapper returns.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .textfeat import byte_view
 
@@ -112,28 +119,208 @@ def ngram_jaccard(text_a: str, text_b: str, k: int = _SHINGLE_K) -> float:
 
 
 def lsh_band_rows(
-    keys: list, sigs: np.ndarray, bands: int = 16
+    keys: pa.Array, sigs: np.ndarray, bands: int = 16
 ) -> pa.Table:
-    """Explode signatures to (band, band_hash, key) rows — the tiny
-    records that go through the LSH groupby shuffle."""
+    """Explode signatures to (band, band_hash, key, sig) rows — the records
+    that go through the LSH groupby shuffle. The full signature rides along
+    (fixed-size binary, num_perm*8 bytes) so the verify phase can run
+    INSIDE each bucket with no second pass over the corpus and no
+    driver-side signature map. Fully vectorized (no per-row Python)."""
     n, p = sigs.shape
     assert p % bands == 0
     r = p // bands
-    out_band, out_hash, out_key = [], [], []
     view = sigs.reshape(n, bands, r)
     # band hash: cheap mix of the r row-values
     mixed = np.zeros((n, bands), dtype=np.uint64)
     for j in range(r):
         mixed = mixed * np.uint64(1000003) + view[:, :, j]
-    for band in range(bands):
-        out_band.extend([band] * n)
-        out_hash.extend(mixed[:, band].tolist())
-        out_key.extend(keys)
+    sig_arr = pa.Array.from_buffers(
+        pa.binary(p * 8), n,
+        [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())],
+    )
+    parts = [
+        pa.table({
+            "band": pa.array(np.full(n, band, np.int32)),
+            "band_hash": pa.array(np.ascontiguousarray(mixed[:, band]), pa.uint64()),
+            "key": keys,
+            "sig": sig_arr,
+        })
+        for band in range(bands)
+    ]
+    return pa.concat_tables(parts)
+
+
+def _sigs_np(arr, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 view of a fixed-size-binary signature column."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    full = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    start = arr.offset * num_perm
+    return full[start : start + len(arr) * num_perm].reshape(len(arr), num_perm)
+
+
+def _bucket_verify(
+    group: pa.Table, num_perm: int, threshold: float, pair_limit: int
+) -> pa.Table:
+    """Per-bucket pair generation AND signature-Jaccard verification
+    (signatures are co-located by the band groupby). Emits only VERIFIED
+    edges. Star edges from the bucket minimum are always checked (linear in
+    bucket size — an exact-dup hot bucket stays fully connected under the
+    pair cap); the remaining i<j pairs are capped at ``pair_limit``.
+    Deterministic: bucket sorted by key first."""
+    n = group.num_rows
+    key_arr = group["key"]
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    empty = pa.table({"key_a": key_arr.slice(0, 0), "key_b": key_arr.slice(0, 0)})
+    if n < 2:
+        return empty
+    order = pc.sort_indices(key_arr)
+    keys = key_arr.take(order)
+    sigs = _sigs_np(group["sig"], num_perm)[order.to_numpy()]
+    ia: list[int] = []
+    ib: list[int] = []
+    frac0 = (sigs[1:] == sigs[0]).mean(axis=1)
+    hit0 = np.flatnonzero(frac0 >= threshold) + 1
+    ia.extend([0] * len(hit0))
+    ib.extend(hit0.tolist())
+    checked = 0
+    for i in range(1, n - 1):
+        if checked >= pair_limit:
+            break
+        frac = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+        hits = np.flatnonzero(frac >= threshold) + i + 1
+        ia.extend([i] * len(hits))
+        ib.extend(hits.tolist())
+        checked += n - 1 - i
+    if not ia:
+        return empty
     return pa.table({
-        "band": pa.array(out_band, pa.int32()),
-        "band_hash": pa.array(np.array(out_hash, dtype=np.uint64), pa.uint64()),
-        "key": pa.array(out_key),
+        "key_a": keys.take(pa.array(ia, pa.int64())),
+        "key_b": keys.take(pa.array(ib, pa.int64())),
     })
+
+
+def minhash_lsh_edges(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    pair_limit_per_bucket: int = 1000,
+):
+    """Dataset -> Dataset of verified near-dup edges (key_a, key_b).
+
+    One streaming signature pass, ONE shuffle (the band groupby), and
+    verification inside each bucket — nothing corpus-sized ever reaches
+    the driver. Edges may repeat across bands (harmless for the min-label
+    clustering, which is idempotent)."""
+    def sig_batch(batch: pa.Table) -> pa.Table:
+        sigs = minhash_signatures(batch[text_col], num_perm)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return lsh_band_rows(keys, sigs, bands)
+
+    band_rows = ds.map_batches(sig_batch, batch_format="pyarrow")
+    return band_rows.groupby(["band", "band_hash"]).map_groups(
+        lambda g: _bucket_verify(g, num_perm, jaccard_threshold,
+                                 pair_limit_per_bucket),
+        batch_format="pyarrow",
+    )
+
+
+def propagate_min_labels(edges, num_partitions: int = 16, max_iters: int = 30):
+    """Connected components over an edge Dataset via iterative min-label
+    propagation — the distributed replacement for driver union-find.
+
+    Each round every node takes the minimum label among itself and its
+    neighbors (join edges->labels, groupby key -> Min); converges in
+    O(max component diameter) rounds (near-dup clusters are shallow).
+    Returns a Dataset (key, label) covering every node incident to an
+    edge; label is the component minimum (the deterministic representative).
+    Only label/edge-sized data is ever materialized (object store, not
+    driver heap)."""
+    from ray.data.aggregate import Min
+
+    def _compact(ds, n_parts: int):
+        """Materialize with no schema-less empty blocks: Ray's groupby /
+        map_batches pass empty blocks through without a schema, and such
+        blocks break the pyarrow hash join downstream. Repartitioning to
+        <= row-count merges them away (each output block gets >= 1 row)."""
+        m = ds.materialize()
+        n = m.count()
+        return m.repartition(max(1, min(n_parts, n))).materialize()
+
+    def sym(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["key_a"], "dst": batch["key_b"]})
+        rev = pa.table({"src": batch["key_b"], "dst": batch["key_a"]})
+        return pa.concat_tables([fwd, rev])
+
+    adj = _compact(edges.map_batches(sym, batch_format="pyarrow"),
+                   num_partitions)
+
+    def init_lab(batch: pa.Table) -> pa.Table:
+        m = pc.min_element_wise(batch["src"], batch["dst"])
+        return pa.table({"key": batch["src"], "label": m})
+
+    labels = _compact(
+        adj.map_batches(init_lab, batch_format="pyarrow")
+        .groupby("key").aggregate(Min("label", alias_name="label")),
+        num_partitions,
+    )
+    if not labels.count():
+        return labels
+
+    for _ in range(max_iters):
+        lab_src = labels.map_batches(
+            lambda b: b.rename_columns(["src", "label"]), batch_format="pyarrow")
+        msgs = adj.join(lab_src, "inner", num_partitions=num_partitions,
+                        on=("src",))
+        cand = msgs.map_batches(
+            lambda b: pa.table({"key": b["dst"], "label": b["label"]}),
+            batch_format="pyarrow")
+        new_labels = _compact(
+            cand.union(labels)
+            .groupby("key").aggregate(Min("label", alias_name="label")),
+            num_partitions,
+        )
+        old = labels.map_batches(
+            lambda b: b.rename_columns(["key", "old_label"]),
+            batch_format="pyarrow")
+        diff = new_labels.join(old, "inner", num_partitions=num_partitions,
+                               on=("key",))
+
+        def count_changed(b: pa.Table) -> pa.Table:
+            ne = pc.not_equal(b["label"], b["old_label"])
+            return pa.table({"c": pa.array(
+                [int(pc.sum(pc.cast(ne, pa.int64())).as_py() or 0)], pa.int64())})
+
+        changed = diff.map_batches(count_changed, batch_format="pyarrow").sum("c")
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def minhash_lsh_labels(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    pair_limit_per_bucket: int = 1000,
+):
+    """Scale API: Dataset -> Dataset (key, label) of near-dup cluster
+    labels (label = cluster-minimum key). Keys with no near-dup are absent.
+    Fully distributed end to end — safe to write_parquet at any scale."""
+    edges = minhash_lsh_edges(
+        ds, text_col, key_col, num_perm, bands,
+        jaccard_threshold, pair_limit_per_bucket,
+    ).materialize()
+    return propagate_min_labels(edges)
 
 
 def minhash_lsh_dedup(
@@ -150,71 +337,19 @@ def minhash_lsh_dedup(
     Returns ``(clusters, rep_of)``: list of near-dup clusters (each a
     sorted list of keys, len >= 2) and a {key: representative} map where
     the representative is the cluster minimum (deterministic keep-first).
-    """
-    import ray.data as rd
-    from ray.data.aggregate import AggregateFn  # noqa: F401  (doc pointer)
 
-    def sig_batch(batch: pa.Table) -> pa.Table:
-        sigs = minhash_signatures(batch[text_col], num_perm)
-        return lsh_band_rows(batch[key_col].to_pylist(), sigs, bands)
-
-    band_rows = ds.map_batches(sig_batch, batch_format="pyarrow")
-
-    # the one shuffle: co-locate equal (band, band_hash)
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ks = sorted(group["key"].to_pylist())
-        pairs_a, pairs_b = [], []
-        limit = pair_limit_per_bucket
-        for i in range(len(ks)):
-            for j in range(i + 1, len(ks)):
-                if len(pairs_a) >= limit:
-                    break
-                pairs_a.append(ks[i])
-                pairs_b.append(ks[j])
-        return pa.table({"key_a": pa.array(pairs_a), "key_b": pa.array(pairs_b)})
-
-    candidates = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
+    Convenience wrapper over :func:`minhash_lsh_labels`: only the final
+    (key, label) rows — the *near-duplicate set*, not the corpus — are
+    pulled to the driver to build the Python return value. Use
+    ``minhash_lsh_labels`` directly when even that set is large."""
+    labels = minhash_lsh_labels(
+        ds, text_col, key_col, num_perm, bands,
+        jaccard_threshold, pair_limit_per_bucket,
     )
-    cand_pairs = {
-        (r["key_a"], r["key_b"]) for r in candidates.take_all()
-    }
-    if not cand_pairs:
-        return [], {}
-
-    # verify by signature Jaccard (exact ngram_jaccard is the stricter
-    # alternative; signature agreement estimates it unbiasedly)
-    sig_map: dict = {}
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        sigs = minhash_signatures(batch[text_col], num_perm)
-        for key, s in zip(batch[key_col].to_pylist(), sigs):
-            sig_map[key] = s
-    edges = [
-        (x, y) for x, y in cand_pairs
-        if signature_jaccard(sig_map[x], sig_map[y]) >= jaccard_threshold
-    ]
-
-    # union-find over VERIFIED edges (small by construction; see module doc)
-    parent: dict = {}
-
-    def find(x):
-        while parent.setdefault(x, x) != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for x, y in edges:
-        rx, ry = find(x), find(y)
-        if rx != ry:
-            lo, hi = sorted((rx, ry))
-            parent[hi] = lo
     clusters_map: dict = {}
-    for k in parent:
-        clusters_map.setdefault(find(k), set()).add(k)
-    clusters = sorted(
-        sorted(c) for c in clusters_map.values() if len(c) >= 2
-    )
+    for r in labels.take_all():
+        clusters_map.setdefault(r["label"], []).append(r["key"])
+    clusters = sorted(sorted(c) for c in clusters_map.values() if len(c) >= 2)
     rep_of = {k: c[0] for c in clusters for k in c}
     return clusters, rep_of
 

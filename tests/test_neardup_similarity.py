@@ -322,3 +322,32 @@ def test_simhash_max_hamming_bound():
     fps = np.array([0, 0xF], dtype=np.uint64)
     with pytest.raises(ValueError, match="max_hamming"):
         simhash_neardup_pairs([1, 2], fps, max_hamming=4)
+
+
+def test_minhash_lsh_hot_bucket_linear(ray_session):
+    """An exact-dup hot bucket (one content repeated 5000x — every band
+    hashes it to the same bucket) must stay linear: star edges keep the
+    cluster fully connected while the quadratic pair space is capped, and
+    nothing corpus-sized is pulled to the driver (the verify phase runs
+    inside the bucket map_groups by construction)."""
+    import ray.data as rd
+
+    from engine.stages.neardup import minhash_lsh_edges, minhash_lsh_dedup
+
+    n_hot, bands, limit = 5000, 16, 1000
+    rows = [{"doc_id": i, "text": "the exact same hot content " * 8}
+            for i in range(n_hot)]
+    rows += [{"doc_id": n_hot + i, "text": f"unique filler document {i} " * 6}
+             for i in range(50)]
+    ds = rd.from_items(rows).repartition(8)
+
+    edges = minhash_lsh_edges(ds, pair_limit_per_bucket=limit).materialize()
+    # linear bound: per band-bucket (n-1) star edges + `limit` checked
+    # pairs (+ one iteration of overshoot, <= n-2) — never the ~12.5M
+    # pair quadratic blowup
+    assert edges.count() <= bands * (2 * (n_hot - 1) + limit)
+
+    clusters, rep_of = minhash_lsh_dedup(ds, pair_limit_per_bucket=limit)
+    hot = [c for c in clusters if 0 in c]
+    assert len(hot) == 1 and len(hot[0]) == n_hot  # fully connected via stars
+    assert rep_of[n_hot - 1] == 0
