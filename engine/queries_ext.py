@@ -342,17 +342,17 @@ def simhash_documents(sf_dir: str) -> pa.Table:
 
 @query("embedding_neardup_pairs")
 def embedding_neardup_pairs_q(sf_dir: str) -> pa.Table:
-    from .stages.neardup import embedding_neardup_pairs
+    """Distributed near-dup pairs: LSH-bucketed, all-pairs cosine only
+    inside each bucket (stages/neardup.py embedding_neardup_edges) —
+    never a whole-set matmul, never driver-side vector collection."""
+    from .stages.neardup import embedding_neardup_edges
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    keys, vecs = [], []
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        keys.extend(b["vec_id"].to_pylist())
-        vecs.extend(b["embedding"].to_pylist())
-    pairs = embedding_neardup_pairs(keys, np.asarray(vecs), threshold=0.95)
+    edges = embedding_neardup_edges(ds, threshold=0.95)
+    rows = sorted((r["key_a"], r["key_b"]) for r in edges.take_all())
     return pa.table({
-        "vec_a": pa.array([p[0] for p in pairs], pa.int64()),
-        "vec_b": pa.array([p[1] for p in pairs], pa.int64()),
+        "vec_a": pa.array([p[0] for p in rows], pa.int64()),
+        "vec_b": pa.array([p[1] for p in rows], pa.int64()),
     })
 
 
@@ -777,3 +777,143 @@ def value_percentiles_events(sf_dir: str) -> pa.Table:
     )
     return _row(**{f"{k}_cents": int(math.floor(out[k] * 100 + 0.5))
                    for k in ["p25", "p50", "p75", "p95"]})
+
+
+# ===========================================================================
+# M11 / J9 / A13 driver-visible oracle queries (VERDICT round-1 gap #4/#8)
+# ===========================================================================
+
+@query(
+    "ssn_mask_format_customer_name",
+    """
+    WITH m AS (
+      SELECT CASE WHEN c_custkey % 10 = 0 THEN c_name
+                  ELSE substring(c_name, 1, 7) || '*******' END AS masked
+      FROM customer
+    )
+    SELECT count(*) FILTER (WHERE masked IS NOT NULL) AS total_rows,
+           count(*) FILTER (WHERE masked IS NOT NULL AND
+                (length(masked) != 14 OR substring(masked, 8) != '*******'))
+               AS violation_count,
+           CASE WHEN count(*) FILTER (WHERE masked IS NOT NULL AND
+                (length(masked) != 14 OR substring(masked, 8) != '*******')) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM m
+    """,
+)
+def ssn_mask_format_customer_name(sf_dir: str) -> pa.Table:
+    """M11 SSN mask mode (masking_checker.py:71-80): length==14 AND
+    substring(8..)=='*******'. The masked column is derived in-pipeline
+    (every 10th row deliberately left unmasked — planted violations) and
+    validated with mask_format_check; the oracle mirrors the derivation
+    and both predicates."""
+    from .checks import mask_format_check
+
+    def mask(batch: pa.Table) -> pa.Table:
+        key = batch["c_custkey"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        name = batch["c_name"]
+        masked = pc.binary_join_element_wise(
+            pc.utf8_slice_codeunits(name, 0, 7), "*******", "")
+        unmasked = pa.array(
+            key.to_numpy(zero_copy_only=False) % 10 == 0)
+        return pa.table({"masked": pc.if_else(unmasked, name, masked)})
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"]).map_batches(
+        mask, batch_format="pyarrow")
+    r = mask_format_check(ds, "masked", expected_start=8,
+                          expected_value="*******", expected_length=14)
+    return _row(total_rows=r.total_rows, violation_count=r.violation_count,
+                status=r.status.value)
+
+
+@query(
+    "hierarchy_cycle_supplier",
+    """
+    WITH RECURSIVE walk(id, cur, depth) AS (
+        SELECT s_suppkey, s_nationkey, 0 FROM supplier
+      UNION ALL
+        SELECT w.id, s.s_nationkey, w.depth + 1
+        FROM walk w JOIN supplier s ON s.s_suppkey = w.cur
+        WHERE w.depth < 100
+    ),
+    reached AS (
+      SELECT DISTINCT id FROM walk
+      WHERE cur IS NULL OR cur NOT IN (SELECT s_suppkey FROM supplier)
+    )
+    SELECT count(*) AS total_rows,
+           count(*) FILTER (WHERE s_suppkey NOT IN (SELECT id FROM reached))
+               AS violation_count,
+           CASE WHEN count(*) FILTER (
+                    WHERE s_suppkey NOT IN (SELECT id FROM reached)) = 0
+                THEN 'PASS' ELSE 'FAIL' END AS status
+    FROM supplier
+    """,
+)
+def hierarchy_cycle_supplier(sf_dir: str) -> pa.Table:
+    """J9 recursive hierarchy/cycle walk (checks/check_foreign_key.sql:
+    85-119) over the synthetic hierarchy id=s_suppkey, parent=s_nationkey:
+    a node violates if it never reaches a root (null/dangling parent)
+    within max_depth steps — cycles included. Oracle: the equivalent
+    recursive CTE."""
+    from .checks import hierarchy_cycle_check
+
+    r = hierarchy_cycle_check(
+        _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]),
+        "s_suppkey", "s_nationkey", max_depth=100)
+    return _row(total_rows=r.total_rows, violation_count=r.violation_count,
+                status=r.status.value)
+
+
+@query(
+    "validation_summary_chain",
+    """
+    WITH statuses AS (
+      SELECT CASE WHEN count(*) FILTER (WHERE o_totalprice IS NULL) = 0
+                  THEN 'PASS' ELSE 'FAIL' END AS st FROM orders
+      UNION ALL
+      SELECT CASE WHEN count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) = 0
+                  THEN 'PASS' ELSE 'FAIL' END FROM lineitem
+      UNION ALL
+      SELECT CASE WHEN count(*) FILTER (WHERE o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O', 'F')) = 0
+                  THEN 'PASS' ELSE 'FAIL' END FROM orders
+      UNION ALL
+      SELECT CASE WHEN COALESCE((SELECT sum(cnt - 1) FROM (
+                       SELECT count(*) AS cnt FROM customer
+                       WHERE c_mktsegment IS NOT NULL
+                       GROUP BY c_mktsegment HAVING count(*) > 1)), 0) = 0
+                  THEN 'PASS' ELSE 'FAIL' END
+    )
+    SELECT count(*) AS total_checks,
+           count(*) FILTER (WHERE st = 'PASS') AS passed,
+           count(*) FILTER (WHERE st = 'FAIL') AS failed,
+           count(*) FILTER (WHERE st = 'WARNING') AS warnings,
+           count(*) FILTER (WHERE st = 'ERROR') AS errors
+    FROM statuses
+    """,
+)
+def validation_summary_chain(sf_dir: str) -> pa.Table:
+    """A13 summary reduction (main.py:157-171 / base_checker.py:137-152):
+    run a fixed four-rule chain through run_validation and emit the
+    status-wise summary; the oracle recomputes every rule's status in SQL
+    and aggregates identically."""
+    from .validate import run_validation
+
+    rules = {
+        "null": [{"rule_id": "SUM-NULL", "table": "orders",
+                  "column": "o_totalprice"}],
+        "duplicate": [{"rule_id": "SUM-DUP", "table": "customer",
+                       "columns": ["c_mktsegment"]}],
+        "range": [
+            {"rule_id": "SUM-RNG", "table": "lineitem", "column": "l_quantity",
+             "check_type": "range", "min_value": 1, "max_value": 50},
+            {"rule_id": "SUM-ENUM", "table": "orders", "column": "o_orderstatus",
+             "check_type": "allowed_values", "allowed_values": ["O", "F"]},
+        ],
+    }
+    _, summary = run_validation(sf_dir, rules)
+    return _row(total_checks=summary["total_checks"],
+                passed=summary["passed"], failed=summary["failed"],
+                warnings=summary["warnings"], errors=summary["errors"])

@@ -28,11 +28,11 @@ Null keys (null content) never participate.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .sketches import _hash64_strings
 
 DEFAULT_NUM_BUCKETS = 256
 
@@ -41,12 +41,12 @@ TIEBREAK = ("repo", "path", "commit")
 
 
 def _stable_bucket_ids(arr: pa.Array, num_buckets: int) -> np.ndarray:
-    """Process-stable bucket id per string (crc32; nulls -> 0)."""
-    py = arr.to_pylist()
-    return np.array(
-        [0 if s is None else zlib.crc32(s.encode()) % num_buckets for s in py],
-        dtype=np.int64,
-    )
+    """Process-stable bucket id per string — the vectorized FNV/fmix64
+    hash over the Arrow byte view (sketches.py), no per-row Python on the
+    hot path. Nulls hash as "" (their bucket is irrelevant: null-key rows
+    are never dedup candidates and get the spread bucket)."""
+    h = _hash64_strings(arr)
+    return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
 def _first_of_key_mask(sorted_keys: pa.Array) -> np.ndarray:

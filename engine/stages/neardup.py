@@ -425,7 +425,11 @@ def simhash_neardup_pairs(
 def embedding_neardup_pairs(
     keys: list, vectors: np.ndarray, threshold: float = 0.95
 ) -> list[tuple]:
-    """All pairs with cosine >= threshold (block matmul; float64)."""
+    """All pairs with cosine >= threshold (block matmul; float64).
+
+    PER-BUCKET KERNEL ONLY: O(n^2) in its input size, so it must run on
+    LSH-bucketed candidate groups (see :func:`embedding_neardup_edges`),
+    never on a whole dataset."""
     v = vectors.astype(np.float64)
     norms = np.linalg.norm(v, axis=1, keepdims=True)
     v = v / np.maximum(norms, 1e-12)
@@ -436,3 +440,69 @@ def embedding_neardup_pairs(
         (keys[i], keys[j]) if keys[i] <= keys[j] else (keys[j], keys[i])
         for i, j in zip(iu[0][mask], iu[1][mask])
     )
+
+
+def embedding_neardup_edges(
+    ds,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_tables: int = 8,
+    n_planes: int = 8,
+    seed: int = 42,
+):
+    """Distributed embedding near-dup: the whole-set O(n^2) matmul becomes
+    a per-bucket kernel behind a sign-random-projection LSH partitioner.
+
+    ``n_tables`` independent hyperplane tables boost recall (a cosine>=0.95
+    pair collides in at least one of 8 8-plane tables w.p. ~0.99); ONE
+    groupby on (table, sig) co-locates each bucket; duplicate pair hits
+    across tables are deduplicated with a second (pair-sized) groupby.
+    Returns a Dataset (key_a, key_b)."""
+    from .similarity import LSHIndex, _normalize, _vecs_np
+
+    dim = len(ds.take(1)[0][vec_col])
+    plane_mats = [LSHIndex(dim, n_planes, seed + t).planes
+                  for t in range(n_tables)]
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = _normalize(_vecs_np(batch[vec_col]))
+        n = len(v)
+        parts = []
+        for t, planes in enumerate(plane_mats):
+            bits = (v @ planes.T) >= 0
+            sig = np.zeros(n, dtype=np.int64)
+            for b in range(n_planes):
+                sig |= bits[:, b].astype(np.int64) << b
+            parts.append(pa.table({
+                "table": pa.array(np.full(n, t, np.int32)),
+                "sig": pa.array(sig),
+                key_col: batch[key_col],
+                vec_col: batch[vec_col],
+            }))
+        return pa.concat_tables(parts)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        keys = group[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        empty = pa.table({"key_a": keys.slice(0, 0), "key_b": keys.slice(0, 0)})
+        if group.num_rows < 2:
+            return empty
+        pairs = embedding_neardup_pairs(
+            keys.to_pylist(), _vecs_np(group[vec_col]), threshold)
+        if not pairs:
+            return empty
+        return pa.table({
+            "key_a": pa.array([p[0] for p in pairs], keys.type),
+            "key_b": pa.array([p[1] for p in pairs], keys.type),
+        })
+
+    edges = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby(["table", "sig"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    # same pair can surface from several tables: keep one copy
+    return edges.groupby(["key_a", "key_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow")

@@ -47,24 +47,16 @@ def knn_brute_force(
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
         keys = np.asarray(batch[key_col].to_pylist())
-        mat = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        mat = _normalize(mat)
-        sims = qm @ mat.T  # (n_q, n_batch)
-        kk = min(k, sims.shape[1])
-        out_qi, out_key, out_sim = [], [], []
-        for qi in range(sims.shape[0]):
-            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
-            out_qi.extend([qi] * kk)
-            out_key.extend(keys[idx].tolist())
-            out_sim.extend(sims[qi][idx].tolist())
-        return pa.table({
-            "query_idx": pa.array(out_qi, pa.int32()),
-            "key": pa.array(out_key, pa.int64()),
-            "sim": pa.array(out_sim, pa.float64()),
-        })
+        mat = _normalize(_vecs_np(batch[vec_col]))
+        return _partial_topk_rows(keys, mat, qm, None, k)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").take_all()
     # driver merge: tiny (n_batches * n_q * k rows)
+    return _merge_partials(partials, k)
+
+
+def _merge_partials(partials, k: int) -> pa.Table:
+    """Tiny driver merge of per-batch partial top-k rows (n_batches*n_q*k)."""
     rows_by_q: dict[int, list] = {}
     for r in partials:
         rows_by_q.setdefault(r["query_idx"], []).append((r["key"], r["sim"]))
@@ -82,6 +74,116 @@ def knn_brute_force(
         "key": pa.array(out_key, pa.int64()),
         "sim": pa.array(out_sim, pa.float64()),
     })
+
+
+def _partial_topk_rows(keys: np.ndarray, mat: np.ndarray, qm: np.ndarray,
+                       keep_mask, k: int) -> pa.Table:
+    """Per-batch top-k against the query matrix, optionally restricted per
+    query by ``keep_mask`` (n_q, n_batch) — the cell/bucket pruning hook."""
+    sims = qm @ mat.T  # (n_q, n_batch)
+    if keep_mask is not None:
+        sims = np.where(keep_mask, sims, -np.inf)
+    out_qi, out_key, out_sim = [], [], []
+    for qi in range(sims.shape[0]):
+        row = sims[qi]
+        valid = np.flatnonzero(row > -np.inf)
+        kk = min(k, len(valid))
+        if not kk:
+            continue
+        idx = valid[np.argpartition(-row[valid], kk - 1)[:kk]]
+        out_qi.extend([qi] * kk)
+        out_key.extend(keys[idx].tolist())
+        out_sim.extend(row[idx].tolist())
+    return pa.table({
+        "query_idx": pa.array(out_qi, pa.int32()),
+        "key": pa.array(out_key, pa.int64()),
+        "sim": pa.array(out_sim, pa.float64()),
+    })
+
+
+def ivf_topk(
+    ds,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_lists: int = 16,
+    sample_size: int = 65536,
+    seed: int = 42,
+):
+    """Index-free IVF search — the 100-TB path: NO driver-resident inverted
+    lists. Centroids are fit on a bounded sample and broadcast; every batch
+    assigns its own rows to cells, keeps only rows in each query's nprobe
+    nearest cells, and emits partial top-k; the driver merges tiny partials.
+    Same candidates (hence same answer) as IVFIndex.query over a built
+    index."""
+    import ray
+
+    centroids = fit_centroids_sample(ds, vec_col, n_lists, sample_size, seed)
+    q = _normalize(np.asarray(query_vectors))
+    # (n_q, nprobe) probe cells per query
+    probe = np.argsort(-(q @ centroids.T), axis=1, kind="stable")[:, :nprobe]
+    ref = ray.put((centroids, q, probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c, qm, pr = ray.get(ref)
+        keys = np.asarray(batch[key_col].to_pylist())
+        mat = _normalize(_vecs_np(batch[vec_col]))
+        cell = np.argmax(mat @ c.T, axis=1)
+        keep = (pr[:, :, None] == cell[None, None, :]).any(axis=1)
+        return _partial_topk_rows(keys, mat, qm, keep, k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_partials(partials, k)
+
+
+def lsh_topk(
+    ds,
+    query_vectors: np.ndarray,
+    k: int = 10,
+    probe_bits: int = 2,
+    vec_col: str = "embedding",
+    key_col: str = "vec_id",
+    n_planes: int = 12,
+    seed: int = 42,
+):
+    """Index-free LSH search: each batch computes its own signatures and
+    keeps rows whose bucket is within ``probe_bits`` bit flips of each
+    query's bucket (multi-probe), then partial top-k + tiny driver merge.
+    Same candidates as LSHIndex.query over a built index."""
+    import ray
+
+    q = _normalize(np.atleast_2d(np.asarray(query_vectors, dtype=np.float64)))
+    dim = q.shape[1]
+    shared = LSHIndex(dim, n_planes, seed)
+    qsigs = shared._sig(q)
+    probe_sets = []
+    for s in qsigs:
+        sig = int(s)
+        probe = {sig}
+        if probe_bits >= 1:
+            probe |= {sig ^ (1 << b) for b in range(n_planes)}
+        if probe_bits >= 2:
+            probe |= {
+                sig ^ (1 << b1) ^ (1 << b2)
+                for b1 in range(n_planes)
+                for b2 in range(b1 + 1, n_planes)
+            }
+        probe_sets.append(np.fromiter(probe, dtype=np.int64))
+    ref = ray.put((q, probe_sets))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qm, probes = ray.get(ref)
+        idx = LSHIndex(dim, n_planes, seed)
+        keys = np.asarray(batch[key_col].to_pylist())
+        mat = _normalize(_vecs_np(batch[vec_col]))
+        sigs = idx._sig(mat)
+        keep = np.stack([np.isin(sigs, p) for p in probes])
+        return _partial_topk_rows(keys, mat, qm, keep, k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_partials(partials, k)
 
 
 class LSHIndex:
@@ -188,32 +290,120 @@ class IVFIndex:
         return [(int(keys[i]), float(sims[i])) for i in top]
 
 
-def build_ivf_index(ds, vec_col: str = "embedding", key_col: str = "vec_id",
-                    n_lists: int = 16, seed: int = 42) -> IVFIndex:
-    """Two streaming passes: fit the quantizer on the data (small sample
-    suffices at scale), then assign every vector to its cell."""
-    keys_all, vecs_all = [], []
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        keys_all.append(np.asarray(batch[key_col].to_pylist()))
-        vecs_all.append(np.asarray(batch[vec_col].to_pylist(), dtype=np.float64))
-    keys = np.concatenate(keys_all)
-    vecs = np.vstack(vecs_all)
+def _vecs_np(col) -> np.ndarray:
+    """(n, dim) float64 matrix from an Arrow list/fixed_size_list column —
+    zero-copy-ish reshape of the flat child values when widths are uniform
+    (the common embedding case); to_pylist fallback otherwise."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_fixed_size_list(t):
+        vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        start = col.offset * t.list_size
+        return vals[start : start + len(col) * t.list_size].reshape(
+            len(col), t.list_size)
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        offs = col.offsets.to_numpy()
+        widths = np.diff(offs)
+        if len(widths) and (widths == widths[0]).all():
+            vals = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+            return vals[offs[0] : offs[-1]].reshape(len(col), int(widths[0]))
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
+def fit_centroids_sample(ds, vec_col: str = "embedding", n_lists: int = 16,
+                         sample_size: int = 65536, seed: int = 42) -> np.ndarray:
+    """Fit the IVF coarse quantizer on a BOUNDED sample (first
+    ``sample_size`` rows in dataset order — deterministic), never the whole
+    dataset: at 100 TB the quantizer sees a fixed-size sample while cell
+    assignment streams over everything."""
+    sample = ds.limit(sample_size).take_all()
+    vecs = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
     index = IVFIndex(n_lists=n_lists, seed=seed)
     index.fit(vecs)
-    index.add(keys, vecs)
+    return index.centroids
+
+
+def _pack_groups(group: pa.Table, part_col: str, key_col: str,
+                 vec_col: str) -> pa.Table:
+    """One row per partition cell: (cell id, keys int64-list, normalized
+    vectors as a float64 binary blob) — the inverted list, built where the
+    groupby co-located it."""
+    cells = group[part_col]
+    if isinstance(cells, pa.ChunkedArray):
+        cells = cells.combine_chunks()
+    cell = cells[0].as_py()
+    keys = group[key_col]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    vecs = _normalize(_vecs_np(group[vec_col]))
+    return pa.table({
+        "cell": pa.array([cell], pa.int64()),
+        "keys": pa.array([keys.to_pylist()], pa.list_(pa.int64())),
+        "vecs": pa.array([vecs.tobytes()], pa.large_binary()),
+        "dim": pa.array([vecs.shape[1]], pa.int64()),
+    })
+
+
+def build_ivf_index(ds, vec_col: str = "embedding", key_col: str = "vec_id",
+                    n_lists: int = 16, seed: int = 42,
+                    sample_size: int = 65536) -> IVFIndex:
+    """Distributed IVF build: quantizer fit on a bounded sample, cell
+    assignment in ``map_batches`` (centroids broadcast once), inverted
+    lists assembled by ONE groupby on cell id — the driver only receives
+    the packed per-cell rows, never iterates raw batches."""
+    import ray
+
+    centroids = fit_centroids_sample(ds, vec_col, n_lists, sample_size, seed)
+    cref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        v = _normalize(_vecs_np(batch[vec_col]))
+        cell = np.argmax(v @ c.T, axis=1).astype(np.int64)
+        return pa.table({"cell": pa.array(cell), key_col: batch[key_col],
+                         vec_col: batch[vec_col]})
+
+    packed = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(lambda g: _pack_groups(g, "cell", key_col, vec_col),
+                    batch_format="pyarrow")
+    )
+    index = IVFIndex(n_lists=n_lists, seed=seed)
+    index.centroids = centroids
+    for row in packed.take_all():  # <= n_lists rows
+        vecs = np.frombuffer(row["vecs"], dtype=np.float64).reshape(
+            -1, row["dim"])
+        index.lists[int(row["cell"])] = list(zip(
+            (int(k) for k in row["keys"]), vecs))
     return index
 
 
 def build_lsh_index(ds, vec_col: str = "embedding", key_col: str = "vec_id",
                     n_planes: int = 12, seed: int = 42) -> LSHIndex:
-    """Build the bucketed index from a Dataset (streaming batches)."""
-    index: Optional[LSHIndex] = None
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
-        keys = np.asarray(batch[key_col].to_pylist())
-        if index is None:
-            index = LSHIndex(vecs.shape[1], n_planes, seed)
-        index.add(keys, vecs)
-    if index is None:
-        raise ValueError("empty dataset")
+    """Distributed LSH build: signatures in ``map_batches`` (planes are a
+    deterministic function of (dim, seed) — recomputed per task, nothing
+    shipped), buckets assembled by ONE groupby on the signature."""
+    dim = len(ds.take(1)[0][vec_col])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        idx = LSHIndex(dim, n_planes, seed)
+        v = _normalize(_vecs_np(batch[vec_col]))
+        sig = idx._sig(v)
+        return pa.table({"cell": pa.array(sig), key_col: batch[key_col],
+                         vec_col: batch[vec_col]})
+
+    packed = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("cell")
+        .map_groups(lambda g: _pack_groups(g, "cell", key_col, vec_col),
+                    batch_format="pyarrow")
+    )
+    index = LSHIndex(dim, n_planes, seed)
+    for row in packed.take_all():  # <= 2^n_planes occupied buckets
+        vecs = np.frombuffer(row["vecs"], dtype=np.float64).reshape(
+            -1, row["dim"])
+        index.buckets[int(row["cell"])] = list(zip(
+            (int(k) for k in row["keys"]), vecs))
     return index

@@ -7,20 +7,21 @@ expressed over the log as data:
 - **tumbling windows**: window id = floor(epoch / size) is just a derived
   grouping column -> one vectorized projection + groupby aggregate (the
   same shape as the reference's daily rollup, sql/init_target.sql:90-106);
-- **session windows** (gap-based): ``groupby(key).map_groups`` where each
-  group is sorted by (ts, id) and split where the gap exceeds the
-  threshold. Partitioning assumption (documented per the build spec): one
-  key's full history fits in one worker — keys are users/devices, so
-  group size is bounded by per-entity activity, not corpus size. Ordering
-  within a group is made deterministic by the (ts, id) sort — never
-  arrival order.
+- **session windows** (gap-based): keys are hash-bucketed and every
+  bucket is sessionized with ONE vectorized sort + adjacent-gap compare
+  (the bucket-then-vectorize shape of stages/dedup.py resolve_bucket) —
+  ~num_buckets Python calls total, never one per key. Partitioning
+  assumption (documented per the build spec): one bucket's rows fit in
+  one worker — keys are users/devices, so bucket size is corpus_size /
+  num_buckets with per-entity bounded groups. Ordering within a key is
+  made deterministic by the (key, ts, id) sort — never arrival order.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def add_tumbling_window(batch: pa.Table, ts_col: str = "ts",
@@ -55,26 +56,72 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str,
     )
 
 
+def _bucket_of(col, num_buckets: int) -> np.ndarray:
+    """Deterministic hash bucket per key (vectorized; int or string keys)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        from .sketches import _hash64_strings
+
+        h = _hash64_strings(col)
+    else:
+        from .sketches import _hash64_ints
+
+        h = _hash64_ints(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
+    return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
 def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
-                       gap_sec: int = 1800):
-    """Gap-based session windows per key.
+                       gap_sec: int = 1800, num_buckets: int = 64):
+    """Gap-based session windows per key — Arrow-native, no per-key Python.
 
     Output rows: (key, session_id starting at 0 per key, n_events,
-    session_start, session_end). Deterministic: events sorted by
-    (ts, id) within each key; a new session starts when the gap from the
-    previous event exceeds ``gap_sec``.
+    session_start, session_end). Deterministic: one (key, ts, id) sort per
+    hash bucket, then vectorized adjacent-gap session splits; a new session
+    starts when the gap from the previous event exceeds ``gap_sec``.
     """
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values([ts_col, id_col], kind="mergesort")
-        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
-        sess = (gaps > gap_sec).cumsum()
-        out = g.groupby(sess).agg(
-            n_events=(id_col, "count"),
-            session_start=(ts_col, "min"),
-            session_end=(ts_col, "max"),
-        ).reset_index(drop=True)
-        out.insert(0, "session_id", np.arange(len(out), dtype=np.int64))
-        out.insert(0, key_col, g[key_col].iloc[0])
-        return out
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
 
-    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+    def bucket_sessions(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ts = g[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        new_key = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        gaps = np.diff(micros, prepend=micros[:1])
+        new_sess = new_key | (gaps > gap_sec * 1_000_000)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n)
+        # session_id = per-key running index: distance to the key's first
+        # session (maximum.accumulate of new-key reset positions)
+        sidx = np.arange(len(starts))
+        session_id = sidx - np.maximum.accumulate(
+            np.where(new_key[starts], sidx, 0))
+        return pa.table({
+            key_col: keys.take(pa.array(starts, pa.int64())),
+            "session_id": pa.array(session_id, pa.int64()),
+            "n_events": pa.array((ends - starts).astype(np.int64), pa.int64()),
+            "session_start": pa.array(micros[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(micros[ends - 1]).cast(pa.timestamp("us")),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_sessions, batch_format="pyarrow")
+    )

@@ -351,3 +351,53 @@ def test_minhash_lsh_hot_bucket_linear(ray_session):
     hot = [c for c in clusters if 0 in c]
     assert len(hot) == 1 and len(hot[0]) == n_hot  # fully connected via stars
     assert rep_of[n_hot - 1] == 0
+
+
+def test_scan_search_matches_index_query(ray_session):
+    """The index-free pruned scans (ivf_topk / lsh_topk — the 100-TB path,
+    no driver-resident inverted lists) must return exactly the hits of
+    querying a built index with the same parameters."""
+    import ray.data as rd
+
+    from engine.stages.similarity import (
+        build_ivf_index, build_lsh_index, ivf_topk, lsh_topk)
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = np.asarray(ds.take(1)[0]["embedding"])
+
+    ivf = build_ivf_index(ds, n_lists=16)
+    want = ivf.query(q, k=10, nprobe=4)
+    got = ivf_topk(ds, q.reshape(1, -1), k=10, nprobe=4, n_lists=16)
+    assert list(zip(got["key"].to_pylist(),
+                    [round(s, 12) for s in got["sim"].to_pylist()])) == [
+        (k, round(s, 12)) for k, s in want]
+
+    lsh = build_lsh_index(ds, n_planes=10)
+    want = lsh.query(q, k=10, probe_bits=2)
+    got = lsh_topk(ds, q.reshape(1, -1), k=10, probe_bits=2, n_planes=10)
+    assert list(zip(got["key"].to_pylist(),
+                    [round(s, 12) for s in got["sim"].to_pylist()])) == [
+        (k, round(s, 12)) for k, s in want]
+
+
+def test_embedding_neardup_distributed(ray_session):
+    """embedding_neardup_edges finds planted near-dup vector pairs via
+    LSH buckets (per-bucket kernel), without a whole-set matmul."""
+    import ray.data as rd
+
+    from engine.stages.neardup import embedding_neardup_edges
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    base = rng.standard_normal((40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(40)]
+    # plant 5 near-dups: tiny perturbations of vectors 0..4
+    for j in range(5):
+        rows.append({"vec_id": 100 + j,
+                     "embedding": (base[j] + 0.01 * rng.standard_normal(16)).tolist()})
+    ds = rd.from_items(rows).repartition(4)
+    edges = embedding_neardup_edges(ds, threshold=0.95)
+    pairs = {(r["key_a"], r["key_b"]) for r in edges.take_all()}
+    for j in range(5):
+        assert (j, 100 + j) in pairs, j
+    # random 16-dim gaussians are nowhere near cos 0.95 of each other
+    assert all(a % 100 == b % 100 for a, b in pairs)
