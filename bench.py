@@ -29,6 +29,10 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 ROWS_PER_SF = 6_000_000
+# corpus-size override (rows) — the scaling harness uses it to measure the
+# 8->32 pair at 5x scale, where fixed barrier latency amortizes away
+ROWS_OVERRIDE = int(os.environ.get("RAY_GRAFT_ROWS", "0"))
+HEADLINE_ONLY = os.environ.get("RAY_GRAFT_HEADLINE_ONLY", "") == "1"
 CORPUS_BLOCKS = 256  # >= 4 blocks/cpu at 32 cpus; >=128 per FIXTURES.md F5
 
 QUERY_SET = [
@@ -62,8 +66,8 @@ def ensure_corpus(sf: float) -> tuple[str, int]:
     """Write (once, cached) the bench corpus as partitioned Parquet."""
     from engine.corpus import write_corpus
 
-    n_rows = max(int(ROWS_PER_SF * sf), 10_000)
-    path = corpus_path(sf)
+    n_rows = ROWS_OVERRIDE or max(int(ROWS_PER_SF * sf), 10_000)
+    path = corpus_path(round(n_rows / ROWS_PER_SF, 4))
     os.makedirs(path, exist_ok=True)
     write_corpus(path, n_rows, num_blocks=CORPUS_BLOCKS)
     return path, n_rows
@@ -124,22 +128,25 @@ def main() -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     headline = run_headline(path, out_dir)
 
-    from engine.queries import QUERIES
-    import engine.queries_ext  # noqa: F401
-
     qtimes: dict[str, float] = {}
-    for name in QUERY_SET:
+    validate_sec = None
+    vsummary = {"total_checks": 0}
+    if not HEADLINE_ONLY:
+        from engine.queries import QUERIES
+        import engine.queries_ext  # noqa: F401
+
+        for name in QUERY_SET:
+            t0 = time.time()
+            QUERIES[name](SF_DIR)
+            qtimes[name] = round(time.time() - t0, 3)
+
+        # rule-driven validation chain over the SF tables (fused compiler)
+        from engine.rules import load_rules
+        from engine.validate import run_validation
+
         t0 = time.time()
-        QUERIES[name](SF_DIR)
-        qtimes[name] = round(time.time() - t0, 3)
-
-    # rule-driven validation chain over the SF tables (fused rule compiler)
-    from engine.rules import load_rules
-    from engine.validate import run_validation
-
-    t0 = time.time()
-    _, vsummary = run_validation(SF_DIR, load_rules())
-    validate_sec = round(time.time() - t0, 3)
+        _, vsummary = run_validation(SF_DIR, load_rules())
+        validate_sec = round(time.time() - t0, 3)
 
     result = {
         "metric": "corpus_filter_scrub_sec",
@@ -157,25 +164,38 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def scaling() -> None:
-    """Same corpus bytes, fresh processes, two N-vs-4N pairs.
+def _run_once(ncpu: int, extra_env: dict) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+               RAY_GRAFT_HEADLINE_ONLY="1", **extra_env)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
 
-    Primary pair 4 -> 16 CPUs; secondary 8 -> 32. The secondary pair is
-    reported with a caveat: at 32 logical CPUs a single box saturates
-    memory bandwidth and local object-store throughput (resources that on
-    a real 4N-node cluster scale with the nodes), so the 8->32 number
-    under-reports the pipeline's cluster-scaling behaviour while 4->16
-    measures it cleanly."""
+
+def scaling() -> None:
+    """Fresh processes, two N-vs-4N pairs, same corpus bytes per pair.
+
+    Primary pair 4 -> 16 CPUs at the sf corpus. The 8 -> 32 pair is
+    measured at 5x scale (3M files at sf0.1): at the small scale ~1 s of
+    fixed startup/barrier latency dominates a ~3.5 s 32-CPU wall and
+    under-reports the pipeline's cluster-scaling behaviour; at 3M files
+    the fixed cost amortizes and the pair measures the pipeline itself
+    (VERDICT r1 follow-up). Best-of-2 per level damps shared-box noise."""
     results = {}
-    for ncpu in (4, 8, 16, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    for ncpu in (4, 16):
         best = None
-        for _ in range(2):  # best-of-2: damp shared-box noise
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
+        for _ in range(2):
+            r = _run_once(ncpu, {})
+            if best is None or r["value"] < best["value"]:
+                best = r
+        results[ncpu] = best
+    large_rows = str(int(ROWS_PER_SF * _sf_from_dir(SF_DIR) * 5))
+    for ncpu in (8, 32):
+        best = None
+        for _ in range(2):
+            r = _run_once(ncpu, {"RAY_GRAFT_ROWS": large_rows})
             if best is None or r["value"] < best["value"]:
                 best = r
         results[ncpu] = best
@@ -189,14 +209,15 @@ def scaling() -> None:
         "sec_16cpu": results[16]["value"],
         "files_per_sec_4cpu": results[4]["files_per_sec"],
         "files_per_sec_16cpu": results[16]["files_per_sec"],
-        "secondary_pair": "8cpu->32cpu",
+        "corpus_rows_primary": results[16]["corpus_rows"],
+        "secondary_pair": "8cpu->32cpu@5x",
         "secondary_scaling_efficiency": round(eff_8_32, 3),
         "sec_8cpu": results[8]["value"],
         "sec_32cpu": results[32]["value"],
         "files_per_sec_8cpu": results[8]["files_per_sec"],
         "files_per_sec_32cpu": results[32]["files_per_sec"],
-        "sf": results[32]["sf"],
-        "corpus_rows": results[32]["corpus_rows"],
+        "corpus_rows_secondary": results[32]["corpus_rows"],
+        "sf": _sf_from_dir(SF_DIR),
     }))
 
 

@@ -123,14 +123,21 @@ def duplicate_check(
     rule: Optional[dict] = None,
     sample_limit: int = 10,
     total_rows: Optional[int] = None,
+    hash_keys: Sequence[str] = (),
 ) -> CheckResult:
     """GROUP BY columns: dup_groups = #groups with cnt>1,
-    dup_rows = SUM(cnt-1); rows with NULL in any key column are excluded."""
+    dup_rows = SUM(cnt-1); rows with NULL in any key column are excluded.
+
+    ``hash_keys``: key columns replaced by their sha256 hex BEFORE the
+    groupby — pass wide content columns here so the shuffle moves 64 B per
+    key instead of full text (same counts; samples then show hashes).
+    """
     from ray.data.aggregate import Count
 
     rule = _rule(rule, rule_id="DUP", description="duplicate check",
                  column=",".join(columns))
     columns = list(columns)
+    hash_keys = list(hash_keys)
     total = total_rows if total_rows is not None else ds.count()
 
     def drop_null_keys(batch: pa.Table) -> pa.Table:
@@ -139,7 +146,15 @@ def duplicate_check(
         for c in columns:
             v = pc.is_valid(t[c])
             mask = v if mask is None else pc.and_(mask, v)
-        return t.filter(mask)
+        t = t.filter(mask)
+        for c in hash_keys:
+            from ..stages.heuristics import _sha256_column
+            from ..stages.textfeat import byte_view
+
+            data, offsets = byte_view(t[c])
+            t = t.set_column(t.column_names.index(c), c,
+                             _sha256_column(data, offsets, t[c]))
+        return t
 
     grouped = (
         ds.map_batches(drop_null_keys, batch_format="pyarrow", zero_copy_batch=True)
@@ -508,8 +523,15 @@ def join_compare_check(
 
         return ds.map_batches(fn, batch_format="pyarrow")
 
-    s = mark(src_ds.select_columns([join_key, compare_column]), "src_value", "src_present")
-    t = mark(tgt_ds.select_columns([join_key, compare_column]), "tgt_value", "tgt_present")
+    from ..dsutil import compact
+
+    # join sides are (key, value) pairs — key-cardinality bounded for the
+    # aggregate-compare rules this serves; compacting removes the
+    # schema-less empty blocks that break the pyarrow hash join
+    s = compact(mark(src_ds.select_columns([join_key, compare_column]),
+                     "src_value", "src_present"), num_partitions)
+    t = compact(mark(tgt_ds.select_columns([join_key, compare_column]),
+                     "tgt_value", "tgt_present"), num_partitions)
     j = s.join(t, "full_outer", num_partitions=num_partitions,
                on=(join_key,), validate_schemas=True)
 
@@ -565,9 +587,13 @@ def existence_check(
     missing from target."""
     from ray.data.aggregate import Count
 
+    from ..dsutil import compact
+
     rule = _rule(rule, rule_id="TRF-EXIST", description="existence check")
-    s = src_ds.groupby(join_key).aggregate(Count(alias_name="src_cnt"))
-    t = tgt_ds.groupby(join_key).aggregate(Count(alias_name="tgt_cnt"))
+    s = compact(src_ds.groupby(join_key).aggregate(Count(alias_name="src_cnt")),
+                num_partitions)
+    t = compact(tgt_ds.groupby(join_key).aggregate(Count(alias_name="tgt_cnt")),
+                num_partitions)
     j = s.join(t, "full_outer", num_partitions=num_partitions, on=(join_key,))
 
     def partial(batch: pa.Table) -> dict:

@@ -61,16 +61,61 @@ def date_order_check(
                        details={"start_column": start_col, "end_column": end_col})
 
 
+DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+
+
+def _join_key(batch: pa.Table, cols: list[str]) -> pa.Array:
+    parts = [pc.cast(batch[c], pa.string()) for c in cols]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = pc.binary_join_element_wise(joined, p, "\x1f")
+    return joined  # null if ANY component is null (SQL AND-semantics)
+
+
+def _distributed_orphan_count(child_keys_ds, parent_keys_ds,
+                              num_partitions: int = 16) -> tuple[int, int]:
+    """(valid child keys, orphan count) via a distributed left-outer join —
+    the fallback when the parent side is too big to broadcast. Both inputs
+    are single-column ``__k`` Datasets (nulls already dropped)."""
+    from ray.data.aggregate import Count
+
+    from ..dsutil import compact
+
+    parent_distinct = compact(
+        parent_keys_ds.groupby("__k").aggregate(Count(alias_name="__pc")),
+        num_partitions)
+    child = compact(child_keys_ds, num_partitions)
+    total = child.count()
+    if not total:
+        return 0, 0
+    j = child.join(parent_distinct, "left_outer",
+                   num_partitions=num_partitions, on=("__k",))
+
+    def partial(batch: pa.Table) -> dict:
+        return {"orphans": int(pc.sum(
+            pc.cast(pc.is_null(batch["__pc"]), pa.int64())).as_py() or 0)}
+
+    agg = reduce_batches(j, partial, {"orphans": "sum"})
+    return total, int(agg["orphans"] or 0)
+
+
 def composite_fk_check(
     child_ds,
     fk_columns: Sequence[str],
     parent_ds,
     parent_columns: Sequence[str],
     rule: Optional[dict] = None,
+    max_broadcast_keys: int = DEFAULT_MAX_BROADCAST_KEYS,
+    num_partitions: int = 16,
 ) -> CheckResult:
     """J2 multi-column FK orphans (checks/check_foreign_key.sql:42-56):
     composite keys joined into one string key, then the broadcast
-    anti-join pattern of the single-column check."""
+    anti-join pattern of the single-column check.
+
+    Guarded: parents up to ``max_broadcast_keys`` rows are collected
+    (vectorized, no Python sets) and broadcast; bigger parents take the
+    distributed left-outer-join path instead of materializing driver-side.
+    """
     import ray
 
     rule = _rule(rule, rule_id="FK-COMP", description="composite fk",
@@ -78,22 +123,38 @@ def composite_fk_check(
     fk_columns = list(fk_columns)
     parent_columns = list(parent_columns)
 
-    def join_key(batch: pa.Table, cols: list[str]) -> pa.Array:
-        parts = [pc.cast(batch[c], pa.string()) for c in cols]
-        joined = parts[0]
-        for p in parts[1:]:
-            joined = pc.binary_join_element_wise(joined, p, "\x1f")
-        return joined  # null if ANY component is null (SQL AND-semantics)
+    def parent_key_batch(b: pa.Table) -> pa.Table:
+        k = _join_key(b, parent_columns)
+        return pa.table({"__k": k.filter(pc.is_valid(k))})
 
-    parent_keys: set = set()
-    for b in parent_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        parent_keys.update(k for k in join_key(b, parent_columns).to_pylist()
-                           if k is not None)
-    keys_ref = ray.put(pa.array(sorted(parent_keys)))
+    if parent_ds.count() > max_broadcast_keys:
+        def child_key_batch(b: pa.Table) -> pa.Table:
+            k = _join_key(b, fk_columns)
+            return pa.table({"__k": k.filter(pc.is_valid(k))})
+
+        total, orphans = _distributed_orphan_count(
+            child_ds.map_batches(child_key_batch, batch_format="pyarrow"),
+            parent_ds.map_batches(parent_key_batch, batch_format="pyarrow"),
+            num_partitions)
+        return make_result(
+            rule, "foreign_key",
+            CheckStatus.PASS if orphans == 0 else CheckStatus.FAIL,
+            total_rows=total, violation_count=orphans,
+            details={"parent_columns": parent_columns,
+                     "join_strategy": "distributed_left_outer"})
+
+    chunks = [
+        b["__k"].combine_chunks()
+        for b in parent_ds.map_batches(parent_key_batch, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys = pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([], pa.string())
+    keys_ref = ray.put(keys)
 
     def partial(batch: pa.Table) -> dict:
         keys = ray.get(keys_ref)
-        jk = join_key(batch, fk_columns)
+        jk = _join_key(batch, fk_columns)
         valid = pc.is_valid(jk)
         orphan = pc.and_(valid, pc.invert(pc.is_in(jk, value_set=keys)))
         return {"total": int(pc.sum(valid.cast(pa.int64())).as_py() or 0),
@@ -105,7 +166,8 @@ def composite_fk_check(
                        CheckStatus.PASS if orphans == 0 else CheckStatus.FAIL,
                        total_rows=int(agg["total"] or 0),
                        violation_count=orphans,
-                       details={"parent_columns": parent_columns})
+                       details={"parent_columns": parent_columns,
+                                "join_strategy": "broadcast"})
 
 
 def duplicate_rate_stats(
@@ -144,20 +206,55 @@ def soft_delete_check(
     flag_column: str,
     deleted_values: Sequence[Any],
     rule: Optional[dict] = None,
+    max_broadcast_keys: int = DEFAULT_MAX_BROADCAST_KEYS,
+    num_partitions: int = 16,
 ) -> CheckResult:
     """J7 soft-delete reference (checks/check_foreign_key.sql:121-131):
-    children referencing logically-deleted parents. Broadcast the
-    deleted-parent key set, probe with is_in — no join shuffle."""
+    children referencing logically-deleted parents. Deleted-parent key set
+    broadcast and probed with is_in when it fits (vectorized collection);
+    distributed inner-join count past ``max_broadcast_keys`` parents."""
     import ray
 
     rule = _rule(rule, rule_id="FK-SOFTDEL", description="soft-delete refs",
                  column=fk_column)
     deleted_set = pa.array(list(deleted_values))
-    deleted_keys: set = set()
-    for b in parent_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        mask = pc.is_in(b[flag_column], value_set=deleted_set)
-        deleted_keys.update(b[parent_column].filter(mask).to_pylist())
-    keys_ref = ray.put(pa.array(sorted(deleted_keys)))
+
+    def deleted_key_batch(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_in(b[flag_column], value_set=deleted_set),
+                       pc.is_valid(b[parent_column]))
+        k = b[parent_column].filter(mask)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({"__k": k})
+
+    if parent_ds.count() > max_broadcast_keys:
+        def child_key_batch(b: pa.Table) -> pa.Table:
+            k = b[fk_column]
+            k = k.filter(pc.is_valid(k))
+            if isinstance(k, pa.ChunkedArray):
+                k = k.combine_chunks()
+            return pa.table({"__k": k})
+
+        total, non_deleted = _distributed_orphan_count(
+            child_ds.map_batches(child_key_batch, batch_format="pyarrow"),
+            parent_ds.map_batches(deleted_key_batch, batch_format="pyarrow"),
+            num_partitions)
+        viol = total - non_deleted  # joined rows = refs INTO deleted parents
+        return make_result(
+            rule, "foreign_key",
+            CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
+            total_rows=total, violation_count=viol,
+            details={"flag_column": flag_column,
+                     "join_strategy": "distributed_left_outer"})
+
+    chunks = [
+        b["__k"].combine_chunks()
+        for b in parent_ds.map_batches(deleted_key_batch, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    keys = pc.unique(pa.concat_arrays(chunks)) if chunks else pa.array([])
+    keys_ref = ray.put(keys)
 
     def partial(batch: pa.Table) -> dict:
         keys = ray.get(keys_ref)
@@ -172,24 +269,34 @@ def soft_delete_check(
     return make_result(rule, "foreign_key",
                        CheckStatus.PASS if viol == 0 else CheckStatus.FAIL,
                        total_rows=int(agg["total"] or 0), violation_count=viol,
-                       details={"deleted_parent_keys": len(deleted_keys),
-                                "flag_column": flag_column})
+                       details={"deleted_parent_keys": len(keys),
+                                "flag_column": flag_column,
+                                "join_strategy": "broadcast"})
 
 
 def hierarchy_cycle_check(
     ds, id_column: str, parent_column: str, max_depth: int = 100,
     rule: Optional[dict] = None,
+    max_nodes: int = DEFAULT_MAX_BROADCAST_KEYS,
 ) -> CheckResult:
     """J9 recursive hierarchy walk with cycle guard
     (checks/check_foreign_key.sql:85-119, the PostgreSQL recursive CTE).
 
     Implementation: collect the (id -> parent) edge map (hierarchies are
-    dimension-sized — this is the broadcast-small-side regime; a
-    billion-node hierarchy would use iterative frontier joins instead),
-    then vectorized pointer-doubling to find nodes that never reach a
-    root within max_depth (cycles or over-deep chains)."""
+    dimension-sized — this is the broadcast-small-side regime), then
+    vectorized pointer-stepping to find nodes that never reach a root
+    within max_depth (cycles or over-deep chains). Guarded by
+    ``max_nodes``: a larger hierarchy needs the iterative frontier-join
+    formulation (see stages/neardup.py propagate_min_labels for the
+    pattern) rather than a driver-resident edge map."""
     rule = _rule(rule, rule_id="FK-CYCLE", description="hierarchy cycles",
                  column=id_column)
+    n_rows = ds.count()
+    if n_rows > max_nodes:
+        raise ValueError(
+            f"hierarchy has {n_rows} nodes > max_nodes={max_nodes}: the "
+            "driver-resident edge map would not fit; use an iterative "
+            "frontier-join walk (propagate_min_labels pattern) instead")
     ids, parents = [], []
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids.extend(b[id_column].to_pylist())

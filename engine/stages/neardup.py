@@ -244,14 +244,7 @@ def propagate_min_labels(edges, num_partitions: int = 16, max_iters: int = 30):
     driver heap)."""
     from ray.data.aggregate import Min
 
-    def _compact(ds, n_parts: int):
-        """Materialize with no schema-less empty blocks: Ray's groupby /
-        map_batches pass empty blocks through without a schema, and such
-        blocks break the pyarrow hash join downstream. Repartitioning to
-        <= row-count merges them away (each output block gets >= 1 row)."""
-        m = ds.materialize()
-        n = m.count()
-        return m.repartition(max(1, min(n_parts, n))).materialize()
+    from ..dsutil import compact as _compact
 
     def sym(batch: pa.Table) -> pa.Table:
         fwd = pa.table({"src": batch["key_a"], "dst": batch["key_b"]})

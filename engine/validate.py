@@ -48,13 +48,33 @@ class TableCatalog:
 def _run_count_rule(cat: TableCatalog, rule: dict) -> CheckResult:
     threshold = rule.get("threshold", 0.0)
     # custom-count parity (count_checker.py:50-52): rules may provide
-    # precomputed counts through count_fn hooks instead of SQL strings
+    # precomputed counts (count hooks) OR the reference's SQL count
+    # queries, interpreted by the sqlmini rule-SQL subset
     sc = rule.get("source_count")
     tc = rule.get("target_count")
+    if "source_count_query" in rule and "target_count_query" in rule:
+        from .sqlmini import scalar_from_query
+
+        sc = int(scalar_from_query(cat, rule["source_count_query"]))
+        tc = int(scalar_from_query(cat, rule["target_count_query"]))
     src = cat.load(rule["source_table"]) if sc is None else None
     tgt = cat.load(rule["target_table"]) if tc is None else None
-    # where_clause parity (CNT-004-style conditional counts): a Ray Data
-    # filter expression applied to both sides before counting
+    # where_clause parity (CNT-004, count_checker.py:55-57: the clause
+    # applies to BOTH sides) — vectorized predicate mask, plus the older
+    # filter_expr hook (a Ray Data expression string)
+    wc = rule.get("where_clause")
+    if wc:
+        from .sqlmini import parse_where, where_mask
+
+        preds = parse_where(wc)
+
+        def flt(ds):
+            return ds.map_batches(
+                lambda b: b.filter(where_mask(b, preds)),
+                batch_format="pyarrow")
+
+        src = flt(src) if src is not None else None
+        tgt = flt(tgt) if tgt is not None else None
     expr = rule.get("filter_expr")
     if expr:
         src = src.filter(expr=expr) if src is not None else None
@@ -118,6 +138,31 @@ def _run_range_rule(cat: TableCatalog, rule: dict) -> CheckResult:
 
 def _run_transform_rule(cat: TableCatalog, rule: dict) -> CheckResult:
     ctype = rule.get("compare_type", "value")
+    if "source_query" in rule and "target_query" in rule:
+        # reference transform rules carry SQL snippets
+        # (transform_rules.yml:7-63); the sqlmini subset interpreter turns
+        # them into Ray Dataset plans and the standard compare operators run
+        from .audit import aggregate_compare_status, make_result
+        from .sqlmini import run_rule_query
+
+        src = run_rule_query(cat, rule["source_query"])
+        tgt = run_rule_query(cat, rule["target_query"])
+        if ctype == "existence":
+            return ck.existence_check(src, tgt, rule["join_key"], rule=rule)
+        if "join_key" in rule:
+            return ck.join_compare_check(
+                src, tgt, rule["join_key"], rule["compare_column"],
+                rule.get("tolerance", 0.0), rule=rule)
+        col = rule["compare_column"]
+        sv = src.take(1)[0][col]
+        tv = tgt.take(1)[0][col]
+        status, diff = aggregate_compare_status(
+            float(sv) if sv is not None else None,
+            float(tv) if tv is not None else None,
+            rule.get("tolerance", 0.0))
+        return make_result(rule, "transform", status, details={
+            "source_value": sv, "target_value": tv, "difference": diff,
+            "tolerance": rule.get("tolerance", 0.0), "compare_column": col})
     if ctype == "existence":
         key = rule["join_key"]
         src = cat.load(rule["source_table"], [rule.get("source_key", key)])

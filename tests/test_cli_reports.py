@@ -105,3 +105,22 @@ def test_audit_sink_roundtrip(ray_session, tmp_path):
     row = ds.take(1)[0]
     for col in ["rule_id", "status", "violation_ratio", "details", "executed_at"]:
         assert col in row
+
+
+def test_shell_wrapper_exit_code_mapping(ray_session, tmp_path):
+    """scripts/run_pipeline.sh (SURVEY §2.11 ops entry, reference
+    run_validation.sh analogue) forwards the engine CLI's exit code:
+    validate on the sf tables exits 1 (known planted FAIL rule)."""
+    import subprocess
+
+    r = subprocess.run(
+        ["bash", "scripts/run_pipeline.sh", "--", "validate",
+         "--tables", "/root/testdata/sf0.001", "--report", "none",
+         "--report-dir", str(tmp_path)],
+        cwd="/root/repo", capture_output=True, text=True,
+        env={**__import__("os").environ, "PIPELINE_LOG_DIR": str(tmp_path)},
+        timeout=300,
+    )
+    assert r.returncode == 1, r.stdout[-2000:] + r.stderr[-2000:]
+    assert "FAIL: failing checks present" in r.stdout
+    assert list(tmp_path.glob("run_*.log"))  # log tee'd

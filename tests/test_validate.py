@@ -301,3 +301,47 @@ def test_fused_fk_missing_parent_isolated(ray_session):
     assert by_id["FK-BAD"].status == CheckStatus.ERROR
     assert by_id["RNG-GOOD"].status == CheckStatus.PASS
     assert summary["errors"] == 1
+
+
+def test_fk_broadcast_guard_fallback_paths(ray_session):
+    """The broadcast-side size guard: forcing max_broadcast_keys=0 routes
+    composite-FK and soft-delete through the distributed left-outer-join
+    path, which must agree exactly with the broadcast path."""
+    child = ck  # alias for readability below
+    lineitem = None
+
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                         columns=["l_orderkey", "l_linenumber", "l_shipdate"])
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+
+    b = ck.composite_fk_check(
+        li, ["l_orderkey", "l_linenumber"],
+        li, ["l_orderkey", "l_linenumber"])
+    d = ck.composite_fk_check(
+        li, ["l_orderkey", "l_linenumber"],
+        li, ["l_orderkey", "l_linenumber"], max_broadcast_keys=0)
+    assert b.details["join_strategy"] == "broadcast"
+    assert d.details["join_strategy"] == "distributed_left_outer"
+    assert (b.status, b.total_rows, b.violation_count) == \
+           (d.status, d.total_rows, d.violation_count)
+
+    ob = ck.soft_delete_check(li.select_columns(["l_orderkey"]), "l_orderkey",
+                              orders, "o_orderkey", "o_orderstatus", ["F"])
+    od = ck.soft_delete_check(li.select_columns(["l_orderkey"]), "l_orderkey",
+                              orders, "o_orderkey", "o_orderstatus", ["F"],
+                              max_broadcast_keys=0)
+    assert od.details["join_strategy"] == "distributed_left_outer"
+    assert (ob.status, ob.total_rows, ob.violation_count) == \
+           (od.status, od.total_rows, od.violation_count)
+
+
+def test_hierarchy_size_guard(ray_session):
+    import pytest
+    import ray.data as rd
+
+    ds = rd.from_items([{"id": i, "parent": i - 1} for i in range(50)])
+    with pytest.raises(ValueError, match="max_nodes"):
+        ck.hierarchy_cycle_check(ds, "id", "parent", max_nodes=10)
