@@ -307,19 +307,44 @@ def fk_check(
     parent_ds,
     parent_column: str,
     rule: Optional[dict] = None,
+    max_broadcast_keys: int = 2_000_000,
+    num_partitions: int = 16,
 ) -> CheckResult:
     """FK orphan count via broadcast anti-join (range_checker.py:246-288).
 
     The parent key set is collected once (``unique`` — a small-side
     aggregate), broadcast through the object store via ``ray.put``, and
     probed with a vectorized ``is_in`` inside ``map_batches`` — no
-    all-to-all shuffle of the child table. For parent sets too large to
-    broadcast, use a hash-partitioned ``Dataset.join(how="left_anti")``
-    instead (documented alternative, not needed at these cardinalities).
+    all-to-all shuffle of the child table. Parents beyond
+    ``max_broadcast_keys`` rows take the hash-partitioned distributed
+    left-outer-join path instead of materializing driver-side.
     """
     import ray
 
     rule = _rule(rule, rule_id="FK", description="fk check", column=fk_column)
+    if parent_ds.count() > max_broadcast_keys:
+        from .extra import _distributed_orphan_count
+
+        def keyed(ds, col):
+            def fn(b: pa.Table) -> pa.Table:
+                k = b[col]
+                k = k.filter(pc.is_valid(k))
+                if isinstance(k, pa.ChunkedArray):
+                    k = k.combine_chunks()
+                return pa.table({"__k": k})
+
+            return ds.map_batches(fn, batch_format="pyarrow")
+
+        total, orphans = _distributed_orphan_count(
+            keyed(child_ds, fk_column), keyed(parent_ds, parent_column),
+            num_partitions)
+        status = CheckStatus.PASS if orphans == 0 else CheckStatus.FAIL
+        return make_result(
+            rule, "foreign_key", status, total_rows=total,
+            violation_count=orphans,
+            details={"parent_column": parent_column, "orphan_count": orphans,
+                     "join_strategy": "distributed_left_outer"})
+
     keys = pa.array(parent_ds.unique(parent_column))
     keys_ref = ray.put(keys)
 

@@ -219,11 +219,15 @@ def _mask_builder(rule):
 
 def _fk_builder(rule, catalog):
     """FK probe joins the fused pass; the parent key set is collected and
-    broadcast up front (one small-side read per FK rule)."""
+    broadcast up front (one small-side read per FK rule). Parents too big
+    to broadcast make the rule unfusable (None) — it then runs through the
+    per-rule path, where fk_check takes the distributed-join fallback."""
     import ray
 
     column = rule["column"]
     parent = catalog.load(rule["parent_table"], [rule["parent_column"]])
+    if parent.count() > 2_000_000:
+        return None
     keys_ref = ray.put(pa.array(parent.unique(rule["parent_column"])))
 
     def partial(batch):

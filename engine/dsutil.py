@@ -3,6 +3,17 @@
 from __future__ import annotations
 
 
+def join_partitions(cap: int = 64) -> int:
+    """Hash-join partition count sized to the cluster: Ray's hash-shuffle
+    join runs an aggregator pool scaled to num_partitions, and asking for
+    far more partitions than CPUs (e.g. 32 partitions on a 4-CPU session)
+    starves the pool and hangs the join. 4 partitions per CPU, capped."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(cap, cpus * 4))
+
+
 def compact(ds, num_partitions: int = 16):
     """Materialize with no schema-less empty blocks.
 

@@ -20,6 +20,11 @@ def _x10k(arr) -> pa.Array:
     return pc.cast(pc.floor(pc.add(pc.multiply(arr, 10000.0), 0.5)), pa.int64())
 
 
+# broadcast-side row guard for cross-table probes (tests shrink it to
+# exercise the distributed-join fallback)
+MAX_BROADCAST_ROWS = 2_000_000
+
+
 # ===========================================================================
 # Similarity search over embeddings
 # ===========================================================================
@@ -474,12 +479,30 @@ def soft_delete_lineitem_orders(sf_dir: str) -> pa.Table:
 def date_order_lineitem_orders(sf_dir: str) -> pa.Table:
     """M10 date-order predicate across a join: shipped-before-ordered rows.
     The orders side is broadcast as a sorted key->date array probed with
-    searchsorted — no join shuffle."""
+    searchsorted — no join shuffle — while it fits (size-guarded);
+    beyond ``max_broadcast`` rows the check runs as a distributed
+    ``Dataset.join`` with the same counts."""
     import ray
 
     from .checks.base import reduce_batches
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    if orders.count() > MAX_BROADCAST_ROWS:
+        from .dsutil import join_partitions
+
+        li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        j = li.join(orders, "inner", num_partitions=join_partitions(),
+                    on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def jpartial(batch: pa.Table) -> dict:
+            viol = pc.less(batch["l_shipdate"], batch["o_orderdate"])
+            return {"total": batch.num_rows,
+                    "viol": int(pc.sum(pc.cast(viol, pa.int64())).as_py() or 0)}
+
+        agg = reduce_batches(j, jpartial, {"total": "sum", "viol": "sum"})
+        viol = int(agg["viol"] or 0)
+        return _row(total_rows=int(agg["total"] or 0), violation_count=viol,
+                    status="PASS" if viol == 0 else "FAIL")
     keys, dates = [], []
     for b in orders.iter_batches(batch_size=65536, batch_format="pyarrow"):
         keys.extend(b["o_orderkey"].to_pylist())
@@ -917,3 +940,206 @@ def validation_summary_chain(sf_dir: str) -> pa.Table:
     return _row(total_checks=summary["total_checks"],
                 passed=summary["passed"], failed=summary["failed"],
                 warnings=summary["warnings"], errors=summary["errors"])
+
+
+# ===========================================================================
+# Round-2 pretraining-pipeline operators (flat_map explode, windowed rank,
+# normalization, distributed prefix-sum packing) — all oracle-checked
+# ===========================================================================
+
+@query(
+    "explode_paragraphs_documents",
+    r"""
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS para_idx, p AS para_text
+    FROM (SELECT doc_id,
+                 unnest(string_split(text, chr(10) || chr(10))) AS p,
+                 unnest(generate_series(1,
+                     len(string_split(text, chr(10) || chr(10))))) AS i
+          FROM documents)
+    ORDER BY doc_id, para_idx
+    """,
+)
+def explode_paragraphs_documents(sf_dir: str) -> pa.Table:
+    """Row-exploding map (flat_map shape): one output row per paragraph
+    ("\\n\\n" split, empties kept — SQL string_split parity), fully
+    vectorized via Arrow list offsets + np.repeat, no per-row Python."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], "\n\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = parts.offsets.to_numpy()
+        counts = np.diff(offs)
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        values = parts.values
+        # normalize child slice to this array's window
+        values = values.slice(offs[0], offs[-1] - offs[0])
+        para_idx = np.arange(offs[-1] - offs[0]) - np.repeat(
+            offs[:-1] - offs[0], counts)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_ids, counts), pa.int64()),
+            "para_idx": pa.array(para_idx, pa.int64()),
+            "para_text": values,
+        })
+
+    out = ds.map_batches(explode, batch_format="pyarrow").sort(
+        ["doc_id", "para_idx"])
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "para_idx", "para_text"])
+
+
+@query(
+    "top_docs_per_lang",
+    """
+    WITH r AS (
+      SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY length(text) DESC, doc_id) AS rn
+      FROM documents)
+    SELECT lang, doc_id, n_chars, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 3 ORDER BY lang, rn
+    """,
+)
+def top_docs_per_lang(sf_dir: str) -> pa.Table:
+    """Windowed rank (row_number over partition) as a combiner + tiny
+    merge: each batch emits its local top-3 per lang (vectorized sort +
+    first-k-of-key mask), the driver merges n_batches*langs*3 rows —
+    no global sort, no per-key Python."""
+    ds = _t(sf_dir, "documents", ["doc_id", "lang", "text"])
+    K = 3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "lang": batch["lang"],
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+        idx = pc.sort_indices(t, sort_keys=[
+            ("lang", "ascending"), ("n_chars", "descending"),
+            ("doc_id", "ascending")])
+        t = t.take(idx)
+        langs = t["lang"]
+        n = t.num_rows
+        if n == 0:
+            return t
+        neq = pc.not_equal(langs.slice(1, n - 1), langs.slice(0, n - 1))
+        new_key = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        grp_start = np.maximum.accumulate(
+            np.where(new_key, np.arange(n), 0))
+        rank_in_key = np.arange(n) - grp_start
+        return t.filter(pa.array(rank_in_key < K))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    t = pa.Table.from_pylist(parts)
+    idx = pc.sort_indices(t, sort_keys=[
+        ("lang", "ascending"), ("n_chars", "descending"),
+        ("doc_id", "ascending")])
+    t = t.take(idx)
+    langs = t["lang"]
+    n = t.num_rows
+    neq = pc.not_equal(langs.slice(1, n - 1), langs.slice(0, n - 1))
+    new_key = np.concatenate(
+        [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+    grp_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
+    rank = np.arange(n) - grp_start
+    t = t.append_column("rn", pa.array(rank + 1, pa.int64()))
+    return t.filter(pa.array(rank < K)).select(
+        ["lang", "doc_id", "n_chars", "rn"])
+
+
+@query(
+    "normalize_text_documents",
+    r"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, chr(13) || chr(10), chr(10), 'g'),
+                          '[ ' || chr(9) || ']+' || chr(10), chr(10), 'g')
+               AS norm_text
+    FROM documents ORDER BY doc_id
+    """,
+)
+def normalize_text_documents(sf_dir: str) -> pa.Table:
+    """Text normalization stage (pretraining prep): CRLF -> LF and
+    trailing whitespace stripped per line — compiled-regex Arrow kernels,
+    mirrored exactly by the SQL regexp_replace chain."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring(batch["text"], "\r\n", "\n")
+        t = pc.replace_substring_regex(t, "[ \t]+\n", "\n")
+        return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
+
+    out = ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "norm_text"])
+
+
+@query(
+    "pack_documents_token_budget",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS tok
+               FROM documents),
+    c AS (SELECT doc_id, tok,
+                 COALESCE(sum(tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS prior
+          FROM t)
+    SELECT doc_id, tok AS token_count,
+           CAST(floor(prior / 2000) AS BIGINT) AS pack_id
+    FROM c ORDER BY doc_id
+    """,
+)
+def pack_documents_token_budget(sf_dir: str) -> pa.Table:
+    """Sequence packing for training (2000-token budget, doc_id order):
+    pack_id = floor(exclusive-prefix-sum(tokens) / budget).
+
+    Distributed two-phase prefix sum: docs are range-bucketed by
+    doc_id // 1000; per-bucket token sums come back to the driver (ONE
+    tiny row per bucket), the driver computes bucket offsets, and each
+    bucket then computes its internal cumsum + offset independently
+    (sorted, vectorized) — no global sort, no driver row iteration."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    BUDGET, BUCKET = 2000, 1000
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        toks = pc.count_substring_regex(batch["text"], r"\S+")
+        doc = batch["doc_id"]
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        bucket = pa.array(doc.to_numpy(zero_copy_only=False) // BUCKET,
+                          pa.int64())
+        return pa.table({"doc_id": doc, "tok": pc.cast(toks, pa.int64()),
+                         "_bucket": bucket})
+
+    toks = ds.map_batches(project, batch_format="pyarrow").materialize()
+    bucket_sums = {
+        r["_bucket"]: r["tok_sum"]
+        for r in toks.groupby("_bucket")
+        .aggregate(Sum("tok", alias_name="tok_sum")).take_all()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(bucket_sums):
+        offsets[b] = acc
+        acc += bucket_sums[b]
+    oref = ray.put(offsets)
+
+    def pack(group: pa.Table) -> pa.Table:
+        offs = ray.get(oref)
+        idx = pc.sort_indices(group, sort_keys=[("doc_id", "ascending")])
+        g = group.take(idx)
+        tok = g["tok"].to_numpy(zero_copy_only=False)
+        bucket = g["_bucket"][0].as_py()
+        prior = np.concatenate([[0], np.cumsum(tok)[:-1]]) + offs[bucket]
+        return pa.table({
+            "doc_id": g["doc_id"],
+            "token_count": g["tok"],
+            "pack_id": pa.array(prior // BUDGET, pa.int64()),
+        })
+
+    out = toks.groupby("_bucket").map_groups(pack, batch_format="pyarrow")
+    return pa.Table.from_pylist(out.sort("doc_id").take_all()).select(
+        ["doc_id", "token_count", "pack_id"])

@@ -345,3 +345,29 @@ def test_hierarchy_size_guard(ray_session):
     ds = rd.from_items([{"id": i, "parent": i - 1} for i in range(50)])
     with pytest.raises(ValueError, match="max_nodes"):
         ck.hierarchy_cycle_check(ds, "id", "parent", max_nodes=10)
+
+
+def test_fk_check_distributed_fallback(ray_session):
+    """Single-column fk_check past the broadcast guard uses the
+    distributed join and agrees with the broadcast path."""
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_orderkey"])
+    b = ck.fk_check(li, "l_orderkey", orders, "o_orderkey")
+    d = ck.fk_check(li, "l_orderkey", orders, "o_orderkey",
+                    max_broadcast_keys=0)
+    assert d.details["join_strategy"] == "distributed_left_outer"
+    assert (b.status, b.total_rows, b.violation_count) == \
+           (d.status, d.total_rows, d.violation_count)
+
+
+def test_date_order_query_distributed_fallback(ray_session, monkeypatch):
+    """date_order_lineitem_orders: broadcast and distributed-join paths
+    return identical tables."""
+    import engine.queries_ext as qx
+
+    want = qx.date_order_lineitem_orders(SF_DIR)
+    monkeypatch.setattr(qx, "MAX_BROADCAST_ROWS", 0)
+    got = qx.date_order_lineitem_orders(SF_DIR)
+    assert want.equals(got)
