@@ -363,24 +363,17 @@ def embedding_neardup_pairs_q(sf_dir: str) -> pa.Table:
 
 @query("lsh_knn_embeddings")
 def lsh_knn_embeddings(sf_dir: str) -> pa.Table:
-    """ANN top-10 via random-hyperplane LSH (scale path; recall vs the
-    brute-force baseline asserted in tests)."""
-    from .stages.similarity import build_lsh_index
+    """ANN top-10 via random-hyperplane LSH — the index-free pruned scan
+    (lsh_topk): no driver-resident buckets at any scale; identical hits
+    to querying a built index (tested). Recall vs brute force asserted
+    in tests."""
+    from .stages.similarity import lsh_topk
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    index = build_lsh_index(ds, n_planes=10)
-    qvec = None
-    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        ids = b["vec_id"].to_pylist()
-        if 0 in ids:
-            qvec = np.asarray(b["embedding"].to_pylist()[ids.index(0)])
-            break
-    hits = index.query(qvec, k=10, probe_bits=2)
-    return pa.table({
-        "vec_id": pa.array([h[0] for h in hits], pa.int64()),
-        "sim_x10k": pa.array([int(np.floor(h[1] * 10000 + 0.5)) for h in hits],
-                             pa.int64()),
-    })
+    qvec = np.asarray(
+        ds.filter(expr="vec_id == 0").take_all()[0]["embedding"])
+    out = lsh_topk(ds, qvec.reshape(1, -1), k=10, probe_bits=2, n_planes=10)
+    return pa.table({"vec_id": out["key"], "sim_x10k": _x10k(out["sim"])})
 
 
 @query("fingerprint_documents")
@@ -721,24 +714,17 @@ def pricing_summary_lineitem(sf_dir: str) -> pa.Table:
 
 @query("ivf_knn_embeddings")
 def ivf_knn_embeddings(sf_dir: str) -> pa.Table:
-    """ANN top-10 via IVF (k-means cells, nprobe=4) — the inverted-file
-    scale path alongside LSH; recall vs brute force asserted in tests."""
-    from .stages.similarity import build_ivf_index
+    """ANN top-10 via IVF — the index-free pruned scan (ivf_topk):
+    quantizer fit on a bounded sample, every batch prunes itself to the
+    query's nprobe cells; identical hits to querying a built index
+    (tested). Recall vs brute force asserted in tests."""
+    from .stages.similarity import ivf_topk
 
     ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
-    index = build_ivf_index(ds, n_lists=16)
-    qvec = None
-    for b in ds.iter_batches(batch_size=1024, batch_format="pyarrow"):
-        ids = b["vec_id"].to_pylist()
-        if 0 in ids:
-            qvec = np.asarray(b["embedding"].to_pylist()[ids.index(0)])
-            break
-    hits = index.query(qvec, k=10, nprobe=4)
-    return pa.table({
-        "vec_id": pa.array([h[0] for h in hits], pa.int64()),
-        "sim_x10k": pa.array([int(np.floor(h[1] * 10000 + 0.5)) for h in hits],
-                             pa.int64()),
-    })
+    qvec = np.asarray(
+        ds.filter(expr="vec_id == 0").take_all()[0]["embedding"])
+    out = ivf_topk(ds, qvec.reshape(1, -1), k=10, nprobe=4, n_lists=16)
+    return pa.table({"vec_id": out["key"], "sim_x10k": _x10k(out["sim"])})
 
 
 @query(
@@ -1143,3 +1129,29 @@ def pack_documents_token_budget(sf_dir: str) -> pa.Table:
     out = toks.groupby("_bucket").map_groups(pack, batch_format="pyarrow")
     return pa.Table.from_pylist(out.sort("doc_id").take_all()).select(
         ["doc_id", "token_count", "pack_id"])
+
+
+@query("multimodal_decode_features")
+def multimodal_decode_features(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing, driver-visible (rows-only: binary payloads
+    have no SQL equivalent): deterministic synthetic media -> actor-pool
+    decode stage (FakeDecoder stand-in at the DecodeStub integration
+    point) -> per-item feature stats + payload sha256. Deterministic at
+    any parallelism; real-codec swap point documented in
+    stages/multimodal.py."""
+    import ray.data as rd
+
+    from .stages.multimodal import decode_stage, synth_media_table
+
+    ds = rd.from_arrow(synth_media_table(256, "image")).repartition(4)
+    out = decode_stage(ds).map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "payload_sha256": b["payload_sha256"],
+            "feat_mean_x10k": _x10k(pc.list_element(b["features"], 0)),
+            "feat_std_x10k": _x10k(pc.list_element(b["features"], 1)),
+        }),
+        batch_format="pyarrow",
+    ).sort("media_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
