@@ -161,6 +161,11 @@ def duplicate_check(
         .groupby(columns)
         .aggregate(Count(alias_name="cnt"))
     )
+    if sample_limit:
+        # the sample pass below re-reads `grouped`; without this the lazy
+        # plan re-executes the whole groupby a second time (measured 2x
+        # on the 600k-row composite-key rule)
+        grouped = grouped.materialize()
 
     def gpartial(batch: pa.Table) -> dict:
         cnt = batch["cnt"].to_numpy()

@@ -1155,3 +1155,38 @@ def multimodal_decode_features(sf_dir: str) -> pa.Table:
     ).sort("media_id")
     return pa.Table.from_pylist(out.take_all()).select(
         ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
+
+
+@query("approx_percentiles_events")
+def approx_percentiles_events(sf_dir: str) -> pa.Table:
+    """Mergeable histogram-quantile sketch (stages/sketches.py): two
+    streaming passes, no shuffle — the scale path next to the exact
+    Quantile aggregate (value_percentiles_events). Rows-only
+    (approximate by design); |approx - exact| <= bin width asserted in
+    tests."""
+    from .stages.sketches import approx_quantiles
+
+    ds = _t(sf_dir, "events", ["value"])
+    p25, p50, p75, p95 = approx_quantiles(ds, "value",
+                                          [0.25, 0.50, 0.75, 0.95])
+    return _row(p25_cents=int(np.floor(p25 * 100 + 0.5)),
+                p50_cents=int(np.floor(p50 * 100 + 0.5)),
+                p75_cents=int(np.floor(p75 * 100 + 0.5)),
+                p95_cents=int(np.floor(p95 * 100 + 0.5)))
+
+
+@query("bloom_fk_prefilter_events_customer")
+def bloom_fk_prefilter_events_customer(sf_dir: str) -> pa.Table:
+    """Bloom-filter FK prefilter (stages/sketches.py): the parent key set
+    becomes a mergeable bitmap (never a materialized key list); child keys
+    failing the filter are CERTAIN orphans (no false negatives). Rows-only
+    (the definite count is hash-dependent); bounds vs the exact orphan
+    count asserted in tests."""
+    from .stages.sketches import bloom_build, bloom_probe_orphans
+
+    parent = _t(sf_dir, "customer", ["c_custkey"])
+    child = _t(sf_dir, "events", ["user_id"])
+    bits = bloom_build(parent, "c_custkey", m_bits=1 << 20)
+    total, definite = bloom_probe_orphans(child, "user_id", bits)
+    return _row(total_rows=total, definite_orphans=definite,
+                status="FAIL" if definite else "PASS")

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .textfeat import byte_view
 
@@ -117,3 +118,127 @@ def approx_distinct(ds, column: str, p: int = _P_DEFAULT) -> float:
     parts = ds.map_batches(emit, batch_format="pyarrow").take_all()
     regs = hll_merge([np.frombuffer(r["sketch"], dtype=np.uint8) for r in parts])
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram quantile sketch
+# ---------------------------------------------------------------------------
+
+def approx_quantiles(ds, column: str, qs: list[float],
+                     num_bins: int = 4096) -> list[float]:
+    """Approximate quantiles via a mergeable fixed-bin histogram sketch.
+
+    Two streaming passes, no shuffle: (1) global min/max (tiny aggregate);
+    (2) per-batch np.histogram partials over the fixed range — each batch
+    emits one (num_bins,) int64 row, the driver sums them and reads
+    quantiles with linear interpolation inside the hit bin. Error:
+    O((max-min)/num_bins) per quantile (a few bin widths when bins are
+    sparsely populated). Deterministic; exact Quantile is the
+    all-to-all alternative (value_percentiles_events)."""
+    import pyarrow as pa
+
+    lo = ds.min(column)
+    hi = ds.max(column)
+    if lo is None or hi == lo:
+        return [float(lo if lo is not None else 0.0)] * len(qs)
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch[column].to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v.astype(np.float64))]
+        h = np.histogram(v, bins=num_bins, range=(lo, hi))[0]
+        return pa.table({"h": pa.array([h.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    hist = np.zeros(num_bins, dtype=np.int64)
+    for r in parts:
+        hist += np.frombuffer(r["h"], dtype=np.int64)
+    total = hist.sum()
+    edges = np.linspace(lo, hi, num_bins + 1)
+    cum = np.concatenate([[0], np.cumsum(hist)])
+    out = []
+    for q in qs:
+        target = q * (total - 1)
+        b = int(np.searchsorted(cum, target, side="right")) - 1
+        b = min(max(b, 0), num_bins - 1)
+        inbin = hist[b]
+        frac = ((target - cum[b]) / inbin) if inbin else 0.0
+        out.append(float(edges[b] + frac * (edges[b + 1] - edges[b])))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership sketch (FK prefilter)
+# ---------------------------------------------------------------------------
+
+_BLOOM_SALTS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _bloom_positions(h: np.ndarray, m_bits: int) -> list[np.ndarray]:
+    return [((h ^ np.uint64(s)) * np.uint64(0x2545F4914F6CDD1D)) % np.uint64(m_bits)
+            for s in _BLOOM_SALTS]
+
+
+def _hash_col(column) -> np.ndarray:
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    if pa.types.is_string(column.type) or pa.types.is_large_string(column.type):
+        return _hash64_strings(column)
+    return _hash64_ints(column.to_numpy(zero_copy_only=False))
+
+
+def bloom_build(ds, column: str, m_bits: int = 1 << 23) -> np.ndarray:
+    """Mergeable Bloom filter of a key column: per-batch bitmaps OR-merged
+    on the driver (m_bits/8 bytes per batch — the HLL pattern). With
+    k=3 hashes, FP rate ~ (1 - e^(-3n/m))^3 (~1.1% at n = m/8)."""
+    def part(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        h = _hash_col(col)
+        for pos in _bloom_positions(h, m_bits):
+            np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                             np.uint8(1) << (pos % np.uint64(8)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.large_binary())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").take_all()
+    out = np.zeros(m_bits // 8, dtype=np.uint8)
+    for r in parts:
+        out |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return out
+
+
+def bloom_probe_orphans(ds, column: str, bloom_bits: np.ndarray):
+    """Count child keys that DEFINITELY miss the parent Bloom filter
+    (bloom has no false negatives, so these are certain FK orphans) plus
+    the total probed. A 100 TB prefilter: certain-orphans > 0 fails the
+    check without ever materializing the exact parent key set; the
+    maybe-set (FP-bounded) is what an exact pass would verify."""
+    import ray
+
+    m_bits = len(bloom_bits) * 8
+    bref = ray.put(bloom_bits)
+
+    def part(batch: pa.Table) -> pa.Table:
+        bits = ray.get(bref)
+        col = batch[column]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(pc.is_valid(col)) if col.null_count else col
+        h = _hash_col(col)
+        hit = np.ones(len(h), dtype=bool)
+        for pos in _bloom_positions(h, m_bits):
+            byte = bits[(pos // 8).astype(np.int64)]
+            hit &= (byte >> (pos % np.uint64(8)).astype(np.uint8)) & 1 > 0
+        return pa.table({"total": pa.array([len(h)], pa.int64()),
+                         "definite_orphans": pa.array(
+                             [int((~hit).sum())], pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    agg = ds.map_batches(part, batch_format="pyarrow").aggregate(
+        Sum("total", alias_name="total"),
+        Sum("definite_orphans", alias_name="definite_orphans"))
+    return int(agg["total"] or 0), int(agg["definite_orphans"] or 0)

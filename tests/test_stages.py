@@ -196,3 +196,40 @@ def test_unknown_lang_rule(models):
     b = _run_chain(tbl, models)
     assert b["keep"][0].as_py() is False
     assert "unknown_lang" in b["drop_reasons"][0].as_py()
+
+
+def test_approx_quantiles_within_bin_width(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from engine.stages.sketches import approx_quantiles
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["value"])
+    vals = np.array([r["value"] for r in ds.take_all()], dtype=np.float64)
+    lo, hi = vals.min(), vals.max()
+    bin_w = (hi - lo) / 4096
+    approx = approx_quantiles(ds, "value", [0.25, 0.5, 0.75, 0.95])
+    exact = np.quantile(vals, [0.25, 0.5, 0.75, 0.95])
+    for a, e in zip(approx, exact):
+        assert abs(a - e) <= bin_w * 3, (a, e, bin_w)
+
+
+def test_bloom_fk_prefilter_bounds(ray_session):
+    """Bloom probe: no false negatives (definite_orphans <= true orphans)
+    and a usable FP rate (definite catches most planted orphans)."""
+    import ray.data as rd
+
+    from engine.stages.sketches import bloom_build, bloom_probe_orphans
+
+    parent = rd.from_items([{"k": i} for i in range(10_000)])
+    # children: 5k valid refs + 500 planted orphans
+    child = rd.from_items(
+        [{"k": i % 10_000} for i in range(5_000)]
+        + [{"k": 1_000_000 + i} for i in range(500)]
+    ).repartition(4)
+    bits = bloom_build(parent, "k", m_bits=1 << 20)
+    total, definite = bloom_probe_orphans(child, "k", bits)
+    assert total == 5_500
+    assert definite <= 500          # no false negatives ever
+    assert definite >= 450          # FP rate small at this fill factor
