@@ -1190,3 +1190,106 @@ def bloom_fk_prefilter_events_customer(sf_dir: str) -> pa.Table:
     total, definite = bloom_probe_orphans(child, "user_id", bits)
     return _row(total_rows=total, definite_orphans=definite,
                 status="FAIL" if definite else "PASS")
+
+
+@query(
+    "asof_join_events_orders",
+    """
+    WITH o AS (SELECT o_custkey, o_orderdate,
+                      max(o_orderkey) AS o_orderkey
+               FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, o.o_orderkey AS matched_orderkey
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey
+     AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+    ORDER BY e.event_id
+    """,
+)
+def asof_join_events_orders(sf_dir: str) -> pa.Table:
+    """As-of join (stages/asof.py — an operator Ray Data lacks): each
+    event matched to its customer's latest order at-or-before the event
+    timestamp. Orders deduped to max orderkey per (customer, date) on
+    BOTH sides so ties are deterministic (the same requirement DuckDB's
+    ASOF JOIN has). One bucket shuffle + per-bucket vectorized
+    sort/forward-fill."""
+    from ray.data.aggregate import Max
+
+    from .stages.asof import asof_join
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = (
+        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .groupby(["o_custkey", "o_orderdate"])
+        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        .map_batches(
+            lambda b: pa.table({
+                "user_id": b["o_custkey"],
+                "o_orderdate": b["o_orderdate"],
+                "o_orderkey": b["o_orderkey"],
+            }),
+            batch_format="pyarrow")
+    )
+    out = asof_join(events, orders, key_col="user_id",
+                    left_ts_col="ts", right_ts_col="o_orderdate",
+                    left_id_col="event_id", right_value_col="o_orderkey")
+    t = pa.Table.from_pylist(out.sort("left_id").take_all())
+    return pa.table({
+        "event_id": t["left_id"],
+        "user_id": t["key"],
+        "matched_orderkey": t["matched_value"],
+    })
+
+
+@query(
+    "range_join_events_value_bands",
+    """
+    WITH bands(band_id, lo, hi) AS (
+      SELECT i, i * 50.0, (i + 1) * 50.0 FROM (
+        SELECT unnest(generate_series(0, 19)) AS i)
+    )
+    SELECT b.band_id, count(e.event_id) AS n_events,
+           CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM bands b LEFT JOIN events e
+      ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+)
+def range_join_events_value_bands(sf_dir: str) -> pa.Table:
+    """Range (interval-containment) join: events joined to the value band
+    containing them. The band table is broadcast (small side) and each
+    batch classifies its rows with ONE vectorized searchsorted — never a
+    cross-join; the oracle is the literal BETWEEN join."""
+    from ray.data.aggregate import Count, Sum
+
+    from .queries import _cents
+
+    n_bands, width = 20, 50.0
+    edges = np.arange(n_bands + 1) * width
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        band = np.searchsorted(edges, v, side="right") - 1
+        keep = (band >= 0) & (band < n_bands) & ~np.isnan(v)
+        return pa.table({
+            "band_id": pa.array(band[keep], pa.int64()),
+            "value_cents": _cents(pa.array(v[keep])),
+        })
+
+    g = (
+        ds.map_batches(classify, batch_format="pyarrow")
+        .groupby("band_id")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_cents", alias_name="value_cents"))
+    )
+    got = {r["band_id"]: (r["n_events"], r["value_cents"])
+           for r in g.take_all()}
+    # left-join semantics: every band appears, empty bands count 0/NULL
+    return pa.table({
+        "band_id": pa.array(range(n_bands), pa.int64()),
+        "n_events": pa.array([got.get(b, (0, None))[0]
+                              for b in range(n_bands)], pa.int64()),
+        "value_cents": pa.array([got.get(b, (0, None))[1]
+                                 for b in range(n_bands)], pa.int64()),
+    })

@@ -1,0 +1,129 @@
+"""As-of (temporal) join — an operator Ray Data lacks natively.
+
+``asof_join(left, right, ...)``: for every left row, find the single
+right row with the same key and the greatest right timestamp <= the left
+timestamp (the "latest state as of this event" join used for joining an
+event stream against a slowly-changing table).
+
+Physical plan (documented partitioning assumption: one key-hash bucket's
+rows fit in one worker — the session-window / dedup regime):
+
+1. tag + project both sides to (key, ts, side, id/value) and union —
+   a metadata-thin stream, never the full payload;
+2. ONE groupby shuffle on ``hash(key) % num_buckets``;
+3. per bucket: ONE vectorized sort by (key, ts, side) — right rows sort
+   before left rows at equal (key, ts) so a left row matches a same-ts
+   right row (inclusive semantics) — then a forward-fill of the last
+   right position via running maximum, reset at key boundaries. No
+   per-key Python.
+
+Ties on (key, right_ts) must be resolved by the caller (e.g. keep the
+max id per (key, ts) first) — same requirement DuckDB's ASOF JOIN has
+for deterministic output.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .windows import _bucket_of
+
+
+def asof_join(
+    left_ds,
+    right_ds,
+    key_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    left_id_col: str,
+    right_value_col: str,
+    num_buckets: int = 64,
+):
+    """Dataset -> Dataset (left_id, key, matched right_value or null).
+
+    Timestamps are compared in microseconds; date/timestamp columns of
+    any unit are normalized first.
+    """
+    def _micros(col) -> pa.Array:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_date(col.type):
+            col = col.cast(pa.timestamp("us"))
+        elif not (pa.types.is_timestamp(col.type) and col.type.unit == "us"):
+            col = col.cast(pa.timestamp("us"))
+        return col.cast(pa.int64())
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        n = batch.num_rows
+        return pa.table({
+            "key": key,
+            "ts": _micros(batch[left_ts_col]),
+            "side": pa.array(np.ones(n, np.int8)),   # left sorts after right
+            "left_id": batch[left_id_col],
+            "rval": pa.array([None] * n, pa.int64()),
+            "_bucket": pa.array(_bucket_of(key, num_buckets)),
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        key = batch[key_col]
+        n = batch.num_rows
+        return pa.table({
+            "key": key,
+            "ts": _micros(batch[right_ts_col]),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "left_id": pa.array([None] * n, pa.int64()),
+            "rval": pc.cast(batch[right_value_col], pa.int64()),
+            "_bucket": pa.array(_bucket_of(key, num_buckets)),
+        })
+
+    lt = left_ds.map_batches(tag_left, batch_format="pyarrow")
+    rt = right_ds.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("key", "ascending"), ("ts", "ascending"), ("side", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g["key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        new_key = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        pos = np.arange(n)
+        # forward-fill the most recent RIGHT row position within each key:
+        # right rows carry their own position, key starts reset to a
+        # sentinel; running max propagates the latest right row downward
+        marker = np.where(side == 0, pos, -1)
+        reset = np.where(new_key, pos, 0)
+        # segment-aware running max: offset positions by a per-key base so
+        # maxima never leak across keys, then subtract the base back out
+        seg_id = np.cumsum(new_key) - 1
+        base = seg_id * np.int64(n + 1)
+        filled = np.maximum.accumulate(np.where(marker >= 0,
+                                                marker + base, -1))
+        last_right = np.where(filled - base >= 0, filled - base, -1)
+        valid_seg = filled >= base  # a right row seen in THIS key segment
+        left_rows = side == 1
+        rvals = pc.fill_null(g["rval"], 0).to_numpy(zero_copy_only=False)
+        match_pos = last_right[left_rows]
+        have = valid_seg[left_rows] & (match_pos >= 0)
+        out_val = np.where(have, rvals[np.clip(match_pos, 0, n - 1)],
+                           0).astype(np.int64)
+        sel = pa.array(np.flatnonzero(left_rows))
+        return pa.table({
+            "left_id": g["left_id"].take(sel),
+            "key": keys.take(sel),
+            "matched_value": pa.array(out_val, pa.int64(), mask=~have),
+        })
+
+    return (
+        lt.union(rt)
+        .groupby("_bucket")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -233,3 +233,32 @@ def test_bloom_fk_prefilter_bounds(ray_session):
     assert total == 5_500
     assert definite <= 500          # no false negatives ever
     assert definite >= 450          # FP rate small at this fill factor
+
+
+def test_asof_join_semantics(ray_session):
+    """Planted as-of cases: before-any-right -> null, inclusive same-ts
+    match, latest-preceding wins, keys never leak into each other."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = rd.from_items([
+        {"k": 1, "ts": T("2024-01-05"), "lid": 100},  # after r-ts 01-03 -> 11
+        {"k": 1, "ts": T("2024-01-01"), "lid": 101},  # before any right -> null
+        {"k": 1, "ts": T("2024-01-03"), "lid": 102},  # same-ts inclusive -> 11
+        {"k": 2, "ts": T("2024-01-10"), "lid": 103},  # other key -> 22
+        {"k": 3, "ts": T("2024-01-10"), "lid": 104},  # key with no rights -> null
+    ]).repartition(3)
+    right = rd.from_items([
+        {"k": 1, "ts": T("2024-01-02"), "val": 10},
+        {"k": 1, "ts": T("2024-01-03"), "val": 11},
+        {"k": 2, "ts": T("2024-01-01"), "val": 22},
+    ]).repartition(2)
+    out = asof_join(left, right, key_col="k", left_ts_col="ts",
+                    right_ts_col="ts", left_id_col="lid",
+                    right_value_col="val", num_buckets=4)
+    got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
+    assert got == {100: 11, 101: None, 102: 11, 103: 22, 104: None}
