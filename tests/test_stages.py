@@ -262,3 +262,98 @@ def test_asof_join_semantics(ray_session):
                     right_value_col="val", num_buckets=4)
     got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
     assert got == {100: 11, 101: None, 102: 11, 103: 22, 104: None}
+
+
+# ---------------------------------------------------------------------------
+# property-based: vectorized bucket kernels vs brute-force references
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_events_strategy = st.lists(
+    st.tuples(st.integers(0, 4),          # key
+              st.integers(0, 20_000),     # ts seconds
+              st.integers(0, 10**6)),     # id
+    min_size=1, max_size=60, unique_by=lambda t: t[2])
+
+
+@settings(max_examples=25, deadline=None)
+@given(_events_strategy)
+def test_session_windows_match_reference(ray_session, rows):
+    """session_window_agg (hash-bucketed vectorized splits) == per-key
+    brute-force sessionization on arbitrary inputs."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.windows import session_window_agg
+
+    GAP = 600
+    base = dt.datetime(2024, 1, 1)
+    items = [{"k": k, "ts": base + dt.timedelta(seconds=s), "id": i}
+             for k, s, i in rows]
+    ds = rd.from_items(items).repartition(3)
+    out = session_window_agg(ds, "k", "ts", "id", gap_sec=GAP, num_buckets=4)
+    got = sorted((r["k"], r["session_id"], r["n_events"],
+                  r["session_start"], r["session_end"])
+                 for r in out.take_all())
+
+    want = []
+    bykey: dict = {}
+    for it in items:
+        bykey.setdefault(it["k"], []).append(it)
+    for k, evs in bykey.items():
+        evs.sort(key=lambda e: (e["ts"], e["id"]))
+        sid, start, prev, n = 0, evs[0]["ts"], evs[0]["ts"], 0
+        for e in evs:
+            if (e["ts"] - prev).total_seconds() > GAP:
+                want.append((k, sid, n, start, prev))
+                sid, start, n = sid + 1, e["ts"], 0
+            n += 1
+            prev = e["ts"]
+        want.append((k, sid, n, start, prev))
+    assert got == sorted(want)
+
+
+_asof_strategy = st.tuples(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+             min_size=1, max_size=40),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 1000)),
+             min_size=0, max_size=40,
+             unique_by=lambda t: (t[0], t[1])),
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_asof_strategy)
+def test_asof_join_matches_reference(ray_session, data):
+    """asof_join (bucketed forward-fill) == brute-force latest-at-or-
+    before lookup on arbitrary inputs (right side unique per (key, ts))."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.asof import asof_join
+
+    lrows, rrows = data
+    base = dt.datetime(2024, 1, 1)
+    T = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    left = rd.from_items([
+        {"k": k, "ts": T(s), "lid": i}
+        for i, (k, s) in enumerate(lrows)]).repartition(2)
+    right_items = [{"k": k, "ts": T(s), "val": 10_000 + k * 1000 + s}
+                   for k, s in rrows]
+    right = rd.from_items(right_items).repartition(2) if right_items else \
+        rd.from_items([{"k": -1, "ts": T(0), "val": 0}]).filter(
+            expr="k >= 0")
+    out = asof_join(left, right, key_col="k", left_ts_col="ts",
+                    right_ts_col="ts", left_id_col="lid",
+                    right_value_col="val", num_buckets=3)
+    got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
+
+    for i, (k, s) in enumerate(lrows):
+        cands = [r for r in right_items
+                 if r["k"] == k and r["ts"] <= T(s)]
+        want = max(cands, key=lambda r: r["ts"])["val"] if cands else None
+        assert got.get(i) == want, (i, k, s, got.get(i), want)
