@@ -139,14 +139,21 @@ def dedup_decisions(partitions: list[list[str]], work_dir: str) -> str:
         return out
 
     # Phase A — per-partition hashing to metadata parquet (resumable)
+    import re as _re
+
     meta_dir = os.path.join(work_dir, "_dedupmeta")
     os.makedirs(meta_dir, exist_ok=True)
-    # drop metadata of partitions beyond the current plan (plan shrank)
+    # drop leftover temp dirs from interrupted writes (they'd otherwise be
+    # hive-read by phase B AND break the numeric parse below) and metadata
+    # of partitions beyond the current plan (plan shrank)
     for stale in os.listdir(meta_dir):
-        if stale.startswith("pid=") and int(stale[4:]) >= len(partitions):
+        m = _re.fullmatch(r"pid=(\d+)", stale)
+        if stale.startswith("pid=") and m is None:
+            shutil.rmtree(os.path.join(meta_dir, stale), ignore_errors=True)
+        elif m and int(m.group(1)) >= len(partitions):
             shutil.rmtree(os.path.join(meta_dir, stale), ignore_errors=True)
             try:
-                os.remove(os.path.join(meta_dir, f".done-{stale[4:]}"))
+                os.remove(os.path.join(meta_dir, f".done-{m.group(1)}"))
             except OSError:
                 pass
     for pid, files in enumerate(partitions):
@@ -273,6 +280,7 @@ def run_checkpointed(
     manifest_dir = os.path.join(out_dir, "_manifest")
     os.makedirs(manifest_dir, exist_ok=True)
     rules_hash = _rules_hash(thresholds)
+    plan_hash = _plan_hash(partitions)
 
     decisions_dir = dedup_decisions(partitions, out_dir)
 
@@ -282,13 +290,16 @@ def run_checkpointed(
         part_dir = os.path.join(out_dir, f"part-{pid:05d}")
         if os.path.exists(mpath) and os.path.isdir(part_dir):
             # a committed manifest only counts if it was computed under the
-            # SAME rules and the SAME input files — otherwise a re-run with
-            # changed thresholds (or a shifted partition plan) would silently
-            # mix outputs across rule sets (resume-correctness guard)
+            # SAME rules and the SAME partition PLAN. The plan hash (not
+            # just this partition's file list) matters because duplicate
+            # verdicts are GLOBAL: adding one input file can flip which
+            # copy of a cross-partition duplicate wins, changing the
+            # correct output of partitions whose own files didn't move.
             try:
                 with open(mpath) as fh:
                     prev = json.load(fh)
                 fresh = (prev.get("rules_hash") == rules_hash
+                         and prev.get("plan_hash") == plan_hash
                          and prev.get("input_files") == files)
             except (OSError, json.JSONDecodeError):
                 fresh = False
@@ -319,6 +330,7 @@ def run_checkpointed(
             "input_files": files,
             "engine_version": ENGINE_VERSION,
             "rules_hash": rules_hash,
+            "plan_hash": plan_hash,
             "wall_sec": round(time.time() - t0, 3),
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             **audit,

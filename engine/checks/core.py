@@ -312,7 +312,7 @@ def fk_check(
     parent_ds,
     parent_column: str,
     rule: Optional[dict] = None,
-    max_broadcast_keys: int = 2_000_000,
+    max_broadcast_keys: Optional[int] = None,
     num_partitions: int = 16,
 ) -> CheckResult:
     """FK orphan count via broadcast anti-join (range_checker.py:246-288).
@@ -326,6 +326,10 @@ def fk_check(
     """
     import ray
 
+    from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS
+
+    if max_broadcast_keys is None:
+        max_broadcast_keys = DEFAULT_MAX_BROADCAST_KEYS
     rule = _rule(rule, rule_id="FK", description="fk check", column=fk_column)
     if parent_ds.count() > max_broadcast_keys:
         from .extra import _distributed_orphan_count

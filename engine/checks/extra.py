@@ -61,7 +61,7 @@ def date_order_check(
                        details={"start_column": start_col, "end_column": end_col})
 
 
-DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS
 
 
 def _join_key(batch: pa.Table, cols: list[str]) -> pa.Array:
@@ -88,6 +88,11 @@ def _distributed_orphan_count(child_keys_ds, parent_keys_ds,
     total = child.count()
     if not total:
         return 0, 0
+    if not parent_distinct.count():
+        # empty parent key set (e.g. no soft-deleted parents): every child
+        # key misses it — and a join against an all-empty side would crash
+        # on Ray's schema-less empty blocks
+        return total, total
     j = child.join(parent_distinct, "left_outer",
                    num_partitions=num_partitions, on=("__k",))
 

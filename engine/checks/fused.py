@@ -224,9 +224,11 @@ def _fk_builder(rule, catalog):
     per-rule path, where fk_check takes the distributed-join fallback."""
     import ray
 
+    from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS
+
     column = rule["column"]
     parent = catalog.load(rule["parent_table"], [rule["parent_column"]])
-    if parent.count() > 2_000_000:
+    if parent.count() > DEFAULT_MAX_BROADCAST_KEYS:
         return None
     keys_ref = ray.put(pa.array(parent.unique(rule["parent_column"])))
 

@@ -2,6 +2,12 @@
 
 from __future__ import annotations
 
+# single source of truth for "is this side small enough to broadcast":
+# used by fk_check, the fused FK builder, composite-FK/soft-delete and
+# the cross-table date-order query — one knob, no divergence between the
+# fused and per-rule strategies
+DEFAULT_MAX_BROADCAST_KEYS = 2_000_000
+
 
 def join_partitions(cap: int = 64) -> int:
     """Hash-join partition count sized to the cluster: Ray's hash-shuffle

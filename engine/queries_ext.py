@@ -21,8 +21,8 @@ def _x10k(arr) -> pa.Array:
 
 
 # broadcast-side row guard for cross-table probes (tests shrink it to
-# exercise the distributed-join fallback)
-MAX_BROADCAST_ROWS = 2_000_000
+# exercise the distributed-join fallback); one shared knob in dsutil
+from .dsutil import DEFAULT_MAX_BROADCAST_KEYS as MAX_BROADCAST_ROWS  # noqa: E402
 
 
 # ===========================================================================

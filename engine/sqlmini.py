@@ -193,9 +193,15 @@ def run_rule_query(catalog, sql: str):
             elif it["kind"] in ("count_distinct", "count_distinct_date"):
                 raise ValueError("COUNT(DISTINCT) with GROUP BY unsupported")
         out = projected.groupby("__group").aggregate(*aggs)
-        # rename the group column back to its alias
-        galias = next(i["alias"] for i in items
-                      if i["kind"] in ("date", "col"))
+        # rename the group column back to its alias — the select list must
+        # contain the GROUP BY expression itself (same kind AND column),
+        # otherwise the output would silently mislabel the group key
+        matching = [i for i in items
+                    if i["kind"] == group["kind"] and i["col"] == group["col"]]
+        if not matching:
+            raise ValueError(
+                "GROUP BY expression must appear in the select list")
+        galias = matching[0]["alias"]
         renamed = out.map_batches(
             lambda b, g=galias: b.rename_columns(
                 [g if c == "__group" else c for c in b.column_names]),

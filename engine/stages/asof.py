@@ -63,7 +63,7 @@ def asof_join(
             "ts": _micros(batch[left_ts_col]),
             "side": pa.array(np.ones(n, np.int8)),   # left sorts after right
             "left_id": batch[left_id_col],
-            "rval": pa.array([None] * n, pa.int64()),
+            "rval": pa.nulls(n, pa.int64()),
             "_bucket": pa.array(_bucket_of(key, num_buckets)),
         })
 
@@ -74,7 +74,7 @@ def asof_join(
             "key": key,
             "ts": _micros(batch[right_ts_col]),
             "side": pa.array(np.zeros(n, np.int8)),
-            "left_id": pa.array([None] * n, pa.int64()),
+            "left_id": pa.nulls(n, pa.int64()),
             "rval": pc.cast(batch[right_value_col], pa.int64()),
             "_bucket": pa.array(_bucket_of(key, num_buckets)),
         })
@@ -100,7 +100,6 @@ def asof_join(
         # right rows carry their own position, key starts reset to a
         # sentinel; running max propagates the latest right row downward
         marker = np.where(side == 0, pos, -1)
-        reset = np.where(new_key, pos, 0)
         # segment-aware running max: offset positions by a per-key base so
         # maxima never leak across keys, then subtract the base back out
         seg_id = np.cumsum(new_key) - 1

@@ -90,7 +90,10 @@ def _partial_topk_rows(keys: np.ndarray, mat: np.ndarray, qm: np.ndarray,
         kk = min(k, len(valid))
         if not kk:
             continue
-        idx = valid[np.argpartition(-row[valid], kk - 1)[:kk]]
+        # full (sim desc, key asc) order — NOT bare argpartition: exact
+        # sim ties straddling the batch's top-k boundary must keep the
+        # same keys the global merge (and a built index) would keep
+        idx = valid[np.lexsort((keys[valid], -row[valid]))[:kk]]
         out_qi.extend([qi] * kk)
         out_key.extend(keys[idx].tolist())
         out_sim.extend(row[idx].tolist())
@@ -151,9 +154,14 @@ def lsh_topk(
     """Index-free LSH search: each batch computes its own signatures and
     keeps rows whose bucket is within ``probe_bits`` bit flips of each
     query's bucket (multi-probe), then partial top-k + tiny driver merge.
-    Same candidates as LSHIndex.query over a built index."""
+    Same candidates as LSHIndex.query over a built index.
+    ``probe_bits`` must be <= 2 (the implemented probe radius)."""
     import ray
 
+    if probe_bits > 2:
+        raise ValueError(
+            f"probe_bits={probe_bits} unsupported: multi-probe is "
+            "implemented for radius <= 2 bit flips")
     q = _normalize(np.atleast_2d(np.asarray(query_vectors, dtype=np.float64)))
     dim = q.shape[1]
     shared = LSHIndex(dim, n_planes, seed)
@@ -215,7 +223,12 @@ class LSHIndex:
 
     def query(self, vec: np.ndarray, k: int = 10, probe_bits: int = 2):
         """Top-k (key, sim) among vectors in the query's bucket and all
-        buckets within ``probe_bits`` bit flips (multi-probe)."""
+        buckets within ``probe_bits`` bit flips (multi-probe).
+        ``probe_bits`` must be <= 2 (the implemented probe radius)."""
+        if probe_bits > 2:
+            raise ValueError(
+                f"probe_bits={probe_bits} unsupported: multi-probe is "
+                "implemented for radius <= 2 bit flips")
         v = _normalize(vec.reshape(1, -1))[0]
         sig = int(self._sig(v.reshape(1, -1))[0])
         probe = [sig]

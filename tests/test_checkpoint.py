@@ -180,3 +180,53 @@ def test_dedup_marker_invalidated_by_plan_change(ray_session, tmp_path):
         f"SELECT count(*) FROM read_parquet('{d}/pid=*/*.parquet')"
     ).fetchone()[0]
     assert n == 410  # decisions cover the NEW plan, not the stale cached one
+
+
+def test_dedup_phase_a_tmp_leftover_cleanup(ray_session, tmp_path):
+    """A leftover pid=N.tmp-... dir from a killed phase-A write must be
+    swept on resume (not crash the numeric pid parse, not be hive-read)."""
+    from engine.checkpoint import dedup_decisions, plan_partitions
+
+    in_dir = str(tmp_path / "in")
+    corpus.write_corpus(in_dir, 400, num_blocks=4)
+    work = str(tmp_path / "work")
+    parts = plan_partitions(in_dir, 2)
+    dedup_decisions(parts, work)
+
+    # simulate an interrupted write + wipe the committed marker
+    os.makedirs(f"{work}/_dedupmeta/pid=1.tmp-deadbeef", exist_ok=True)
+    with open(f"{work}/_dedupmeta/pid=1.tmp-deadbeef/junk.txt", "w") as fh:
+        fh.write("partial")
+    os.remove(f"{work}/_dedup/_SUCCESS")
+
+    d = dedup_decisions(parts, work)  # must not raise
+    assert not any(".tmp-" in p for p in os.listdir(f"{work}/_dedupmeta"))
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT count(*) FROM read_parquet('{d}/pid=*/*.parquet')"
+    ).fetchone()[0]
+    assert n == 400
+
+
+def test_resume_invalidated_by_plan_change(ray_session, tmp_path):
+    """Adding an input file changes the GLOBAL partition plan; every
+    committed partition must recompute (duplicate verdicts are global)."""
+    import pyarrow.parquet as pq
+
+    from engine.checkpoint import run_checkpointed
+
+    in_dir = str(tmp_path / "in")
+    corpus.write_corpus(in_dir, 400, num_blocks=4)
+    out_dir = str(tmp_path / "out")
+    s1 = run_checkpointed(in_dir, out_dir, n_parts=2)
+    assert len(s1["computed"]) == 2
+
+    src = sorted(f for f in os.listdir(in_dir) if f.endswith(".parquet"))[0]
+    t = pq.read_table(os.path.join(in_dir, src))
+    pq.write_table(t.slice(0, 5), os.path.join(in_dir, "zz-extra.parquet"))
+
+    s2 = run_checkpointed(in_dir, out_dir, n_parts=2)
+    assert len(s2["computed"]) == 2 and not s2["skipped_committed"]
+    assert s2["rows"] == 405

@@ -401,3 +401,45 @@ def test_embedding_neardup_distributed(ray_session):
         assert (j, 100 + j) in pairs, j
     # random 16-dim gaussians are nowhere near cos 0.95 of each other
     assert all(a % 100 == b % 100 for a, b in pairs)
+
+
+def test_minhash_lsh_no_duplicates_empty_result(ray_session):
+    """Zero verified edges (all-distinct corpus) must yield ([], {}) —
+    not a crash in label propagation over empty-block datasets."""
+    import ray.data as rd
+
+    from engine.stages.neardup import minhash_lsh_dedup
+
+    rows = [{"doc_id": i, "text": f"totally distinct document body {i} " * 8
+             + str(i * 7919)} for i in range(30)]
+    clusters, rep_of = minhash_lsh_dedup(rd.from_items(rows).repartition(4),
+                                         jaccard_threshold=0.9)
+    assert clusters == [] and rep_of == {}
+
+
+def test_label_propagation_long_chain(ray_session):
+    """A 100-node path graph (diameter 99 > the 30-iteration cap) must
+    still converge to ONE component — the pointer-jumping shortcut makes
+    convergence O(log diameter)."""
+    import ray.data as rd
+
+    from engine.stages.neardup import propagate_min_labels
+
+    edges = rd.from_items([{"key_a": i, "key_b": i + 1}
+                           for i in range(99)]).repartition(4)
+    labels = propagate_min_labels(edges, num_partitions=4, max_iters=30)
+    got = {r["key"]: r["label"] for r in labels.take_all()}
+    assert got == {i: 0 for i in range(100)}
+
+
+def test_lsh_probe_bits_guard(ray_session):
+    import ray.data as rd
+
+    from engine.stages.similarity import LSHIndex, lsh_topk
+
+    idx = LSHIndex(8, n_planes=6)
+    with pytest.raises(ValueError, match="probe_bits"):
+        idx.query(np.ones(8), probe_bits=3)
+    ds = rd.from_items([{"vec_id": 0, "embedding": [1.0] * 8}])
+    with pytest.raises(ValueError, match="probe_bits"):
+        lsh_topk(ds, np.ones((1, 8)), probe_bits=3, n_planes=6)

@@ -67,3 +67,19 @@ def test_bad_rule_query_becomes_error_row(ray_session, tmp_path):
     assert by_id["BAD-SQL"].status == CheckStatus.ERROR
     assert by_id["GOOD-SQL"].status == CheckStatus.PASS
     assert summary["errors"] == 1
+
+
+def test_group_by_expr_must_be_selected(ray_session, tmp_path):
+    """GROUP BY over an expression absent from the select list must raise
+    (never silently mislabel the group key column)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.sqlmini import run_rule_query
+    from engine.validate import TableCatalog
+
+    pq.write_table(pa.table({"a": ["x", "y"], "b": [1, 2],
+                             "ts": [1, 2]}), tmp_path / "t.parquet")
+    cat = TableCatalog(str(tmp_path))
+    with pytest.raises(ValueError, match="GROUP BY"):
+        run_rule_query(cat, "SELECT a, COUNT(*) AS cnt FROM t GROUP BY b")

@@ -371,3 +371,17 @@ def test_date_order_query_distributed_fallback(ray_session, monkeypatch):
     monkeypatch.setattr(qx, "MAX_BROADCAST_ROWS", 0)
     got = qx.date_order_lineitem_orders(SF_DIR)
     assert want.equals(got)
+
+
+def test_soft_delete_distributed_empty_deleted_set(ray_session):
+    """Distributed soft-delete path with ZERO deleted parents: must PASS
+    with 0 violations, not crash joining an all-empty side."""
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey"])
+    orders = rd.read_parquet(f"{SF_DIR}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus"])
+    r = ck.soft_delete_check(li, "l_orderkey", orders, "o_orderkey",
+                             "o_orderstatus", ["NO_SUCH_STATUS"],
+                             max_broadcast_keys=0)
+    assert r.status == CheckStatus.PASS and r.violation_count == 0
