@@ -536,3 +536,65 @@ def embedding_neardup_edges(
     # same pair can surface from several tables: keep one copy
     return edges.groupby(["key_a", "key_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow")
+
+
+def mark_near_duplicates(
+    ds,
+    text_col: str = "content",
+    id_cols: tuple[str, ...] = ("repo", "path", "commit"),
+    num_perm: int = 128,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    num_partitions: int = 16,
+):
+    """Corpus-level near-dedup: append ``near_dup_flag`` (True = drop, the
+    row is a non-representative member of a near-dup cluster).
+
+    Composition of the distributed primitives: a deterministic string key
+    is derived from ``id_cols``, clusters come from
+    :func:`minhash_lsh_labels`, and the loser set (key != label) is joined
+    back DISTRIBUTED — no broadcast of the loser set, which at corpus
+    scale can itself be corpus-sized. Opt-in next to exact dedup
+    (stages/dedup.py): exact dedup is the flagship default because the
+    keep/drop contract is exact-content-keyed; near-dedup is the
+    aggressive variant for training-data curation."""
+    from ..dsutil import compact
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        k = pc.cast(batch[id_cols[0]], pa.string())
+        for c in id_cols[1:]:
+            k = pc.binary_join_element_wise(k, pc.cast(batch[c], pa.string()),
+                                            "\x1f")
+        return batch.append_column("_nd_key", k)
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow")
+    labels = minhash_lsh_labels(
+        keyed, text_col=text_col, key_col="_nd_key",
+        num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold)
+
+    def losers_only(batch: pa.Table) -> pa.Table:
+        keep = pc.not_equal(batch["key"], batch["label"])
+        t = batch.filter(keep)
+        n = t.num_rows
+        return pa.table({"_nd_key": t["key"],
+                         "_nd_loser": pa.array(np.ones(n, np.int8))})
+
+    losers = compact(labels.map_batches(losers_only, batch_format="pyarrow"),
+                     num_partitions)
+
+    if not losers.count():
+        return keyed.map_batches(
+            lambda b: b.append_column(
+                "near_dup_flag",
+                pa.array(np.zeros(b.num_rows, bool))).drop_columns(["_nd_key"]),
+            batch_format="pyarrow")
+
+    joined = compact(keyed, num_partitions).join(
+        losers, "left_outer", num_partitions=num_partitions, on=("_nd_key",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        flag = pc.is_valid(batch["_nd_loser"])
+        return batch.drop_columns(["_nd_key", "_nd_loser"]).append_column(
+            "near_dup_flag", flag)
+
+    return joined.map_batches(finalize, batch_format="pyarrow")

@@ -443,3 +443,42 @@ def test_lsh_probe_bits_guard(ray_session):
     ds = rd.from_items([{"vec_id": 0, "embedding": [1.0] * 8}])
     with pytest.raises(ValueError, match="probe_bits"):
         lsh_topk(ds, np.ones((1, 8)), probe_bits=3, n_planes=6)
+
+
+def test_mark_near_duplicates_corpus(ray_session):
+    """Corpus-level near-dedup flags exactly the non-representative
+    members of each near-dup cluster (distributed join-back, no loser
+    broadcast); distinct docs stay unflagged."""
+    import ray.data as rd
+
+    from engine.stages.neardup import mark_near_duplicates
+
+    rows = []
+    for i in range(6):  # 6 near-identical variants -> keep 1, drop 5
+        rows.append({"repo": "r1", "path": f"a/{i}.py", "commit": f"c{i}",
+                     "content": BASE + f" tiny-suffix-{i}"})
+    for i in range(10):  # distinct docs -> all kept
+        rows.append({"repo": "r2", "path": f"b/{i}.py", "commit": f"d{i}",
+                     "content": f"wholly different program number {i} " * 10
+                     + str(i * 104729)})
+    ds = rd.from_items(rows).repartition(4)
+    out = mark_near_duplicates(ds, jaccard_threshold=0.6)
+    flags = {(r["repo"], r["path"]): r["near_dup_flag"]
+             for r in out.take_all()}
+    assert len(flags) == 16
+    dropped = [k for k, v in flags.items() if v]
+    assert len(dropped) == 5 and all(k[0] == "r1" for k in dropped)
+    assert ("r1", "a/0.py") not in dropped  # min-key representative kept
+
+
+def test_mark_near_duplicates_no_dups(ray_session):
+    import ray.data as rd
+
+    from engine.stages.neardup import mark_near_duplicates
+
+    rows = [{"repo": "r", "path": f"p{i}", "commit": f"c{i}",
+             "content": f"unique doc {i} " * 12 + str(i * 7919)}
+            for i in range(12)]
+    out = mark_near_duplicates(rd.from_items(rows).repartition(3),
+                               jaccard_threshold=0.9)
+    assert all(not r["near_dup_flag"] for r in out.take_all())
