@@ -50,6 +50,9 @@ QUERY_SET = [
     "tumbling_window_events",
     "knn_embeddings_cosine",
     "minhash_signatures_documents",
+    "session_window_events",
+    "asof_join_events_orders",
+    "pack_documents_token_budget",
 ]
 
 

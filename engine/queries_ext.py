@@ -1293,3 +1293,42 @@ def range_join_events_value_bands(sf_dir: str) -> pa.Table:
         "value_cents": pa.array([got.get(b, (0, None))[1]
                                  for b in range(n_bands)], pa.int64()),
     })
+
+
+@query(
+    "train_val_split_documents",
+    """
+    SELECT CASE WHEN doc_id % 10 < 8 THEN 'train' ELSE 'val' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY split ORDER BY split
+    """,
+)
+def train_val_split_documents(sf_dir: str) -> pa.Table:
+    """Deterministic train/val split assignment (O4 seeded-sampling
+    surface at corpus scale): split is a pure function of the stable doc
+    id — identical at any parallelism, trivially resumable — plus
+    per-split size accounting."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        doc = batch["doc_id"]
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        train = doc.to_numpy(zero_copy_only=False) % 10 < 8
+        return pa.table({
+            "split": pa.array(np.where(train, "train", "val")),
+            "n": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    g = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("split")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n", alias_name="total_chars"))
+        .sort("split")
+    )
+    return pa.Table.from_pylist(g.take_all()).select(
+        ["split", "n_docs", "total_chars"])
