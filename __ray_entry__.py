@@ -41,12 +41,49 @@ def entry() -> Any:
     return out
 
 
+# Queries that had no driver CORRECTNESS row through round 2 (the sweep ran
+# a fixed-size prefix of the registration order both rounds). Listing them
+# first guarantees they land inside the swept window this round; the
+# previously-certified queries follow (each already has two rounds of green
+# driver rows, and all oracle-SQL queries are additionally checked against
+# DuckDB every test run in tests/test_queries_oracle.py).
+_SWEEP_FIRST = (
+    "percentage_range_discount",
+    "tumbling_window_events",
+    "session_window_events",
+    "pricing_summary_lineitem",
+    "top_sources_documents",
+    "value_percentiles_events",
+    "ssn_mask_format_customer_name",
+    "hierarchy_cycle_supplier",
+    "validation_summary_chain",
+    "explode_paragraphs_documents",
+    "top_docs_per_lang",
+    "normalize_text_documents",
+    "pack_documents_token_budget",
+    "asof_join_events_orders",
+    "range_join_events_value_bands",
+    "train_val_split_documents",
+    "ivf_knn_embeddings",
+    "approx_distinct_orderkeys",
+    "multimodal_decode_features",
+    "approx_percentiles_events",
+    "bloom_fk_prefilter_events_customer",
+)
+
+
+def _reordered(d: dict) -> dict:
+    head = {k: d[k] for k in _SWEEP_FIRST if k in d}
+    head.update((k, v) for k, v in d.items() if k not in head)
+    return head
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
     from engine.queries import QUERIES
     import engine.queries_ext  # noqa: F401  (registers the extended set)
 
-    return dict(QUERIES)
+    return _reordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
@@ -54,4 +91,4 @@ def oracle_sql() -> dict[str, str]:
     from engine.queries import ORACLE_SQL
     import engine.queries_ext  # noqa: F401
 
-    return dict(ORACLE_SQL)
+    return _reordered(dict(ORACLE_SQL))

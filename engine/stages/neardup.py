@@ -70,14 +70,18 @@ def _shingles(data: np.ndarray, offsets: np.ndarray, k: int = _SHINGLE_K):
     h = np.zeros(len(data) - k + 1, dtype=np.uint64)
     for j in range(k):
         h = h * base + data[j : len(data) - k + 1 + j]
-    # keep only in-doc shingle positions
-    keep = np.zeros(len(h), dtype=bool)
-    for d in range(n_docs):
-        if counts[d] > 0:
-            keep[offsets[d] : offsets[d] + counts[d]] = True
-    hashes = h[keep]
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-    return hashes, starts.astype(np.int64), counts.astype(np.int64)
+    # keep only in-doc shingle positions: doc d keeps global positions
+    # offsets[d] + [0, counts[d]); build the gather index with interval
+    # arithmetic (repeat + arange) — no per-doc Python loop
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.uint64), starts, counts.astype(np.int64)
+    keep_idx = (
+        np.repeat(offsets[:-1].astype(np.int64) - starts, counts)
+        + np.arange(total, dtype=np.int64)
+    )
+    return h[keep_idx], starts, counts.astype(np.int64)
 
 
 def minhash_signatures(
@@ -91,14 +95,30 @@ def minhash_signatures(
     a, b = _perm_params(num_perm, seed)
     n_docs = len(offsets) - 1
     sigs = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
-    for d in range(n_docs):
-        c = counts[d]
-        if c == 0:
-            continue
-        sh = hashes[starts[d] : starts[d] + c]
-        # one doc at a time keeps the (c, num_perm) temp cache-sized
-        hv = (sh[:, None] * a[None, :] + b[None, :]) % np.uint64(_MERSENNE)
-        sigs[d] = hv.min(axis=0)
+    total = len(hashes)
+    if total == 0:
+        return sigs
+    # segment-reduce over doc boundaries (no per-doc Python): process the
+    # shingle stream in fixed-size chunks so the (chunk, num_perm) permute
+    # temp stays ~64 MB regardless of batch size, np.minimum.reduceat at
+    # the doc starts inside each chunk, and fold chunk partials into sigs
+    # (a doc spanning a chunk boundary min-combines across chunks).
+    nz = np.flatnonzero(counts > 0)
+    nz_starts = starts[nz]  # strictly increasing over non-empty docs
+    chunk = 1 << 14  # (chunk, num_perm) temp stays L2/L3-sized
+    buf = np.empty((min(chunk, total), num_perm), dtype=np.uint64)
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
+        hv = buf[: hi - lo]
+        np.multiply(hashes[lo:hi, None], a[None, :], out=hv)
+        hv += b
+        hv %= np.uint64(_MERSENNE)
+        d0 = int(np.searchsorted(nz_starts, lo, "right")) - 1
+        d1 = int(np.searchsorted(nz_starts, hi, "left"))
+        seg = np.maximum(nz_starts[d0:d1], lo) - lo
+        mins = np.minimum.reduceat(hv, seg, axis=0)
+        idx = nz[d0:d1]
+        sigs[idx] = np.minimum(sigs[idx], mins)
     return sigs
 
 
@@ -394,16 +414,30 @@ def simhash64(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     hashes, starts, counts = _shingles(data, offsets)
     n_docs = len(offsets) - 1
     out = np.zeros(n_docs, dtype=np.uint64)
-    for d in range(n_docs):
-        c = counts[d]
-        if c == 0:
-            continue
-        sh = hashes[starts[d] : starts[d] + c]
-        bits = np.unpackbits(sh.view(np.uint8).reshape(-1, 8), axis=1)  # (c, 64)
-        # int64 cast: the uint8 sum would otherwise wrap on the subtraction
-        votes = bits.sum(axis=0).astype(np.int64) * 2 - int(c)  # +/-1 votes
-        fp = np.packbits((votes >= 0).astype(np.uint8)).view(np.uint64)[0]
-        out[d] = fp
+    total = len(hashes)
+    if total == 0 or n_docs == 0:
+        return out
+    # per-doc bit votes via segment-reduce (no per-doc Python): unpack each
+    # chunk of shingle hashes to (chunk, 64) bits and np.add.reduceat into
+    # int64 per-doc counts (int64 accumulate — uint8 reduceat would wrap);
+    # chunking bounds the unpacked temp regardless of batch size.
+    nz = np.flatnonzero(counts > 0)
+    nz_starts = starts[nz]
+    bitcounts = np.zeros((n_docs, 64), dtype=np.int64)
+    chunk = 1 << 16
+    for lo in range(0, total, chunk):
+        hi = min(lo + chunk, total)
+        bits = np.unpackbits(
+            hashes[lo:hi].view(np.uint8).reshape(-1, 8), axis=1)  # (c, 64)
+        d0 = int(np.searchsorted(nz_starts, lo, "right")) - 1
+        d1 = int(np.searchsorted(nz_starts, hi, "left"))
+        seg = np.maximum(nz_starts[d0:d1], lo) - lo
+        idx = nz[d0:d1]
+        bitcounts[idx] += np.add.reduceat(bits, seg, axis=0, dtype=np.int64)
+    votes = bitcounts * 2 - counts.astype(np.int64)[:, None]  # +/-1 votes
+    fps = np.packbits((votes >= 0).astype(np.uint8), axis=1)  # (n_docs, 8)
+    out = np.ascontiguousarray(fps).view(np.uint64).ravel()
+    out[counts == 0] = 0  # empty docs keep the sentinel fingerprint
     return out
 
 
@@ -533,9 +567,17 @@ def embedding_neardup_edges(
         .groupby(["table", "sig"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # same pair can surface from several tables: keep one copy
-    return edges.groupby(["key_a", "key_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow")
+    # same pair can surface from several tables: keep one copy — a plain
+    # groupby aggregate (vectorized sort-based distinct), not per-group
+    # Python via map_groups
+    from ray.data.aggregate import Count
+
+    return (
+        edges.groupby(["key_a", "key_b"])
+        .aggregate(Count(alias_name="_hits"))
+        .map_batches(lambda b: b.drop_columns(["_hits"]),
+                     batch_format="pyarrow")
+    )
 
 
 def mark_near_duplicates(
@@ -545,7 +587,7 @@ def mark_near_duplicates(
     num_perm: int = 128,
     bands: int = 16,
     jaccard_threshold: float = 0.8,
-    num_partitions: int = 16,
+    num_partitions: int | None = None,
 ):
     """Corpus-level near-dedup: append ``near_dup_flag`` (True = drop, the
     row is a non-representative member of a near-dup cluster).
@@ -558,7 +600,10 @@ def mark_near_duplicates(
     (stages/dedup.py): exact dedup is the flagship default because the
     keep/drop contract is exact-content-keyed; near-dedup is the
     aggressive variant for training-data curation."""
-    from ..dsutil import compact
+    from ..dsutil import compact, join_partitions
+
+    if num_partitions is None:
+        num_partitions = join_partitions()
 
     def add_key(batch: pa.Table) -> pa.Table:
         k = pc.cast(batch[id_cols[0]], pa.string())
@@ -589,7 +634,11 @@ def mark_near_duplicates(
                 pa.array(np.zeros(b.num_rows, bool))).drop_columns(["_nd_key"]),
             batch_format="pyarrow")
 
-    joined = compact(keyed, num_partitions).join(
+    # corpus side joins AS-IS (no compact — compacting would materialize
+    # the full content-bearing corpus twice and squeeze it into
+    # num_partitions blocks; only the aggregate-produced losers side needs
+    # the empty-block scrub, and it got one above)
+    joined = keyed.join(
         losers, "left_outer", num_partitions=num_partitions, on=("_nd_key",))
 
     def finalize(batch: pa.Table) -> pa.Table:
