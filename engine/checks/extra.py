@@ -298,10 +298,10 @@ def hierarchy_cycle_check(
                  column=id_column)
     n_rows = ds.count()
     if n_rows > max_nodes:
-        raise ValueError(
-            f"hierarchy has {n_rows} nodes > max_nodes={max_nodes}: the "
-            "driver-resident edge map would not fit; use an iterative "
-            "frontier-join walk (propagate_min_labels pattern) instead")
+        # distributed fallback: the edge map would not fit on the driver —
+        # walk the hierarchy with pointer-doubling joins instead
+        return _hierarchy_cycle_distributed(
+            ds, id_column, parent_column, max_depth, rule, n_rows)
     ids, parents = [], []
     for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
         ids.extend(b[id_column].to_pylist())
@@ -323,4 +323,107 @@ def hierarchy_cycle_check(
     return make_result(rule, "foreign_key",
                        CheckStatus.PASS if stuck == 0 else CheckStatus.FAIL,
                        total_rows=n, violation_count=stuck,
-                       details={"max_depth": max_depth})
+                       details={"max_depth": max_depth,
+                                "strategy": "pointer_stepping"})
+
+
+def _hierarchy_cycle_distributed(
+    ds, id_column: str, parent_column: str, max_depth: int,
+    rule: dict, n_rows: int,
+) -> CheckResult:
+    """Distributed hierarchy walk for node sets too large for a driver
+    edge map: pointer-doubling over join-built jump tables.
+
+    ``J_k`` maps each node to its ancestor ``2^k`` steps up, containing
+    ONLY nodes that have not reached a root within ``2^k`` steps (a null
+    or dangling parent is a root, like the local path). Squaring ``J``
+    (self-join) doubles the distance; applying the set bits of
+    ``max_depth + 1`` to the frontier walks exactly the same
+    ``max_depth + 1`` steps the local pointer-stepping path takes, with
+    O(log max_depth) joins instead of max_depth rounds. Everything stays
+    a Dataset — nothing node-count-sized reaches the driver; identical
+    verdicts to the local path (tested).
+
+    Assumes ``id_column`` values are unique (duplicate ids would fan out
+    the joins), the same contract the reference's recursive CTE has
+    (checks/check_foreign_key.sql:85-119)."""
+    from ..dsutil import compact, join_partitions
+
+    nparts = join_partitions()
+
+    def proj_edges(b: pa.Table) -> pa.Table:
+        # a block whose parents are all NULL carries a null-typed column
+        # (e.g. from_items); cast to the id type so every block joins under
+        # one schema
+        dst = pc.cast(b[parent_column], b.schema.field(id_column).type)
+        t = pa.table({"src": b[id_column], "dst": dst})
+        return t.filter(pc.is_valid(t["dst"]))
+
+    # both join inputs are compacted: proj_edges filters, so blocks can go
+    # empty, and ANY empty block on a join side (schema-ful included)
+    # breaks Ray's hash-join aggregator; node-count-sized data, object
+    # store resident — never the driver
+    edges = compact(ds.map_batches(proj_edges, batch_format="pyarrow"),
+                    nparts)
+    ids = compact(
+        ds.map_batches(lambda b: pa.table({"node": b[id_column]}),
+                       batch_format="pyarrow"),
+        nparts)
+    # dangling parents count as roots: keep only edges whose parent exists
+    j = compact(
+        edges.join(ids, "inner", num_partitions=nparts,
+                   on=("dst",), right_on=("node",))
+        .map_batches(lambda b: pa.table({"src": b["src"], "dst": b["dst"]}),
+                     batch_format="pyarrow"),
+        nparts)
+
+    # frontier starts at distance 1 (the local path's `cur = nxt`): nodes
+    # with a live parent edge; everyone else is already rooted
+    frontier = j.map_batches(
+        lambda b: pa.table({"node": b["src"], "cur": b["dst"]}),
+        batch_format="pyarrow")
+
+    def apply_jump(front, jump):
+        out = front.join(jump, "inner", num_partitions=nparts,
+                         on=("cur",), right_on=("src",))
+        return compact(
+            out.map_batches(
+                lambda b: pa.table({"node": b["node"], "cur": b["dst"]}),
+                batch_format="pyarrow"),
+            nparts)
+
+    def square(jump):
+        out = jump.join(jump, "inner", num_partitions=nparts,
+                        on=("dst",), right_on=("src",),
+                        left_suffix="_l", right_suffix="_r")
+
+        def pick(b: pa.Table) -> pa.Table:
+            src = b["src_l"] if "src_l" in b.column_names else b["src"]
+            dst = b["dst_r"] if "dst_r" in b.column_names else b["dst"]
+            return pa.table({"src": src, "dst": dst})
+
+        return compact(out.map_batches(pick, batch_format="pyarrow"), nparts)
+
+    remaining = max_depth  # the frontier already sits at distance 1
+    stuck = None
+    while remaining and frontier.count():
+        if not j.count():
+            # jump table ran dry: every chain roots within the distance
+            # covered so far, and remaining>0 guarantees one more (inner)
+            # apply — which would empty the frontier. Short-circuit instead
+            # of joining against a zero-row (schema-less-block) dataset.
+            stuck = 0
+            break
+        if remaining & 1:
+            frontier = apply_jump(frontier, j)
+        remaining >>= 1
+        if remaining:
+            j = square(j)
+
+    if stuck is None:
+        stuck = frontier.count()  # never reached a root: cycle / too deep
+    return make_result(rule, "foreign_key",
+                       CheckStatus.PASS if stuck == 0 else CheckStatus.FAIL,
+                       total_rows=n_rows, violation_count=stuck,
+                       details={"max_depth": max_depth,
+                                "strategy": "pointer_doubling"})

@@ -21,15 +21,17 @@ def join_partitions(cap: int = 64) -> int:
 
 
 def compact(ds, num_partitions: int = 16):
-    """Materialize with no schema-less empty blocks.
+    """Materialize with no empty blocks.
 
-    Ray's groupby/aggregate (and map_batches pass-through) emit empty
-    blocks carrying NO schema; a downstream hash join whose partition
-    receives only such blocks fails inside pyarrow ("No match ... for key
-    field"). Repartitioning to <= row-count merges them away — every
-    output block gets at least one row. Cost: one materialization of the
-    input, so call this only on key-cardinality-bounded data (aggregate
-    outputs, edge lists, label sets), never on a raw corpus.
+    ANY empty block on either side of Ray's hash join — schema-less ones
+    from groupby/aggregate AND schema-ful zero-row ones from a filtering
+    map_batches — poisons the join aggregator ("No match ... for key
+    field"; empirically verified: zero-row *partitions* are fine, empty
+    *blocks* are not). Repartitioning to <= row-count merges them away —
+    every output block gets at least one row. Cost: one materialization
+    of the input, so call this only on key-cardinality-bounded data
+    (aggregate outputs, edge lists, label sets), never on a raw corpus
+    (corpus reads of nonempty parquet have no empty blocks).
     """
     m = ds.materialize()
     n = m.count()

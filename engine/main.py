@@ -181,18 +181,23 @@ def main(argv=None) -> int:
         import ray
 
         owns_session = not ray.is_initialized()
-        return run(args)
+        rc = run(args)
     except FileNotFoundError as e:
         logger.error("input error: %s", e)
-        return 2
+        rc = 2
     except Exception:
         logger.exception("unexpected error")
-        return 3
+        rc = 3
     finally:
         import ray
 
         if owns_session and ray.is_initialized():
             ray.shutdown()
+    # machine-readable marker: `ray job submit` returns the Ray CLI's own
+    # exit code, so remote wrappers recover the engine's 0/1/2/3 contract
+    # from this line in the job log (scripts/run_pipeline.sh)
+    print(f"ENGINE_EXIT_CODE={rc}", flush=True)
+    return rc
 
 
 if __name__ == "__main__":

@@ -90,20 +90,32 @@ def corpus_from_documents(sf_dir: str):
 
     import ray.data as rd
 
+    from ..stages.textfeat import byte_view
+
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
 
     def adapt(batch: pa.Table) -> pa.Table:
-        doc_ids = batch["doc_id"].to_pylist()
+        import pyarrow.compute as pc
+
+        ids_str = pc.cast(batch["doc_id"], pa.string())
+        # path: one vectorized concat; commit: sha1 of the decimal doc id —
+        # digests loop over memoryview slices of the Arrow buffer (same
+        # idiom as heuristics._sha256_column), no per-row Python objects
+        path = pc.binary_join_element_wise("doc/", ids_str, ".txt", "")
+        data, offsets = byte_view(ids_str)
+        mv = memoryview(data)
+        commit = pa.array(
+            [hashlib.sha1(mv[offsets[i]: offsets[i + 1]]).hexdigest()
+             for i in range(len(offsets) - 1)],
+            pa.string(),
+        )
         return pa.table(
             {
                 "repo": batch["source"],
-                "path": pa.array([f"doc/{d}.txt" for d in doc_ids], pa.string()),
-                "commit": pa.array(
-                    [hashlib.sha1(str(d).encode()).hexdigest() for d in doc_ids],
-                    pa.string(),
-                ),
+                "path": path,
+                "commit": commit,
                 "lang": batch["lang"],
-                "content": pa.compute.cast(batch["text"], pa.large_string()),
+                "content": pc.cast(batch["text"], pa.large_string()),
             }
         )
 
@@ -151,21 +163,27 @@ def _audit_rules(config_dir=None):
 
 
 def _audit_partials(batch: pa.Table, audit_rules) -> pa.Table:
-    """Per-batch partial counters (combiner side of the audit aggregate)."""
-    import numpy as np
+    """Per-batch partial counters (combiner side of the audit aggregate).
 
-    reasons = batch["drop_reasons"].to_pylist()
+    Arrow-native: the per-row reason lists are counted with
+    ``pc.list_flatten`` + ``pc.value_counts`` (the value_counts result is
+    bounded by the number of distinct reasons, ~10 — only that tiny table
+    touches Python)."""
+    import pyarrow.compute as pc
+
     counts = {rid: 0 for rid, *_ in audit_rules}
-    reason_to_rid = {reason: rid for rid, reason, *_ in audit_rules}
-    for lst in reasons:
-        for r in lst or ():
-            rid = reason_to_rid.get(r)
+    flat = pc.list_flatten(batch["drop_reasons"])
+    if len(flat):
+        reason_to_rid = {reason: rid for rid, reason, *_ in audit_rules}
+        vc = pc.value_counts(flat)
+        for v, c in zip(vc.field("values").to_pylist(),
+                        vc.field("counts").to_pylist()):
+            rid = reason_to_rid.get(v)
             if rid:
-                counts[rid] += 1
-    keep = batch["keep"].to_numpy(zero_copy_only=False)
+                counts[rid] += int(c)
     row = {
         "total_rows": [batch.num_rows],
-        "kept_rows": [int(np.sum(keep))],
+        "kept_rows": [int(pc_sum(batch, "keep"))],
         "email_redactions": [int(pc_sum(batch, "email_redactions"))],
         "key_redactions": [int(pc_sum(batch, "key_redactions"))],
         "toxic_redactions": [int(pc_sum(batch, "toxic_redactions"))],

@@ -218,7 +218,10 @@ def run_rule_query(catalog, sql: str):
             elif it["kind"] == "count_star":
                 row[it["alias"]] = [projected.count()]
             elif it["kind"] in ("count_distinct", "count_distinct_date"):
-                row[it["alias"]] = [len(projected.unique("__cd_" + it["alias"]))]
+                # SQL COUNT(DISTINCT col) excludes NULLs; Dataset.unique
+                # would count None as a distinct value
+                vals = projected.unique("__cd_" + it["alias"])
+                row[it["alias"]] = [sum(1 for v in vals if v is not None)]
         import ray.data as rd
 
         return rd.from_arrow(pa.table(row))

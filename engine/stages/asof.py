@@ -44,8 +44,15 @@ def asof_join(
     """Dataset -> Dataset (left_id, key, matched right_value or null).
 
     Timestamps are compared in microseconds; date/timestamp columns of
-    any unit are normalized first.
+    any unit are normalized first. The left-id and right-value columns
+    keep their own types (derived from the input schemas — ids and values
+    of any Arrow type work, not just int64).
     """
+    lid_type = dict(zip(left_ds.schema().names,
+                        left_ds.schema().types))[left_id_col]
+    rval_type = dict(zip(right_ds.schema().names,
+                         right_ds.schema().types))[right_value_col]
+
     def _micros(col) -> pa.Array:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -63,7 +70,7 @@ def asof_join(
             "ts": _micros(batch[left_ts_col]),
             "side": pa.array(np.ones(n, np.int8)),   # left sorts after right
             "left_id": batch[left_id_col],
-            "rval": pa.nulls(n, pa.int64()),
+            "rval": pa.nulls(n, rval_type),
             "_bucket": pa.array(_bucket_of(key, num_buckets)),
         })
 
@@ -74,8 +81,8 @@ def asof_join(
             "key": key,
             "ts": _micros(batch[right_ts_col]),
             "side": pa.array(np.zeros(n, np.int8)),
-            "left_id": pa.nulls(n, pa.int64()),
-            "rval": pc.cast(batch[right_value_col], pa.int64()),
+            "left_id": pa.nulls(n, lid_type),
+            "rval": batch[right_value_col],
             "_bucket": pa.array(_bucket_of(key, num_buckets)),
         })
 
@@ -109,16 +116,20 @@ def asof_join(
         last_right = np.where(filled - base >= 0, filled - base, -1)
         valid_seg = filled >= base  # a right row seen in THIS key segment
         left_rows = side == 1
-        rvals = pc.fill_null(g["rval"], 0).to_numpy(zero_copy_only=False)
         match_pos = last_right[left_rows]
         have = valid_seg[left_rows] & (match_pos >= 0)
-        out_val = np.where(have, rvals[np.clip(match_pos, 0, n - 1)],
-                           0).astype(np.int64)
+        # type-generic gather: take the matched right row's value through
+        # Arrow (null index -> null output), no numpy dtype round-trip
+        idx = pa.array(np.clip(match_pos, 0, n - 1).astype(np.int64),
+                       mask=~have)
+        rv = g["rval"]
+        if isinstance(rv, pa.ChunkedArray):
+            rv = rv.combine_chunks()
         sel = pa.array(np.flatnonzero(left_rows))
         return pa.table({
             "left_id": g["left_id"].take(sel),
             "key": keys.take(sel),
-            "matched_value": pa.array(out_val, pa.int64(), mask=~have),
+            "matched_value": rv.take(idx),
         })
 
     return (

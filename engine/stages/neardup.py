@@ -251,7 +251,34 @@ def minhash_lsh_edges(
     )
 
 
-def propagate_min_labels(edges, num_partitions: int = 16, max_iters: int = 30):
+def _local_min_labels(src: np.ndarray, dst: np.ndarray):
+    """Connected components over an in-memory edge list: vectorized
+    min-label propagation with pointer jumping (O(E) per round, O(log n)
+    rounds). Returns (keys, labels) — label is the component-minimum key,
+    identical semantics to the distributed path (np.unique sorts
+    ascending, and UTF-8 byte order equals code-point order, so the min
+    index IS the min key for both ints and strings)."""
+    keys, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s = inv[: len(src)]
+    d = inv[len(src):]
+    lab = np.arange(len(keys), dtype=np.int64)
+    for _ in range(64):
+        new = lab.copy()
+        np.minimum.at(new, s, lab[d])
+        np.minimum.at(new, d, lab[s])
+        new = new[new]  # pointer jump: label <- label(label)
+        if np.array_equal(new, lab):
+            return keys, keys[lab]
+        lab = new
+    raise RuntimeError("local min-label propagation did not converge")
+
+
+def propagate_min_labels(
+    edges,
+    num_partitions: int = 16,
+    max_iters: int = 30,
+    local_edge_limit: int = 2_000_000,
+):
     """Connected components over an edge Dataset via iterative min-label
     propagation — the distributed replacement for driver union-find.
 
@@ -261,7 +288,14 @@ def propagate_min_labels(edges, num_partitions: int = 16, max_iters: int = 30):
     Returns a Dataset (key, label) covering every node incident to an
     edge; label is the component minimum (the deterministic representative).
     Only label/edge-sized data is ever materialized (object store, not
-    driver heap)."""
+    driver heap).
+
+    Size-guarded fast path: the edge list is *near-dup-set*-sized, not
+    corpus-sized, so when it fits (``local_edge_limit`` edges) the
+    components are computed with one vectorized in-memory pass instead of
+    paying several fixed-cost join rounds — the same guarded
+    small-side/distributed-fallback split as the FK broadcast joins.
+    Outputs are identical either way (tested)."""
     from ray.data.aggregate import Min
 
     from ..dsutil import compact as _compact
@@ -279,10 +313,23 @@ def propagate_min_labels(edges, num_partitions: int = 16, max_iters: int = 30):
 
     adj = _compact(edges.map_batches(sym, batch_format="pyarrow"),
                    num_partitions)
-    if not adj.count():
+    n_sym = adj.count()
+    if not n_sym:
         # zero verified edges: groupby/join over only-empty (schema-less)
         # blocks would crash — the empty label set is the correct answer
         return _empty_labels()
+
+    if n_sym <= 2 * local_edge_limit:  # adj holds both directions
+        import ray.data as rd
+
+        srcs, dsts = [], []
+        for b in adj.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
+            srcs.append(b["src"].to_numpy(zero_copy_only=False))
+            dsts.append(b["dst"].to_numpy(zero_copy_only=False))
+        keys, labs = _local_min_labels(np.concatenate(srcs),
+                                       np.concatenate(dsts))
+        return rd.from_arrow(pa.table({"key": pa.array(keys),
+                                       "label": pa.array(labs)}))
 
     def init_lab(batch: pa.Table) -> pa.Table:
         m = pc.min_element_wise(batch["src"], batch["dst"])
@@ -637,7 +684,9 @@ def mark_near_duplicates(
     # corpus side joins AS-IS (no compact — compacting would materialize
     # the full content-bearing corpus twice and squeeze it into
     # num_partitions blocks; only the aggregate-produced losers side needs
-    # the empty-block scrub, and it got one above)
+    # the empty-block scrub, and it got one above). Assumption: the corpus
+    # has no empty blocks (true for parquet reads of nonempty files — an
+    # empty block on a join side breaks Ray's hash join, see dsutil.compact)
     joined = keyed.join(
         losers, "left_outer", num_partitions=num_partitions, on=("_nd_key",))
 

@@ -22,6 +22,14 @@ import numpy as np
 import pyarrow as pa
 
 
+def _col_np(col) -> np.ndarray:
+    """Zero-copy-ish numpy view of a (typically int64) key column —
+    no per-row Python objects on the hot batch path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
 def _normalize(v: np.ndarray) -> np.ndarray:
     v = v.astype(np.float64)
     return v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
@@ -46,7 +54,7 @@ def knn_brute_force(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qm = ray.get(qref)
-        keys = np.asarray(batch[key_col].to_pylist())
+        keys = _col_np(batch[key_col])
         mat = _normalize(_vecs_np(batch[vec_col]))
         return _partial_topk_rows(keys, mat, qm, None, k)
 
@@ -131,7 +139,7 @@ def ivf_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         c, qm, pr = ray.get(ref)
-        keys = np.asarray(batch[key_col].to_pylist())
+        keys = _col_np(batch[key_col])
         mat = _normalize(_vecs_np(batch[vec_col]))
         cell = np.argmax(mat @ c.T, axis=1)
         keep = (pr[:, :, None] == cell[None, None, :]).any(axis=1)
@@ -184,7 +192,7 @@ def lsh_topk(
     def partial(batch: pa.Table) -> pa.Table:
         qm, probes = ray.get(ref)
         idx = LSHIndex(dim, n_planes, seed)
-        keys = np.asarray(batch[key_col].to_pylist())
+        keys = _col_np(batch[key_col])
         mat = _normalize(_vecs_np(batch[vec_col]))
         sigs = idx._sig(mat)
         keep = np.stack([np.isin(sigs, p) for p in probes])

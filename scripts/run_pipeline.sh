@@ -44,6 +44,15 @@ if [ -n "$SUBMIT" ]; then
         --working-dir "$PROJECT_DIR" \
         -- python -m engine.main "$@" 2>&1 | tee "$LOG_FILE"
     EXIT_CODE=${PIPESTATUS[0]}
+    # ray job submit exits with the Ray CLI's success/failure code, not the
+    # engine's 0/1/2/3 contract — recover the engine code from the marker
+    # line the CLI prints into the job log
+    PARSED=$(grep -o 'ENGINE_EXIT_CODE=[0-9]*' "$LOG_FILE" | tail -1 | cut -d= -f2)
+    if [ -n "$PARSED" ]; then
+        EXIT_CODE=$PARSED
+    elif [ "$EXIT_CODE" -eq 0 ]; then
+        EXIT_CODE=3  # job reported success but the engine never ran to its marker
+    fi
 else
     (cd "$PROJECT_DIR" && python -m engine.main "$@") 2>&1 | tee "$LOG_FILE"
     EXIT_CODE=${PIPESTATUS[0]}

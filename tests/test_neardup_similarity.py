@@ -482,3 +482,44 @@ def test_mark_near_duplicates_no_dups(ray_session):
     out = mark_near_duplicates(rd.from_items(rows).repartition(3),
                                jaccard_threshold=0.9)
     assert all(not r["near_dup_flag"] for r in out.take_all())
+
+
+def test_propagate_min_labels_local_equals_distributed(ray_session):
+    """The size-guarded local fast path and the distributed join+groupby-Min
+    loop produce identical (key, label) sets — int and string keys, chains
+    (pointer-jump stress), multi-component graphs, and repeated edges."""
+    import ray.data as rd
+
+    from engine.stages.neardup import propagate_min_labels
+
+    cases = [
+        # chain 0-1-2-...-9, separate triangle, isolated pair, dup edges
+        [(i, i + 1) for i in range(9)]
+        + [(100, 101), (101, 102), (100, 102), (200, 201), (200, 201)],
+        [(5, 3), (3, 1), (7, 5)],
+    ]
+    for pairs in cases:
+        edges = rd.from_items(
+            [{"key_a": a, "key_b": b} for a, b in pairs]).repartition(3)
+        local = sorted(
+            (r["key"], r["label"])
+            for r in propagate_min_labels(edges).take_all())
+        dist = sorted(
+            (r["key"], r["label"])
+            for r in propagate_min_labels(
+                edges, local_edge_limit=0).take_all())
+        assert local == dist
+        assert local  # non-empty
+
+    # string keys (the mark_near_duplicates regime)
+    spairs = [("b", "a"), ("b", "c"), ("x", "y")]
+    edges = rd.from_items(
+        [{"key_a": a, "key_b": b} for a, b in spairs]).repartition(2)
+    local = sorted((r["key"], r["label"])
+                   for r in propagate_min_labels(edges).take_all())
+    dist = sorted((r["key"], r["label"])
+                  for r in propagate_min_labels(
+                      edges, local_edge_limit=0).take_all())
+    assert local == dist
+    assert local == [("a", "a"), ("b", "a"), ("c", "a"),
+                     ("x", "x"), ("y", "x")]

@@ -83,3 +83,24 @@ def test_group_by_expr_must_be_selected(ray_session, tmp_path):
     cat = TableCatalog(str(tmp_path))
     with pytest.raises(ValueError, match="GROUP BY"):
         run_rule_query(cat, "SELECT a, COUNT(*) AS cnt FROM t GROUP BY b")
+
+
+def test_count_distinct_excludes_nulls(ray_session, tmp_path):
+    """SQL COUNT(DISTINCT col) excludes NULLs; Dataset.unique counts None
+    as a distinct value — the interpreter must filter it out."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from engine.sqlmini import run_rule_query
+    from engine.validate import TableCatalog
+
+    pq.write_table(
+        pa.table({"a": ["x", "y", None, "x", None],
+                  "d": pa.array([1000, 2000, None, 1000, 3000],
+                                pa.timestamp("s"))}),
+        tmp_path / "t.parquet")
+    cat = TableCatalog(str(tmp_path))
+    out = run_rule_query(cat, "SELECT COUNT(DISTINCT a) AS cnt FROM t")
+    assert out.take_all() == [{"cnt": 2}]
+    out2 = run_rule_query(cat, "SELECT COUNT(DISTINCT DATE(d)) AS cnt FROM t")
+    assert out2.take_all() == [{"cnt": 1}]

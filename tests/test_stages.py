@@ -264,6 +264,42 @@ def test_asof_join_semantics(ray_session):
     assert got == {100: 11, 101: None, 102: 11, 103: 22, 104: None}
 
 
+def test_asof_join_generic_types(ray_session):
+    """Non-int64 ids/values (string ids, string + float values) flow
+    through asof_join unchanged — types derive from the input schemas."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.asof import asof_join
+
+    T = lambda s: dt.datetime.fromisoformat(s)  # noqa: E731
+    left = rd.from_items([
+        {"k": 1, "ts": T("2024-01-05"), "lid": "a"},
+        {"k": 1, "ts": T("2024-01-01"), "lid": "b"},
+        {"k": 2, "ts": T("2024-01-10"), "lid": "c"},
+    ]).repartition(2)
+    right = rd.from_items([
+        {"k": 1, "ts": T("2024-01-02"), "val": "v-10"},
+        {"k": 2, "ts": T("2024-01-01"), "val": "v-22"},
+    ]).repartition(2)
+    out = asof_join(left, right, key_col="k", left_ts_col="ts",
+                    right_ts_col="ts", left_id_col="lid",
+                    right_value_col="val", num_buckets=4)
+    got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
+    assert got == {"a": "v-10", "b": None, "c": "v-22"}
+
+    rightf = rd.from_items([
+        {"k": 1, "ts": T("2024-01-02"), "val": 1.5},
+        {"k": 2, "ts": T("2024-01-01"), "val": 2.25},
+    ]).repartition(2)
+    outf = asof_join(left, rightf, key_col="k", left_ts_col="ts",
+                     right_ts_col="ts", left_id_col="lid",
+                     right_value_col="val", num_buckets=4)
+    gotf = {r["left_id"]: r["matched_value"] for r in outf.take_all()}
+    assert gotf == {"a": 1.5, "b": None, "c": 2.25}
+
+
 # ---------------------------------------------------------------------------
 # property-based: vectorized bucket kernels vs brute-force references
 # ---------------------------------------------------------------------------

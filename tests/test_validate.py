@@ -338,13 +338,32 @@ def test_fk_broadcast_guard_fallback_paths(ray_session):
            (od.status, od.total_rows, od.violation_count)
 
 
-def test_hierarchy_size_guard(ray_session):
-    import pytest
+def test_hierarchy_distributed_fallback(ray_session):
+    """Past max_nodes the check switches to the pointer-doubling join walk
+    and returns verdicts identical to the local pointer-stepping path:
+    cycles, a chain deeper than max_depth, dangling parents, clean trees."""
     import ray.data as rd
 
-    ds = rd.from_items([{"id": i, "parent": i - 1} for i in range(50)])
-    with pytest.raises(ValueError, match="max_nodes"):
-        ck.hierarchy_cycle_check(ds, "id", "parent", max_nodes=10)
+    cases = [
+        # deep chain (depth 50) + 3-cycle + dangling parent + root
+        [{"id": i, "parent": i - 1 if i else None} for i in range(50)]
+        + [{"id": 100, "parent": 101}, {"id": 101, "parent": 102},
+           {"id": 102, "parent": 100}, {"id": 200, "parent": 999}],
+        # clean forest
+        [{"id": 1, "parent": None}, {"id": 2, "parent": 1},
+         {"id": 3, "parent": 1}, {"id": 4, "parent": None}],
+        # chain exactly at / over max_depth boundary
+        [{"id": i, "parent": i - 1 if i else None} for i in range(12)],
+    ]
+    for rows in cases:
+        for max_depth in (3, 10, 100):
+            ds = rd.from_items(rows).repartition(3)
+            local = ck.hierarchy_cycle_check(ds, "id", "parent",
+                                             max_depth=max_depth)
+            dist = ck.hierarchy_cycle_check(ds, "id", "parent",
+                                            max_depth=max_depth, max_nodes=1)
+            assert dist.details["strategy"] == "pointer_doubling"
+            assert (local.status, local.total_rows, local.violation_count)                 == (dist.status, dist.total_rows, dist.violation_count),                 (max_depth, rows[:2])
 
 
 def test_fk_check_distributed_fallback(ray_session):
