@@ -67,6 +67,7 @@ _SWEEP_FIRST = (
     "ivf_knn_embeddings",
     "approx_distinct_orderkeys",
     "multimodal_decode_features",
+    "multimodal_audio_features",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

@@ -1133,18 +1133,17 @@ def pack_documents_token_budget(sf_dir: str) -> pa.Table:
 
 @query("multimodal_decode_features")
 def multimodal_decode_features(sf_dir: str) -> pa.Table:
-    """Multimodal plumbing, driver-visible (rows-only: binary payloads
-    have no SQL equivalent): deterministic synthetic media -> actor-pool
-    decode stage (FakeDecoder stand-in at the DecodeStub integration
-    point) -> per-item feature stats + payload sha256. Deterministic at
-    any parallelism; real-codec swap point documented in
-    stages/multimodal.py."""
+    """REAL image decode, driver-visible (rows-only: binary payloads have
+    no SQL equivalent): deterministic synthetic binary-PPM payloads ->
+    actor-pool ImageDecoder (pure-NumPy P6 parser, stages/multimodal.py)
+    -> luminance features from the actual decoded pixels + payload
+    sha256. Deterministic at any parallelism."""
     import ray.data as rd
 
-    from .stages.multimodal import decode_stage, synth_media_table
+    from .stages.multimodal import ImageDecoder, decode_stage, synth_ppm_table
 
-    ds = rd.from_arrow(synth_media_table(256, "image")).repartition(4)
-    out = decode_stage(ds).map_batches(
+    ds = rd.from_arrow(synth_ppm_table(256)).repartition(4)
+    out = decode_stage(ds, decoder_cls=ImageDecoder).map_batches(
         lambda b: pa.table({
             "media_id": b["media_id"],
             "payload_sha256": b["payload_sha256"],
@@ -1155,6 +1154,30 @@ def multimodal_decode_features(sf_dir: str) -> pa.Table:
     ).sort("media_id")
     return pa.Table.from_pylist(out.take_all()).select(
         ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
+
+
+@query("multimodal_audio_features")
+def multimodal_audio_features(sf_dir: str) -> pa.Table:
+    """REAL audio decode (rows-only): deterministic synthetic PCM16 WAV
+    payloads -> actor-pool AudioDecoder (pure-NumPy RIFF/WAVE parser) ->
+    rms / zero-crossing features from the actual decoded samples +
+    payload sha256. Deterministic at any parallelism."""
+    import ray.data as rd
+
+    from .stages.multimodal import AudioDecoder, decode_stage, synth_wav_table
+
+    ds = rd.from_arrow(synth_wav_table(128)).repartition(4)
+    out = decode_stage(ds, decoder_cls=AudioDecoder).map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "payload_sha256": b["payload_sha256"],
+            "rms_x10k": _x10k(pc.list_element(b["features"], 12)),
+            "zcr_x10k": _x10k(pc.list_element(b["features"], 13)),
+        }),
+        batch_format="pyarrow",
+    ).sort("media_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["media_id", "payload_sha256", "rms_x10k", "zcr_x10k"])
 
 
 @query("approx_percentiles_events")
@@ -1231,7 +1254,10 @@ def asof_join_events_orders(sf_dir: str) -> pa.Table:
     )
     out = asof_join(events, orders, key_col="user_id",
                     left_ts_col="ts", right_ts_col="o_orderdate",
-                    left_id_col="event_id", right_value_col="o_orderkey")
+                    left_id_col="event_id", right_value_col="o_orderkey",
+                    # explicit types: orders is groupby-derived, so a
+                    # schema() peek would re-execute its whole shuffle
+                    left_id_type=pa.int64(), right_value_type=pa.int64())
     t = pa.Table.from_pylist(out.sort("left_id").take_all())
     return pa.table({
         "event_id": t["left_id"],

@@ -40,18 +40,26 @@ def asof_join(
     left_id_col: str,
     right_value_col: str,
     num_buckets: int = 64,
+    left_id_type: pa.DataType | None = None,
+    right_value_type: pa.DataType | None = None,
 ):
     """Dataset -> Dataset (left_id, key, matched right_value or null).
 
     Timestamps are compared in microseconds; date/timestamp columns of
     any unit are normalized first. The left-id and right-value columns
-    keep their own types (derived from the input schemas — ids and values
-    of any Arrow type work, not just int64).
-    """
-    lid_type = dict(zip(left_ds.schema().names,
-                        left_ds.schema().types))[left_id_col]
-    rval_type = dict(zip(right_ds.schema().names,
-                         right_ds.schema().types))[right_value_col]
+    keep their own types — ids and values of any Arrow type work, not
+    just int64. Pass ``left_id_type``/``right_value_type`` when known:
+    deriving them calls ``Dataset.schema()``, which EXECUTES a lazy
+    input pipeline once just to learn the type (lazy Datasets re-execute
+    per consumer), so explicit types save a full extra pass over derived
+    inputs."""
+    if left_id_type is None:
+        left_id_type = dict(zip(left_ds.schema().names,
+                                left_ds.schema().types))[left_id_col]
+    if right_value_type is None:
+        right_value_type = dict(zip(right_ds.schema().names,
+                                    right_ds.schema().types))[right_value_col]
+    lid_type, rval_type = left_id_type, right_value_type
 
     def _micros(col) -> pa.Array:
         if isinstance(col, pa.ChunkedArray):

@@ -1,19 +1,22 @@
-"""Multimodal (image/audio/video) column plumbing — real Ray-side
-pipeline, STUBBED codecs.
+"""Multimodal (image/audio/video) columns — real Ray-side pipeline with
+REAL uncompressed codecs (pure NumPy) plus a stub for compressed formats.
 
 Media travel as opaque ``binary`` columns with typed metadata
 (``media_type``, ``width``/``height``/``sample_rate``/``duration_ms``).
 The decode / resize / feature-extract / frame-sample operators are
-actor-pool ``map_batches`` stages whose *plumbing* (schema handling,
-batch sizing for large payloads, actor signature, output layout) is real
-and tested; the codec calls themselves are stubbed because no
-image/audio library ships in this environment:
+actor-pool ``map_batches`` stages:
 
-- ``DecodeStub`` raises ``NotImplementedError`` when asked for a real
-  codec, exactly marking the integration point;
-- ``FakeDecoder`` is the deterministic stand-in used by tests — it
-  "decodes" a synthetic payload into a small fixed-shape array so the
-  end-to-end pipeline (schema, batching, actor reuse) is exercised.
+- ``ImageDecoder`` / ``AudioDecoder`` decode REAL byte formats — binary
+  PPM (P6) images and PCM16 RIFF/WAVE audio — parsed in pure NumPy
+  (``decode_ppm`` / ``decode_wav``), with vectorized nearest-neighbor
+  resize (``resize_nearest``) and 16-dim feature extraction from the
+  actual pixels/samples;
+- ``DecodeStub`` raises ``NotImplementedError`` when asked for a
+  *compressed* codec (JPEG/MP3/H.264 need external libraries absent from
+  this environment), exactly marking that integration point;
+- ``FakeDecoder`` is the deterministic stand-in used by the plumbing
+  tests (schema handling, batching, actor reuse) independent of any
+  format.
 
 Scale notes: media rows are wide — callers should use a small
 ``batch_size`` (default 32 here vs thousands for text) so
@@ -102,6 +105,206 @@ class FakeDecoder:
         return batch.append_column(
             "features", feat_col
         ).append_column("payload_sha256", pa.array(hashes, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# Real codecs (pure NumPy): binary PPM (P6) images, PCM16 RIFF/WAVE audio.
+# No external image/audio library — these parse the actual byte formats,
+# so the decode stage runs on real decoded pixels/samples end to end.
+# ---------------------------------------------------------------------------
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6) bytes."""
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_ppm expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (h, w, 3) uint8 (comments supported)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            i = payload.index(b"\n", i) + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte after maxval, then raw samples
+    w, h, maxval = vals
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    n = w * h * 3
+    if len(payload) - i < n:
+        raise ValueError("truncated PPM payload")
+    return np.frombuffer(payload, np.uint8, count=n, offset=i).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples -> PCM16 RIFF/WAVE bytes."""
+    import struct
+
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise ValueError("encode_wav expects 1-D int16 samples")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 RIFF/WAVE bytes -> (int16 mono samples, sample_rate).
+
+    Walks the chunk list (fmt before data required; extra chunks skipped)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    i, sample_rate, samples = 12, None, None
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack_from("<I", payload, i + 4)
+        body = i + 8
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, body)
+            if audio_fmt != 1 or bits != 16 or channels != 1:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            if sample_rate is None:
+                raise ValueError("data chunk before fmt chunk")
+            samples = np.frombuffer(payload, "<i2", count=size // 2,
+                                    offset=body)
+            break
+        i = body + size + (size & 1)  # chunks are word-aligned
+    if samples is None:
+        raise ValueError("no data chunk")
+    return samples, int(sample_rate)
+
+
+def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor image resize, fully vectorized (fancy indexing)."""
+    h, w = arr.shape[:2]
+    rows = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    cols = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return arr[rows[:, None], cols[None, :]]
+
+
+def synth_ppm_table(n: int, width: int = 32, height: int = 32) -> pa.Table:
+    """Deterministic synthetic REAL-PPM media rows: each payload is a
+    valid P6 file of seeded pseudo-random pixels (decode_ppm round-trips
+    it bit-exactly)."""
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(0xBEEF ^ i))
+        img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        rows["media_id"].append(i)
+        rows["media_type"].append("image")
+        rows["payload"].append(encode_ppm(img))
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_wav_table(n: int, sample_rate: int = 16000,
+                    duration_ms: int = 250) -> pa.Table:
+    """Deterministic synthetic REAL-WAV media rows (PCM16 mono sine +
+    seeded noise)."""
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+    n_samp = sample_rate * duration_ms // 1000
+    t = np.arange(n_samp, dtype=np.float64) / sample_rate
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(0xFEED ^ i))
+        freq = 110.0 * (1 + (i % 16))
+        wave = (0.5 * np.sin(2 * np.pi * freq * t)
+                + 0.05 * rng.standard_normal(n_samp))
+        samples = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+        rows["media_id"].append(i)
+        rows["media_type"].append("audio")
+        rows["payload"].append(encode_wav(samples, sample_rate))
+        rows["width"].append(0)
+        rows["height"].append(0)
+        rows["sample_rate"].append(sample_rate)
+        rows["duration_ms"].append(duration_ms)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+class ImageDecoder:
+    """REAL image decode actor-pool stage: PPM bytes -> pixels ->
+    16-dim features + payload sha256. Same plumbing contract as
+    FakeDecoder, but the features come from actual decoded pixels.
+
+    Feature layout (float32): [mean_lum, std_lum, lum_hist_ratio x8,
+    width, height, mean_r, mean_g, mean_b, maxval]."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, resize_to: tuple[int, int] | None = None):
+        self.resize_to = resize_to  # (w, h) optional pre-feature resize
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, hashes = [], []
+        for payload in batch["payload"].to_pylist():
+            img = decode_ppm(payload)
+            if self.resize_to is not None:
+                img = resize_nearest(img, *self.resize_to)
+            f = img.astype(np.float64)
+            lum = f @ np.array([0.299, 0.587, 0.114])
+            hist = np.histogram(lum, bins=8, range=(0, 256))[0] / lum.size
+            vec = np.concatenate([
+                [lum.mean(), lum.std()], hist,
+                [img.shape[1], img.shape[0]],
+                f.reshape(-1, 3).mean(axis=0), [255.0],
+            ])
+            feats.append(vec.astype(np.float32))
+            hashes.append(hashlib.sha256(payload).hexdigest())
+        feat_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), pa.float32()), self.FEATURE_DIM)
+        return batch.append_column("features", feat_col).append_column(
+            "payload_sha256", pa.array(hashes, pa.string()))
+
+
+class AudioDecoder:
+    """REAL audio decode actor-pool stage: WAV bytes -> samples ->
+    16-dim features + payload sha256.
+
+    Feature layout (float32): [mean_amp, std_amp, amp_hist_ratio x8,
+    sample_rate, n_samples, rms, zero_cross_rate, duration_s, 0]."""
+
+    FEATURE_DIM = 16
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats, hashes = [], []
+        for payload in batch["payload"].to_pylist():
+            samples, rate = decode_wav(payload)
+            x = samples.astype(np.float64) / 32768.0
+            hist = np.histogram(x, bins=8, range=(-1, 1))[0] / max(x.size, 1)
+            zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
+                if x.size > 1 else 0.0
+            vec = np.concatenate([
+                [x.mean(), x.std()], hist,
+                [rate, x.size, np.sqrt(np.mean(x * x)), zcr,
+                 x.size / rate, 0.0],
+            ])
+            feats.append(vec.astype(np.float32))
+            hashes.append(hashlib.sha256(payload).hexdigest())
+        feat_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.concatenate(feats), pa.float32()), self.FEATURE_DIM)
+        return batch.append_column("features", feat_col).append_column(
+            "payload_sha256", pa.array(hashes, pa.string()))
 
 
 def decode_stage(ds, decoder_cls=FakeDecoder, concurrency=(1, 4),

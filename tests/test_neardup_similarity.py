@@ -523,3 +523,90 @@ def test_propagate_min_labels_local_equals_distributed(ray_session):
     assert local == dist
     assert local == [("a", "a"), ("b", "a"), ("c", "a"),
                      ("x", "x"), ("y", "x")]
+
+
+def test_ppm_codec_roundtrip():
+    """encode_ppm/decode_ppm are exact inverses; comments parse."""
+    import numpy as np
+
+    from engine.stages.multimodal import decode_ppm, encode_ppm
+
+    rng = np.random.Generator(np.random.PCG64(11))
+    img = rng.integers(0, 256, size=(7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(decode_ppm(encode_ppm(img)), img)
+    # header comments are legal PPM
+    with_comment = b"P6\n# a comment\n5 7\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(with_comment), img)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n5 7\n255\n" + img.tobytes()[:-1])  # truncated
+
+
+def test_wav_codec_roundtrip():
+    """encode_wav/decode_wav are exact inverses; chunk walking skips
+    unknown chunks."""
+    import struct
+
+    import numpy as np
+
+    from engine.stages.multimodal import decode_wav, encode_wav
+
+    rng = np.random.Generator(np.random.PCG64(12))
+    samples = rng.integers(-32768, 32768, size=1001, dtype=np.int16)
+    payload = encode_wav(samples, 8000)
+    got, rate = decode_wav(payload)
+    assert rate == 8000 and np.array_equal(got, samples)
+    # inject an unknown chunk between fmt and data
+    fmt_end = payload.index(b"data")
+    junk = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = payload[:fmt_end] + junk + payload[fmt_end:]
+    patched = patched[:4] + struct.pack(
+        "<I", len(patched) - 8) + patched[8:]
+    got2, rate2 = decode_wav(patched)
+    assert rate2 == 8000 and np.array_equal(got2, samples)
+
+
+def test_resize_nearest():
+    import numpy as np
+
+    from engine.stages.multimodal import resize_nearest
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    up = resize_nearest(img, 12, 8)
+    assert up.shape == (8, 12, 3)
+    assert np.array_equal(up[0, 0], img[0, 0])
+    assert np.array_equal(up[-1, -1], img[-1, -1])
+    down = resize_nearest(img, 3, 2)
+    assert down.shape == (2, 3, 3)
+
+
+def test_real_decoders_end_to_end(ray_session):
+    """ImageDecoder/AudioDecoder actor-pool stages decode REAL payload
+    bytes; features match a direct in-process decode (determinism across
+    the Ray pipeline)."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.stages.multimodal import (
+        AudioDecoder, ImageDecoder, decode_ppm, decode_stage,
+        synth_ppm_table, synth_wav_table)
+
+    tbl = synth_ppm_table(16, width=8, height=6)
+    out = decode_stage(rd.from_arrow(tbl).repartition(3),
+                       decoder_cls=ImageDecoder).sort("media_id").take_all()
+    assert len(out) == 16
+    img0 = decode_ppm(tbl["payload"][0].as_py())
+    lum0 = img0.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    assert abs(out[0]["features"][0] - lum0.mean()) < 1e-3
+    assert out[0]["features"][10] == 8.0 and out[0]["features"][11] == 6.0
+
+    wtbl = synth_wav_table(8, sample_rate=8000, duration_ms=100)
+    wout = decode_stage(rd.from_arrow(wtbl).repartition(3),
+                        decoder_cls=AudioDecoder).sort("media_id").take_all()
+    assert len(wout) == 8
+    assert wout[0]["features"][10] == 8000.0  # sample_rate
+    assert wout[0]["features"][11] == 800.0   # n_samples
+    assert 0.0 < wout[0]["features"][12] < 1.0  # rms of a 0.5-amp sine
