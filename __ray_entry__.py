@@ -68,6 +68,8 @@ _SWEEP_FIRST = (
     "approx_distinct_orderkeys",
     "multimodal_decode_features",
     "multimodal_audio_features",
+    "hopping_window_events",
+    "contamination_documents",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

@@ -623,6 +623,33 @@ def tumbling_window_events(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "hopping_window_events",
+    """
+    SELECT (CAST(floor(epoch(ts) / 10800) AS BIGINT) - i.i) AS window_idx,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_value_cents
+    FROM events
+    CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS i) i
+    GROUP BY window_idx
+    ORDER BY window_idx
+    """,
+)
+def hopping_window_events(sf_dir: str) -> pa.Table:
+    """6-hour windows hopping every 3 hours (stages/windows.py
+    hopping_window_agg): each event expands into window_sec/hop_sec
+    overlapping windows (vectorized repeat), then ONE groupby — the
+    batch formulation of a sliding stream aggregate."""
+    from .stages.windows import hopping_window_agg
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    out = hopping_window_agg(ds, "ts", "value",
+                             window_sec=21600, hop_sec=10800)
+    t = pa.Table.from_pylist(out.sort("window_idx").take_all())
+    return t.select(["window_idx", "n_events", "total_value_cents"])
+
+
+@query(
     "session_window_events",
     """
     WITH d AS (
@@ -1358,3 +1385,54 @@ def train_val_split_documents(sf_dir: str) -> pa.Table:
     )
     return pa.Table.from_pylist(g.take_all()).select(
         ["split", "n_docs", "total_chars"])
+
+
+@query(
+    "contamination_documents",
+    """
+    WITH nums AS (SELECT unnest(generate_series(1, 8192)) AS i),
+    bench AS (SELECT text FROM documents WHERE source = 'src0'
+              AND text IS NOT NULL),
+    corpus AS (SELECT doc_id, text FROM documents WHERE source <> 'src0'
+               AND text IS NOT NULL),
+    bsh AS (SELECT DISTINCT substr(b.text, i, 8) AS sh
+            FROM bench b JOIN nums ON i <= length(b.text) - 7),
+    per AS (SELECT c.doc_id, count(*) AS hits,
+                   max(length(c.text)) - 7 AS tot
+            FROM corpus c JOIN nums ON i <= length(c.text) - 7
+            JOIN bsh ON substr(c.text, i, 8) = bsh.sh
+            GROUP BY c.doc_id)
+    SELECT (SELECT count(*) FROM corpus) AS total_docs,
+           (SELECT count(*) FROM per
+            WHERE hits * 1000 >= 800 * tot) AS contaminated_docs
+    """,
+)
+def contamination_documents(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination (stages/decontam.py): docs from
+    source 'src0' act as the held-out benchmark; every other doc is
+    flagged when >= 80% of its 8-byte shingle positions occur in the
+    benchmark set (integer-exact ratio on both sides). Broadcast-small-
+    side + one streaming corpus pass, no shuffle; shingles are packed
+    bytes (bijective), so the count matches the SQL substr oracle
+    exactly on this ASCII corpus."""
+    from ray.data.aggregate import Count, Sum
+
+    from .stages.decontam import benchmark_shingle_set, contamination_flags
+
+    docs = _t(sf_dir, "documents", ["doc_id", "text", "source"])
+    bench = docs.filter(
+        expr="source == 'src0'").drop_columns(["source"])
+    corpus = docs.filter(
+        expr="source != 'src0'").drop_columns(["source"])
+    bset = benchmark_shingle_set(bench)
+    flags = contamination_flags(corpus, bset, min_overlap_permille=800)
+    agg = flags.map_batches(
+        lambda b: pa.table({
+            "one": pa.array(np.ones(b.num_rows, np.int64)),
+            "c": pc.cast(b["contaminated"], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).aggregate(Sum("one", alias_name="total_docs"),
+                Sum("c", alias_name="contaminated_docs"))
+    return _row(total_docs=int(agg["total_docs"] or 0),
+                contaminated_docs=int(agg["contaminated_docs"] or 0))

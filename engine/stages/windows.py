@@ -125,3 +125,48 @@ def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
         .groupby("_bucket")
         .map_groups(bucket_sessions, batch_format="pyarrow")
     )
+
+
+def hopping_window_agg(ds, ts_col: str, value_col: str,
+                       window_sec: int = 21600, hop_sec: int = 10800):
+    """Hopping (overlapping/sliding) windows: every event lands in
+    ``window_sec / hop_sec`` windows, emitted as a vectorized row
+    expansion (np.repeat) + one groupby aggregate — the batch-engine
+    formulation of a sliding-window stream aggregate (same regime note as
+    the module docstring: no watermarks, the log IS the data).
+
+    ``window_idx`` identifies the window starting at
+    ``window_idx * hop_sec`` seconds epoch and spanning ``window_sec``.
+    Requires ``hop_sec`` to divide ``window_sec``.
+    """
+    if window_sec % hop_sec:
+        raise ValueError("hop_sec must divide window_sec")
+    k = window_sec // hop_sec
+    from ray.data.aggregate import Count, Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        base = micros // (hop_sec * 1_000_000)
+        n = len(base)
+        # event at t belongs to windows (base - i) for i in [0, k): each
+        # starts <= t (i >= 0) and ends > t (i <= k-1) by construction
+        widx = np.repeat(base, k) - np.tile(np.arange(k, dtype=np.int64), n)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch[value_col], 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "window_idx": pa.array(widx, pa.int64()),
+            "value_cents": pa.array(np.repeat(cents, k), pa.int64()),
+        })
+
+    return (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("window_idx")
+        .aggregate(Count(alias_name="n_events"),
+                   Sum("value_cents", alias_name="total_value_cents"))
+    )

@@ -393,3 +393,89 @@ def test_asof_join_matches_reference(ray_session, data):
                  if r["k"] == k and r["ts"] <= T(s)]
         want = max(cands, key=lambda r: r["ts"])["val"] if cands else None
         assert got.get(i) == want, (i, k, s, got.get(i), want)
+
+
+def test_hopping_window_planted(ray_session):
+    """Each event lands in exactly window/hop hopping windows; counts and
+    sums match a brute-force expansion."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from engine.stages.windows import hopping_window_agg
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        {"ts": base + dt.timedelta(hours=h), "value": float(h)}
+        for h in (0, 1, 3, 5, 6, 11)
+    ]
+    out = hopping_window_agg(
+        rd.from_items(rows).repartition(3), "ts", "value",
+        window_sec=21600, hop_sec=10800)
+    got = {r["window_idx"]: (r["n_events"], r["total_value_cents"])
+           for r in out.take_all()}
+    # brute force: event at t in windows floor(t/hop)-i for i in (0, 1)
+    expect = {}
+    for r in rows:
+        b = int(r["ts"].timestamp()) // 10800
+        for i in (0, 1):
+            n, s = expect.get(b - i, (0, 0))
+            expect[b - i] = (n + 1, s + int(r["value"] * 100))
+    assert got == expect
+    import pytest
+
+    with pytest.raises(ValueError, match="divide"):
+        hopping_window_agg(rd.from_items(rows), "ts", "value",
+                           window_sec=21600, hop_sec=10000)
+
+
+def test_contamination_planted(ray_session):
+    """Planted contamination: a verbatim benchmark excerpt is flagged;
+    disjoint text is not; the ratio threshold separates heavy from
+    incidental overlap; short docs are never contaminated."""
+    import ray.data as rd
+
+    from engine.stages.decontam import (
+        benchmark_shingle_set, contamination_flags)
+
+    bench = rd.from_items([
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "pack my box with five dozen liquor jugs"},
+    ])
+    corpus = rd.from_items([
+        {"doc_id": 10, "text": "quick brown fox jumps over"},   # verbatim
+        {"doc_id": 11, "text": "zzzz qqqq wwww eeee rrrr tttt"},  # disjoint
+        {"doc_id": 12, "text": "the quick brown cat naps quietly at home"},
+        {"doc_id": 13, "text": "short"},                         # < 8 chars
+    ]).repartition(2)
+    bset = benchmark_shingle_set(bench)
+    flags = {r["doc_id"]: r for r in contamination_flags(
+        corpus, bset).take_all()}
+    assert flags[10]["contaminated"] and \
+        flags[10]["overlap_positions"] == flags[10]["total_positions"]
+    assert not flags[11]["contaminated"]
+    assert flags[12]["contaminated"]  # shares "e quick " etc.
+    assert not flags[13]["contaminated"] and \
+        flags[13]["total_positions"] == 0
+
+    strict = {r["doc_id"]: r["contaminated"] for r in contamination_flags(
+        corpus, bset, min_overlap_permille=900).take_all()}
+    assert strict[10] and not strict[12]  # ratio threshold separates them
+
+
+def test_shingle_values_bijective():
+    """Packed 8-byte shingles are the exact windows (no hash collisions)."""
+    import numpy as np
+
+    from engine.stages.decontam import _shingle_values
+    from engine.stages.textfeat import byte_view
+    import pyarrow as pa
+
+    texts = pa.array(["abcdefgh", "abcdefgi", "xabcdefgh"])
+    data, offsets = byte_view(texts)
+    vals, starts, counts = _shingle_values(data, offsets)
+    assert counts.tolist() == [1, 1, 2]
+    # same window -> same value; different window -> different value
+    assert vals[0] == vals[3]          # "abcdefgh" appears in docs 0 and 2
+    assert vals[0] != vals[1]
+    assert int(vals[0]) == int.from_bytes(b"abcdefgh", "big")
