@@ -70,6 +70,7 @@ _SWEEP_FIRST = (
     "multimodal_audio_features",
     "hopping_window_events",
     "contamination_documents",
+    "vocab_top_terms_documents",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

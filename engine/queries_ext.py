@@ -1436,3 +1436,31 @@ def contamination_documents(sf_dir: str) -> pa.Table:
                 Sum("c", alias_name="contaminated_docs"))
     return _row(total_docs=int(agg["total_docs"] or 0),
                 contaminated_docs=int(agg["contaminated_docs"] or 0))
+
+
+@query(
+    "vocab_top_terms_documents",
+    r"""
+    SELECT tok AS term, count(*) AS freq
+    FROM (SELECT unnest(string_split_regex(text, '\s+')) AS tok
+          FROM documents WHERE text IS NOT NULL)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY freq DESC, term ASC
+    LIMIT 50
+    """,
+)
+def vocab_top_terms_documents(sf_dir: str) -> pa.Table:
+    """Corpus vocabulary top-50 (stages/textstats.py term_frequencies):
+    per-batch value_counts combiner -> one groupby Sum -> distributed
+    sort + limit. Deterministic tie order (freq desc, term asc)."""
+    from .stages.textstats import term_frequencies
+
+    ds = _t(sf_dir, "documents", ["text"])
+    top = (
+        term_frequencies(ds)
+        .sort(["freq", "term"], descending=[True, False])
+        .limit(50)
+    )
+    t = pa.Table.from_pylist(top.take_all())
+    return t.select(["term", "freq"])

@@ -105,7 +105,10 @@ def minhash_signatures(
     # (a doc spanning a chunk boundary min-combines across chunks).
     nz = np.flatnonzero(counts > 0)
     nz_starts = starts[nz]  # strictly increasing over non-empty docs
-    chunk = 1 << 14  # (chunk, num_perm) temp stays L2/L3-sized
+    # chunk sized so the (chunk, num_perm) working set stays L2-resident
+    # (2048*128*8 = 2 MB) — measured fastest across 2^11..2^16 on the
+    # bench corpus; bigger chunks go DRAM-bound and lose 25-45%
+    chunk = 1 << 11
     buf = np.empty((min(chunk, total), num_perm), dtype=np.uint64)
     for lo in range(0, total, chunk):
         hi = min(lo + chunk, total)
@@ -170,6 +173,24 @@ def lsh_band_rows(
     return pa.concat_tables(parts)
 
 
+def _add_coarse_bucket(t: pa.Table, num_coarse: int) -> pa.Table:
+    """Derived shuffle key: hash of (band, band_hash) folded into
+    ``num_coarse`` buckets, so the verify groupby shuffles ONE small int
+    key and each group holds MANY logical buckets (vectorized together in
+    _coarse_verify) instead of one Python call per tiny bucket."""
+    bh = t["band_hash"]
+    if isinstance(bh, pa.ChunkedArray):
+        bh = bh.combine_chunks()
+    band = t["band"]
+    if isinstance(band, pa.ChunkedArray):
+        band = band.combine_chunks()
+    mix = (bh.to_numpy(zero_copy_only=False)
+           * np.uint64(0x9E3779B97F4A7C15)
+           + band.to_numpy(zero_copy_only=False).astype(np.uint64))
+    cb = (mix % np.uint64(num_coarse)).astype(np.int64)
+    return t.append_column("_cb", pa.array(cb))
+
+
 def _sigs_np(arr, num_perm: int) -> np.ndarray:
     """(n, num_perm) uint64 view of a fixed-size-binary signature column."""
     if isinstance(arr, pa.ChunkedArray):
@@ -221,6 +242,66 @@ def _bucket_verify(
     })
 
 
+def _coarse_verify(
+    group: pa.Table, num_perm: int, threshold: float, pair_limit: int
+) -> pa.Table:
+    """Verify MANY logical (band, band_hash) buckets in one vectorized
+    pass — semantics identical per bucket to :func:`_bucket_verify`
+    (star edges from the bucket head always checked; i>=1 pairs capped at
+    ``pair_limit``), but the star phase runs as ONE (rows, num_perm)
+    compare across the whole coarse group and Python only touches the
+    rare buckets of size >= 3."""
+    n = group.num_rows
+    key_arr = group["key"]
+    if isinstance(key_arr, pa.ChunkedArray):
+        key_arr = key_arr.combine_chunks()
+    empty = pa.table({"key_a": key_arr.slice(0, 0),
+                      "key_b": key_arr.slice(0, 0)})
+    if n < 2:
+        return empty
+    idx = pc.sort_indices(group, sort_keys=[
+        ("band", "ascending"), ("band_hash", "ascending"),
+        ("key", "ascending")])
+    g = group.take(idx)
+    keys = g["key"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    sigs = _sigs_np(g["sig"], num_perm)
+    band = g["band"].to_numpy(zero_copy_only=False)
+    bh = g["band_hash"].to_numpy(zero_copy_only=False)
+    new_b = np.concatenate(
+        [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    pos = np.arange(n, dtype=np.int64)
+    head = np.maximum.accumulate(np.where(new_b, pos, 0))
+    # star phase, all buckets at once
+    frac0 = (sigs == sigs[head]).mean(axis=1)
+    star = (frac0 >= threshold) & (pos != head)
+    out_a = [head[star]]
+    out_b = [pos[star]]
+    # i >= 1 pair phase, only buckets with >= 3 members
+    seg_starts = np.flatnonzero(new_b)
+    seg_ends = np.append(seg_starts[1:], n)
+    big = seg_ends - seg_starts >= 3
+    for s, e in zip(seg_starts[big], seg_ends[big]):
+        checked = 0
+        for i in range(s + 1, e - 1):
+            if checked >= pair_limit:
+                break
+            frac = (sigs[i + 1: e] == sigs[i]).mean(axis=1)
+            hits = np.flatnonzero(frac >= threshold) + i + 1
+            out_a.append(np.full(len(hits), i, np.int64))
+            out_b.append(hits)
+            checked += e - 1 - i
+    ia = np.concatenate(out_a)
+    if not len(ia):
+        return empty
+    ib = np.concatenate(out_b)
+    return pa.table({
+        "key_a": keys.take(pa.array(ia, pa.int64())),
+        "key_b": keys.take(pa.array(ib, pa.int64())),
+    })
+
+
 def minhash_lsh_edges(
     ds,
     text_col: str = "text",
@@ -229,24 +310,29 @@ def minhash_lsh_edges(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     pair_limit_per_bucket: int = 1000,
+    num_coarse_buckets: int = 256,
 ):
     """Dataset -> Dataset of verified near-dup edges (key_a, key_b).
 
-    One streaming signature pass, ONE shuffle (the band groupby), and
+    One streaming signature pass, ONE shuffle (the coarse-bucket
+    groupby — (band, band_hash) folded into ``num_coarse_buckets``
+    shuffle keys so each group vectorizes many logical buckets instead
+    of paying per-group Python on millions of tiny ones), and
     verification inside each bucket — nothing corpus-sized ever reaches
-    the driver. Edges may repeat across bands (harmless for the min-label
-    clustering, which is idempotent)."""
+    the driver. Edges may repeat across bands (harmless for the
+    min-label clustering, which is idempotent)."""
     def sig_batch(batch: pa.Table) -> pa.Table:
         sigs = minhash_signatures(batch[text_col], num_perm)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        return lsh_band_rows(keys, sigs, bands)
+        return _add_coarse_bucket(
+            lsh_band_rows(keys, sigs, bands), num_coarse_buckets)
 
     band_rows = ds.map_batches(sig_batch, batch_format="pyarrow")
-    return band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_verify(g, num_perm, jaccard_threshold,
-                                 pair_limit_per_bucket),
+    return band_rows.groupby("_cb").map_groups(
+        lambda g: _coarse_verify(g.drop_columns(["_cb"]), num_perm,
+                                 jaccard_threshold, pair_limit_per_bucket),
         batch_format="pyarrow",
     )
 
@@ -635,22 +721,31 @@ def mark_near_duplicates(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     num_partitions: int | None = None,
+    max_broadcast_losers: int | None = None,
 ):
     """Corpus-level near-dedup: append ``near_dup_flag`` (True = drop, the
     row is a non-representative member of a near-dup cluster).
 
     Composition of the distributed primitives: a deterministic string key
     is derived from ``id_cols``, clusters come from
-    :func:`minhash_lsh_labels`, and the loser set (key != label) is joined
-    back DISTRIBUTED — no broadcast of the loser set, which at corpus
-    scale can itself be corpus-sized. Opt-in next to exact dedup
-    (stages/dedup.py): exact dedup is the flagship default because the
-    keep/drop contract is exact-content-keyed; near-dedup is the
-    aggressive variant for training-data curation."""
-    from ..dsutil import compact, join_partitions
+    :func:`minhash_lsh_labels`, and the loser set (key != label) flows
+    back onto the corpus through the size-guarded broadcast/distributed
+    split (the FK-join knob): a loser set that fits
+    (``max_broadcast_losers``, default dsutil's 2M keys) is broadcast
+    once and checked per batch with ``pc.is_in`` — NO corpus shuffle at
+    all — while a larger one falls back to the distributed left-outer
+    join (which must move the content-bearing corpus through the join
+    exchange). Opt-in next to exact dedup (stages/dedup.py): exact dedup
+    is the flagship default because the keep/drop contract is
+    exact-content-keyed; near-dedup is the aggressive variant for
+    training-data curation."""
+    from ..dsutil import (DEFAULT_MAX_BROADCAST_KEYS, compact,
+                          join_partitions)
 
     if num_partitions is None:
         num_partitions = join_partitions()
+    if max_broadcast_losers is None:
+        max_broadcast_losers = DEFAULT_MAX_BROADCAST_KEYS
 
     def add_key(batch: pa.Table) -> pa.Table:
         k = pc.cast(batch[id_cols[0]], pa.string())
@@ -674,12 +769,33 @@ def mark_near_duplicates(
     losers = compact(labels.map_batches(losers_only, batch_format="pyarrow"),
                      num_partitions)
 
-    if not losers.count():
+    n_losers = losers.count()
+    if not n_losers:
         return keyed.map_batches(
             lambda b: b.append_column(
                 "near_dup_flag",
                 pa.array(np.zeros(b.num_rows, bool))).drop_columns(["_nd_key"]),
             batch_format="pyarrow")
+
+    if n_losers <= max_broadcast_losers:
+        import ray
+
+        parts = []
+        for b in losers.iter_batches(batch_size=1 << 16,
+                                     batch_format="pyarrow"):
+            col = b["_nd_key"]
+            parts.append(col.combine_chunks()
+                         if isinstance(col, pa.ChunkedArray) else col)
+        loser_ref = ray.put(pa.concat_arrays(
+            [p.cast(pa.string()) for p in parts]))
+
+        def flag_broadcast(batch: pa.Table) -> pa.Table:
+            vals = ray.get(loser_ref)
+            flag = pc.is_in(batch["_nd_key"], value_set=vals)
+            return batch.drop_columns(["_nd_key"]).append_column(
+                "near_dup_flag", pc.fill_null(flag, False))
+
+        return keyed.map_batches(flag_broadcast, batch_format="pyarrow")
 
     # corpus side joins AS-IS (no compact — compacting would materialize
     # the full content-bearing corpus twice and squeeze it into

@@ -115,3 +115,34 @@ def heuristic_langid(texts: pa.Array | pa.ChunkedArray) -> list[str]:
                 best, best_n = lang, n
         out.append(best)
     return out
+
+
+def term_frequencies(ds, text_col: str = "text"):
+    """Corpus-wide term frequencies (the classic skewed word count).
+
+    Per-batch combiner first: ``pc.split_pattern_regex`` -> flatten ->
+    ``pc.value_counts`` collapses each batch to its DISTINCT tokens
+    before the shuffle (the push-aggregation-partial pattern — hot terms
+    like stopwords appear once per batch instead of once per instance),
+    then ONE groupby Sum over (term, partial count). Returns a Dataset
+    (term, freq), token-cardinality-sized."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch[text_col], r"\s+"))
+        toks = toks.filter(pc.not_equal(toks, ""))
+        empty = pa.table({"term": pa.array([], pa.string()),
+                          "freq_part": pa.array([], pa.int64())})
+        if not len(toks):
+            return empty
+        vc = pc.value_counts(toks)
+        return pa.table({"term": vc.field("values"),
+                         "freq_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("freq_part", alias_name="freq"))
+    )

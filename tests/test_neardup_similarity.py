@@ -610,3 +610,30 @@ def test_real_decoders_end_to_end(ray_session):
     assert wout[0]["features"][10] == 8000.0  # sample_rate
     assert wout[0]["features"][11] == 800.0   # n_samples
     assert 0.0 < wout[0]["features"][12] < 1.0  # rms of a 0.5-amp sine
+
+
+def test_mark_near_duplicates_broadcast_equals_join(ray_session):
+    """The broadcast loser flag path and the distributed-join fallback
+    produce identical near_dup_flag columns."""
+    import ray.data as rd
+
+    from engine.stages.neardup import mark_near_duplicates
+
+    base = ("def sort(xs):\n    return sorted(xs)\n" * 8)
+    rows = []
+    for i in range(40):
+        text = base + (f"# variant {i}\n" if i % 2 else "")
+        rows.append({"repo": f"r{i % 5}", "path": f"p{i}.py",
+                     "commit": f"c{i}", "lang": "python",
+                     "content": text + ("x" * (i % 3))})
+    ds = rd.from_items(rows).repartition(4)
+
+    def flags(out):
+        return sorted((r["repo"], r["path"], r["near_dup_flag"])
+                      for r in out.take_all())
+
+    bcast = flags(mark_near_duplicates(ds, jaccard_threshold=0.6))
+    joined = flags(mark_near_duplicates(ds, jaccard_threshold=0.6,
+                                        max_broadcast_losers=0))
+    assert bcast == joined
+    assert any(f for _, _, f in bcast)  # some near-dups planted
