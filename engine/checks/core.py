@@ -25,6 +25,32 @@ from ..audit import (
 from .base import reduce_batches
 
 
+_DUP_NUM_BUCKETS = 256  # coarse shuffle keys for the duplicate groupby
+
+
+def _key_bucket(t: pa.Table, columns: Sequence[str],
+                num_buckets: int) -> np.ndarray:
+    """Deterministic coarse bucket of a multi-column key: per-column
+    64-bit hashes (ints direct, strings via the vectorized FNV kernel,
+    everything else through a string cast) mixed and folded."""
+    from ..stages.sketches import _hash64_ints, _hash64_strings
+
+    h = np.full(t.num_rows, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for c in columns:
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            hc = _hash64_ints(col.cast(pa.int64()).to_numpy(
+                zero_copy_only=False))
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            hc = _hash64_strings(col)
+        else:
+            hc = _hash64_strings(pc.cast(col, pa.string()))
+        h = (h * np.uint64(0x100000001B3)) ^ hc
+    return ((h >> np.uint64(3)) % np.uint64(num_buckets)).astype(np.int64)
+
+
 def _rule(rule: Optional[dict], **defaults) -> dict:
     out = dict(defaults)
     out.update(rule or {})
@@ -154,12 +180,26 @@ def duplicate_check(
             data, offsets = byte_view(t[c])
             t = t.set_column(t.column_names.index(c), c,
                              _sha256_column(data, offsets, t[c]))
-        return t
+        # local combiner: collapse same-key rows inside the batch before
+        # the shuffle, then coarse-bucket so the exchange moves ONE small
+        # int key (Ray's sort-aggregate on the raw key columns measured
+        # 4x slower than bucket + vectorized in-bucket counting here)
+        tg = t.group_by(columns).aggregate([([], "count_all")])
+        tg = tg.rename_columns(columns + ["cnt_part"])
+        return tg.append_column(
+            "_b", pa.array(_key_bucket(tg, columns, _DUP_NUM_BUCKETS)))
+
+    def bucket_count(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_b"])
+        out = t.group_by(columns).aggregate([("cnt_part", "sum")])
+        out = out.rename_columns(columns + ["cnt"])
+        return out.set_column(len(columns), "cnt",
+                              pc.cast(out["cnt"], pa.int64()))
 
     grouped = (
         ds.map_batches(drop_null_keys, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(columns)
-        .aggregate(Count(alias_name="cnt"))
+        .groupby("_b")
+        .map_groups(bucket_count, batch_format="pyarrow")
     )
     if sample_limit:
         # the sample pass below re-reads `grouped`; without this the lazy
@@ -619,32 +659,57 @@ def existence_check(
     """Key-set difference in both directions (transform_checker.py:187-229):
     distinct keys on each side, full-outer joined; violation = source keys
     missing from target."""
-    from ray.data.aggregate import Count
-
-    from ..dsutil import compact
-
     rule = _rule(rule, rule_id="TRF-EXIST", description="existence check")
-    s = compact(src_ds.groupby(join_key).aggregate(Count(alias_name="src_cnt")),
-                num_partitions)
-    t = compact(tgt_ds.groupby(join_key).aggregate(Count(alias_name="tgt_cnt")),
-                num_partitions)
-    j = s.join(t, "full_outer", num_partitions=num_partitions, on=(join_key,))
 
-    def partial(batch: pa.Table) -> dict:
-        s_null = pc.is_null(batch["src_cnt"]).to_numpy(zero_copy_only=False)
-        t_null = pc.is_null(batch["tgt_cnt"]).to_numpy(zero_copy_only=False)
-        return {
-            "src_keys": int((~s_null).sum()),
-            "tgt_keys": int((~t_null).sum()),
-            "missing_in_target": int(((~s_null) & t_null).sum()),
-            "missing_in_source": int((s_null & (~t_null)).sum()),
-        }
+    def proj(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch[join_key]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            u = pc.unique(col.drop_null())  # local combiner: batch-distinct
+            t = pa.table({join_key: u})
+            return t.append_column(
+                "_side", pa.array(np.full(len(u), side, np.int8))
+            ).append_column(
+                "_b", pa.array(_key_bucket(t, [join_key], _DUP_NUM_BUCKETS)))
+        return fn
 
-    agg = reduce_batches(
-        j, partial,
-        {"src_keys": "sum", "tgt_keys": "sum",
-         "missing_in_target": "sum", "missing_in_source": "sum"},
-    )
+    both = (src_ds.map_batches(proj(0), batch_format="pyarrow")
+            .union(tgt_ds.map_batches(proj(1), batch_format="pyarrow")))
+
+    def bucket_diff(group: pa.Table) -> pa.Table:
+        # same key always hashes to the same bucket on both sides, so the
+        # bidirectional set difference is exact per bucket — the two
+        # sort-aggregates + compacts + full-outer join this replaces
+        # measured ~4x slower on the 750k-row transform rule
+        side = group["_side"]
+        keys = group[join_key]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        s_keys = pc.unique(keys.filter(pc.equal(side, 0)))
+        t_keys = pc.unique(keys.filter(pc.equal(side, 1)))
+        in_t = pc.sum(pc.cast(pc.is_in(s_keys, value_set=t_keys),
+                              pa.int64())).as_py() or 0
+        in_s = pc.sum(pc.cast(pc.is_in(t_keys, value_set=s_keys),
+                              pa.int64())).as_py() or 0
+        return pa.table({
+            "src_keys": pa.array([len(s_keys)], pa.int64()),
+            "tgt_keys": pa.array([len(t_keys)], pa.int64()),
+            "missing_in_target": pa.array([len(s_keys) - in_t], pa.int64()),
+            "missing_in_source": pa.array([len(t_keys) - in_s], pa.int64()),
+        })
+
+    parts = both.groupby("_b").map_groups(bucket_diff, batch_format="pyarrow")
+    sums = parts.sum(["src_keys", "tgt_keys",
+                      "missing_in_target", "missing_in_source"]) or {}
+    agg = {
+        "src_keys": sums.get("sum(src_keys)", 0),
+        "tgt_keys": sums.get("sum(tgt_keys)", 0),
+        "missing_in_target": sums.get("sum(missing_in_target)", 0),
+        "missing_in_source": sums.get("sum(missing_in_source)", 0),
+    }
     mit = int(agg["missing_in_target"] or 0)
     status = CheckStatus.PASS if mit == 0 else CheckStatus.FAIL
     return make_result(
