@@ -40,6 +40,10 @@ def _key_bucket(t: pa.Table, columns: Sequence[str],
         col = t[c]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        if pa.types.is_date32(col.type):
+            col = col.cast(pa.int32())
+        elif pa.types.is_temporal(col.type):
+            col = col.cast(pa.int64())
         if pa.types.is_integer(col.type):
             hc = _hash64_ints(col.cast(pa.int64()).to_numpy(
                 zero_copy_only=False))

@@ -506,6 +506,11 @@ def daily_rollup_events(sf_dir: str) -> pa.Table:
         return pa.table({"event_date": day, "value": batch["value"],
                          "value_cents": cents, "user_id": batch["user_id"]})
 
+    # NOTE: day-cardinality groupbys (~2.5k groups) stay on Ray's native
+    # aggregate — its internal per-block partial combine already collapses
+    # them, and the bucketed_groupby alternative measured SLOWER here
+    # (extra shuffle barriers dominate at low group counts; the bucketed
+    # form wins at high cardinality, see stages/aggregates.py)
     proj = ds.map_batches(project, batch_format="pyarrow")
     rolled = proj.groupby("event_date").aggregate(
         Count(alias_name="event_count"),
@@ -514,9 +519,12 @@ def daily_rollup_events(sf_dir: str) -> pa.Table:
         Min("value", alias_name="min_value"),
     )
     # distinct users per day: distinct (day,user) pairs -> count per day
+    # ((day,user) IS high-cardinality -> bucketed; the day rollup is not)
+    from .stages.aggregates import bucketed_groupby
+
     uu = (
-        proj.groupby(["event_date", "user_id"])
-        .aggregate(Count(alias_name="c"))
+        bucketed_groupby(proj, ["event_date", "user_id"],
+                         [("", "count", "c")])
         .groupby("event_date")
         .aggregate(Count(alias_name="unique_users"))
     )

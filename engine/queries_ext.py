@@ -1262,15 +1262,15 @@ def asof_join_events_orders(sf_dir: str) -> pa.Table:
     BOTH sides so ties are deterministic (the same requirement DuckDB's
     ASOF JOIN has). One bucket shuffle + per-bucket vectorized
     sort/forward-fill."""
-    from ray.data.aggregate import Max
-
+    from .stages.aggregates import bucketed_groupby
     from .stages.asof import asof_join
 
     events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
     orders = (
-        _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
-        .groupby(["o_custkey", "o_orderdate"])
-        .aggregate(Max("o_orderkey", alias_name="o_orderkey"))
+        bucketed_groupby(
+            _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
+            ["o_custkey", "o_orderdate"],
+            [("o_orderkey", "max", "o_orderkey")])
         .map_batches(
             lambda b: pa.table({
                 "user_id": b["o_custkey"],

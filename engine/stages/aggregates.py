@@ -93,3 +93,70 @@ def salted_groupby_agg(
             stage2_aggs.append(Max(name, alias_name=name))
 
     return partial.groupby(key).aggregate(*stage2_aggs)
+
+
+def bucketed_groupby(
+    ds,
+    keys: Sequence[str],
+    aggs: Sequence[tuple[str, str, str]],  # (col, fn, alias); fn count|sum|min|max
+    num_buckets: int = 256,
+):
+    """Grouped aggregation as local-combine + ONE coarse-bucket shuffle +
+    vectorized in-bucket merge — for EXACT (order-independent) aggregates
+    only: counts, integer sums, min/max. Ray's built-in sort-aggregate on
+    raw key columns measured ~4x slower at high group cardinality (457k
+    groups / 600k rows); this shuffles one small int key and runs pyarrow
+    group_by kernels on both sides of the exchange.
+
+    Output: one row per key combination, columns = keys + aliases (same
+    shape as ``groupby(keys).aggregate(...)`` with alias_name set).
+    Do NOT use for float sums — the combine order differs from Ray's
+    aggregate and float addition is not associative.
+    """
+    from ..checks.core import _key_bucket
+
+    keys = list(keys)
+    phase1 = []
+    for col, fn, alias in aggs:
+        if fn == "count":
+            phase1.append(([], "count_all"))
+        elif fn in ("sum", "min", "max"):
+            phase1.append((col, fn))
+        else:
+            raise ValueError(fn)
+    merge_fn = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+    aliases = [alias for _, _, alias in aggs]
+
+    def combine(batch: pa.Table) -> pa.Table:
+        cols = keys + [c for c, _, _ in aggs if c]
+        t = batch.select(list(dict.fromkeys(cols)))
+        for col, fn, _ in aggs:
+            # checked per batch (no driver-side schema() peek — that
+            # would execute a lazy input once just to learn the type)
+            if col and fn == "sum" and pa.types.is_floating(
+                    t.schema.field(col).type):
+                raise ValueError(
+                    f"bucketed_groupby: float sum over {col!r} is order-"
+                    "dependent; cast to integer units first")
+        g = t.group_by(keys).aggregate(phase1)
+        g = g.rename_columns(keys + aliases)
+        return g.append_column(
+            "_b", pa.array(_key_bucket(g, keys, num_buckets)))
+
+    def merge(group: pa.Table) -> pa.Table:
+        t = group.drop_columns(["_b"])
+        out = t.group_by(keys).aggregate(
+            [(alias, merge_fn[fn]) for (_, fn, _), alias in zip(aggs, aliases)])
+        out = out.rename_columns(keys + aliases)
+        # counts merge by summation and must surface as int64 like Count()
+        for (_, fn, _), alias in zip(aggs, aliases):
+            if fn == "count":
+                i = out.column_names.index(alias)
+                out = out.set_column(i, alias, pc.cast(out[alias], pa.int64()))
+        return out
+
+    return (
+        ds.map_batches(combine, batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(merge, batch_format="pyarrow")
+    )

@@ -39,7 +39,8 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str,
                         window_sec: int = 21600):
     """groupby (key, window) -> count + integer-cent value sum."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count, Sum
+
+    from .aggregates import bucketed_groupby
 
     def project(batch: pa.Table) -> pa.Table:
         b = add_tumbling_window(batch, ts_col, window_sec)
@@ -48,11 +49,11 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str,
         return pa.table({key_col: b[key_col], "window_id": b["window_id"],
                          "value_cents": cents})
 
-    return (
-        ds.map_batches(project, batch_format="pyarrow")
-        .groupby([key_col, "window_id"])
-        .aggregate(Count(alias_name="n_events"),
-                   Sum("value_cents", alias_name="total_value_cents"))
+    return bucketed_groupby(
+        ds.map_batches(project, batch_format="pyarrow"),
+        [key_col, "window_id"],
+        [("", "count", "n_events"),
+         ("value_cents", "sum", "total_value_cents")],
     )
 
 
@@ -164,6 +165,8 @@ def hopping_window_agg(ds, ts_col: str, value_col: str,
             "value_cents": pa.array(np.repeat(cents, k), pa.int64()),
         })
 
+    # window-cardinality groups (hundreds): Ray's native aggregate wins
+    # (see the low-vs-high-cardinality note in stages/aggregates.py)
     return (
         ds.map_batches(project, batch_format="pyarrow")
         .groupby("window_idx")

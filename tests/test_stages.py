@@ -479,3 +479,50 @@ def test_shingle_values_bijective():
     assert vals[0] == vals[3]          # "abcdefgh" appears in docs 0 and 2
     assert vals[0] != vals[1]
     assert int(vals[0]) == int.from_bytes(b"abcdefgh", "big")
+
+
+def test_bucketed_groupby_equals_ray_aggregate(ray_session):
+    """bucketed_groupby (local combine + coarse shuffle + in-bucket merge)
+    returns exactly the rows of groupby().aggregate() for count/sum(int)/
+    min/max — int, string, and date keys."""
+    import datetime as dt
+
+    import numpy as np
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from engine.stages.aggregates import bucketed_groupby
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    rows = [{
+        "k": int(rng.integers(0, 50)),
+        "s": f"g{int(rng.integers(0, 7))}",
+        "d": dt.date(2024, 1, 1 + int(rng.integers(0, 20))),
+        "v": int(rng.integers(-100, 100)),
+        "f": float(rng.normal()),
+    } for _ in range(2000)]
+    ds = rd.from_items(rows).repartition(5)
+
+    got = bucketed_groupby(ds, ["k", "s"], [
+        ("", "count", "n"), ("v", "sum", "v_sum"),
+        ("f", "max", "f_max"), ("f", "min", "f_min")])
+    ref = ds.groupby(["k", "s"]).aggregate(
+        Count(alias_name="n"), Sum("v", alias_name="v_sum"),
+        Max("f", alias_name="f_max"), Min("f", alias_name="f_min"))
+    key = lambda r: (r["k"], r["s"])  # noqa: E731
+    g = sorted(got.take_all(), key=key)
+    r = sorted(ref.take_all(), key=key)
+    assert g == r
+
+    # date keys
+    got_d = sorted(bucketed_groupby(ds, ["d"], [("", "count", "n")])
+                   .take_all(), key=lambda x: x["d"])
+    ref_d = sorted(ds.groupby("d").aggregate(Count(alias_name="n"))
+                   .take_all(), key=lambda x: x["d"])
+    assert got_d == ref_d
+
+    # float sums are refused (order-dependent)
+    import pytest
+
+    with pytest.raises(Exception, match="float sum"):
+        bucketed_groupby(ds, ["k"], [("f", "sum", "bad")]).take_all()
