@@ -14,6 +14,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..dsutil import DEFAULT_KEY_BUCKETS as _DUP_NUM_BUCKETS, key_bucket as _key_bucket
 from ..audit import (
     CheckResult,
     CheckStatus,
@@ -23,36 +24,6 @@ from ..audit import (
     threshold_status,
 )
 from .base import reduce_batches
-
-
-_DUP_NUM_BUCKETS = 256  # coarse shuffle keys for the duplicate groupby
-
-
-def _key_bucket(t: pa.Table, columns: Sequence[str],
-                num_buckets: int) -> np.ndarray:
-    """Deterministic coarse bucket of a multi-column key: per-column
-    64-bit hashes (ints direct, strings via the vectorized FNV kernel,
-    everything else through a string cast) mixed and folded."""
-    from ..stages.sketches import _hash64_ints, _hash64_strings
-
-    h = np.full(t.num_rows, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
-    for c in columns:
-        col = t[c]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if pa.types.is_date32(col.type):
-            col = col.cast(pa.int32())
-        elif pa.types.is_temporal(col.type):
-            col = col.cast(pa.int64())
-        if pa.types.is_integer(col.type):
-            hc = _hash64_ints(col.cast(pa.int64()).to_numpy(
-                zero_copy_only=False))
-        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
-            hc = _hash64_strings(col)
-        else:
-            hc = _hash64_strings(pc.cast(col, pa.string()))
-        h = (h * np.uint64(0x100000001B3)) ^ hc
-    return ((h >> np.uint64(3)) % np.uint64(num_buckets)).astype(np.int64)
 
 
 def _rule(rule: Optional[dict], **defaults) -> dict:
@@ -162,8 +133,6 @@ def duplicate_check(
     groupby — pass wide content columns here so the shuffle moves 64 B per
     key instead of full text (same counts; samples then show hashes).
     """
-    from ray.data.aggregate import Count
-
     rule = _rule(rule, rule_id="DUP", description="duplicate check",
                  column=",".join(columns))
     columns = list(columns)

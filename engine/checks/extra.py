@@ -369,6 +369,15 @@ def _hierarchy_cycle_distributed(
         ds.map_batches(lambda b: pa.table({"node": b[id_column]}),
                        batch_format="pyarrow"),
         nparts)
+    if not edges.count():
+        # every parent is NULL or dangling: the whole hierarchy is roots
+        # at distance <= 1 — and joining a zero-row (empty-block) dataset
+        # would poison the hash join (see dsutil.compact)
+        return make_result(rule, "foreign_key", CheckStatus.PASS,
+                           total_rows=n_rows, violation_count=0,
+                           details={"max_depth": max_depth,
+                                    "strategy": "pointer_doubling"})
+
     # dangling parents count as roots: keep only edges whose parent exists
     j = compact(
         edges.join(ids, "inner", num_partitions=nparts,

@@ -36,3 +36,42 @@ def compact(ds, num_partitions: int = 16):
     m = ds.materialize()
     n = m.count()
     return m.repartition(max(1, min(num_partitions, n))).materialize()
+
+
+DEFAULT_KEY_BUCKETS = 256  # coarse shuffle keys for bucketed groupbys
+
+
+def key_bucket(t, columns, num_buckets: int):
+    """Deterministic coarse bucket of a multi-column key: per-column
+    64-bit hashes (ints direct, strings via the vectorized FNV kernel,
+    everything else through a string cast) mixed and folded. The shared
+    primitive behind duplicate_check, existence_check and
+    stages.aggregates.bucketed_groupby."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .stages.sketches import _hash64_ints, _hash64_strings
+
+    h = np.full(t.num_rows, np.uint64(0x9E3779B97F4A7C15), dtype=np.uint64)
+    for c in columns:
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_date32(col.type):
+            col = col.cast(pa.int32())
+        elif pa.types.is_temporal(col.type):
+            col = col.cast(pa.int64())
+        if pa.types.is_integer(col.type):
+            # fill nulls BEFORE to_numpy: a null-bearing int column
+            # otherwise converts via float64, which rounds keys >= 2^53
+            # and gives nulls a platform-dependent value — the same key
+            # would bucket differently depending on batch composition
+            hc = _hash64_ints(pc.fill_null(col.cast(pa.int64()), 0)
+                              .to_numpy(zero_copy_only=False))
+        elif pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            hc = _hash64_strings(pc.fill_null(col, ""))
+        else:
+            hc = _hash64_strings(pc.fill_null(pc.cast(col, pa.string()), ""))
+        h = (h * np.uint64(0x100000001B3)) ^ hc
+    return ((h >> np.uint64(3)) % np.uint64(num_buckets)).astype(np.int64)

@@ -113,7 +113,7 @@ def bucketed_groupby(
     Do NOT use for float sums — the combine order differs from Ray's
     aggregate and float addition is not associative.
     """
-    from ..checks.core import _key_bucket
+    from ..dsutil import key_bucket as _key_bucket
 
     keys = list(keys)
     phase1 = []

@@ -41,16 +41,15 @@ def _shingle_values(data: np.ndarray, offsets: np.ndarray,
     n_docs = len(offsets) - 1
     lengths = offsets[1:] - offsets[:-1]
     counts = np.maximum(lengths - k + 1, 0)
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    total = int(counts.sum())
+    from .textfeat import segment_keep_index
+
+    keep_idx, starts, total = segment_keep_index(offsets, counts)
     if len(data) < k or total == 0:
         return np.zeros(0, np.uint64), starts, counts.astype(np.int64)
     v = np.zeros(len(data) - k + 1, dtype=np.uint64)
     for j in range(k):
         v |= (data[j: len(data) - k + 1 + j].astype(np.uint64)
               << np.uint64(8 * (k - 1 - j)))
-    keep_idx = (np.repeat(offsets[:-1].astype(np.int64) - starts, counts)
-                + np.arange(total, dtype=np.int64))
     return v[keep_idx], starts, counts.astype(np.int64)
 
 

@@ -175,6 +175,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         (size,) = struct.unpack_from("<I", payload, i + 4)
         body = i + 8
         if cid == b"fmt ":
+            if size < 16 or body + 16 > len(payload):
+                raise ValueError("truncated fmt chunk")
             audio_fmt, channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload, body)
             if audio_fmt != 1 or bits != 16 or channels != 1:
@@ -294,10 +296,13 @@ class AudioDecoder:
             hist = np.histogram(x, bins=8, range=(-1, 1))[0] / max(x.size, 1)
             zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) \
                 if x.size > 1 else 0.0
+            if x.size:
+                mean, std, rms = x.mean(), x.std(), np.sqrt(np.mean(x * x))
+            else:  # zero-length data chunk is a legal WAV: zeros, not NaN
+                mean = std = rms = 0.0
             vec = np.concatenate([
-                [x.mean(), x.std()], hist,
-                [rate, x.size, np.sqrt(np.mean(x * x)), zcr,
-                 x.size / rate, 0.0],
+                [mean, std], hist,
+                [rate, x.size, rms, zcr, x.size / rate, 0.0],
             ])
             feats.append(vec.astype(np.float32))
             hashes.append(hashlib.sha256(payload).hexdigest())

@@ -70,17 +70,13 @@ def _shingles(data: np.ndarray, offsets: np.ndarray, k: int = _SHINGLE_K):
     h = np.zeros(len(data) - k + 1, dtype=np.uint64)
     for j in range(k):
         h = h * base + data[j : len(data) - k + 1 + j]
-    # keep only in-doc shingle positions: doc d keeps global positions
-    # offsets[d] + [0, counts[d]); build the gather index with interval
-    # arithmetic (repeat + arange) — no per-doc Python loop
-    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
-    total = int(counts.sum())
+    # keep only in-doc shingle positions (shared interval-arithmetic
+    # gather — textfeat.segment_keep_index)
+    from .textfeat import segment_keep_index
+
+    keep_idx, starts, total = segment_keep_index(offsets, counts)
     if total == 0:
         return np.zeros(0, np.uint64), starts, counts.astype(np.int64)
-    keep_idx = (
-        np.repeat(offsets[:-1].astype(np.int64) - starts, counts)
-        + np.arange(total, dtype=np.int64)
-    )
     return h[keep_idx], starts, counts.astype(np.int64)
 
 
@@ -820,13 +816,12 @@ def mark_near_duplicates(
 
         return keyed.map_batches(flag_broadcast, batch_format="pyarrow")
 
-    # corpus side joins AS-IS (no compact — compacting would materialize
-    # the full content-bearing corpus twice and squeeze it into
-    # num_partitions blocks; only the aggregate-produced losers side needs
-    # the empty-block scrub, and it got one above). Assumption: the corpus
-    # has no empty blocks (true for parquet reads of nonempty files — an
-    # empty block on a join side breaks Ray's hash join, see dsutil.compact)
-    joined = keyed.join(
+    # rare fallback (loser set too large to broadcast): the corpus must
+    # ride the join exchange, and a filtered/derived input can carry empty
+    # blocks that poison Ray's hash join (dsutil.compact) — so THIS path
+    # compacts the corpus side; the common broadcast path above never
+    # joins and never pays that double materialization
+    joined = compact(keyed, num_partitions).join(
         losers, "left_outer", num_partitions=num_partitions, on=("_nd_key",))
 
     def finalize(batch: pa.Table) -> pa.Table:

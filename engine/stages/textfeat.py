@@ -164,3 +164,18 @@ def _zero_row_extended(weights: np.ndarray) -> np.ndarray:
         _EXT_CACHE.clear()
     _EXT_CACHE[key] = (weights, ext)
     return ext
+
+
+def segment_keep_index(offsets: np.ndarray, counts: np.ndarray):
+    """Gather index for per-doc sliding-window kernels: doc ``d`` owns
+    positions ``offsets[d] + [0, counts[d])`` of a window array computed
+    over the concatenated byte stream. Returns ``(keep_idx, doc_starts,
+    total)`` — shared by the shingle kernels (neardup._shingles,
+    decontam._shingle_values) so the interval arithmetic lives once."""
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]]).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), starts, 0
+    keep = (np.repeat(offsets[:-1].astype(np.int64) - starts, counts)
+            + np.arange(total, dtype=np.int64))
+    return keep, starts, total

@@ -526,3 +526,64 @@ def test_bucketed_groupby_equals_ray_aggregate(ray_session):
 
     with pytest.raises(Exception, match="float sum"):
         bucketed_groupby(ds, ["k"], [("f", "sum", "bad")]).take_all()
+
+
+def test_key_bucket_null_and_large_int_stability():
+    """key_bucket gives the same bucket for the same key regardless of
+    whether the batch carries nulls (the null-batch float64 conversion
+    hazard), and is exact above 2^53."""
+    import numpy as np
+    import pyarrow as pa
+
+    from engine.dsutil import key_bucket
+
+    big = (1 << 53) + 1
+    clean = pa.table({"k": pa.array([big, 7], pa.int64())})
+    dirty = pa.table({"k": pa.array([big, None, 7], pa.int64())})
+    b_clean = key_bucket(clean, ["k"], 256)
+    b_dirty = key_bucket(dirty, ["k"], 256)
+    assert b_clean[0] == b_dirty[0] and b_clean[1] == b_dirty[2]
+    # adjacent large ints must not collapse to one bucket via float round
+    near = pa.table({"k": pa.array([big, big + 1, big - 1], pa.int64())})
+    assert len(set(key_bucket(near, ["k"], 1 << 16).tolist())) > 1
+
+    sdirty = pa.table({"s": pa.array(["x", None, "y"])})
+    sclean = pa.table({"s": pa.array(["x", "y"])})
+    bs_d = key_bucket(sdirty, ["s"], 256)
+    bs_c = key_bucket(sclean, ["s"], 256)
+    assert bs_c[0] == bs_d[0] and bs_c[1] == bs_d[2]
+
+
+def test_wav_edge_payloads():
+    """Zero-length data chunk decodes to empty samples and yields zero
+    (not NaN) features; truncated fmt chunk raises ValueError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from engine.stages.multimodal import AudioDecoder, decode_wav, encode_wav
+
+    empty = encode_wav(np.zeros(0, np.int16), 8000)
+    samples, rate = decode_wav(empty)
+    assert rate == 8000 and samples.size == 0
+
+    import pyarrow as pa
+
+    from engine.stages.multimodal import MEDIA_SCHEMA
+
+    batch = pa.Table.from_pydict({
+        "media_id": [0], "media_type": ["audio"], "payload": [empty],
+        "width": [0], "height": [0], "sample_rate": [8000],
+        "duration_ms": [0]}, schema=MEDIA_SCHEMA)
+    out = AudioDecoder()(batch)
+    feats = out["features"][0].as_py()
+    assert not any(np.isnan(f) for f in feats)
+    assert feats[0] == 0.0 and feats[12] == 0.0  # mean, rms
+
+    ok = encode_wav(np.ones(4, np.int16), 8000)
+    truncated = ok[: ok.index(b"fmt ") + 10]
+    truncated = truncated[:4] + struct.pack(
+        "<I", len(truncated) - 8) + truncated[8:]
+    with pytest.raises(ValueError):
+        decode_wav(truncated)

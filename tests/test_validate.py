@@ -404,3 +404,17 @@ def test_soft_delete_distributed_empty_deleted_set(ray_session):
                              "o_orderstatus", ["NO_SUCH_STATUS"],
                              max_broadcast_keys=0)
     assert r.status == CheckStatus.PASS and r.violation_count == 0
+
+
+def test_hierarchy_distributed_all_roots(ray_session):
+    """Distributed fallback on a hierarchy with zero live edges (all
+    parents NULL or dangling) returns PASS instead of crashing the join."""
+    import ray.data as rd
+
+    rows = [{"id": i, "parent": None if i % 2 else 999_000 + i}
+            for i in range(20)]
+    ds = rd.from_items(rows).repartition(3)
+    local = ck.hierarchy_cycle_check(ds, "id", "parent")
+    dist = ck.hierarchy_cycle_check(ds, "id", "parent", max_nodes=1)
+    assert (local.status, local.violation_count) == \
+        (dist.status, dist.violation_count) == (CheckStatus.PASS, 0)
