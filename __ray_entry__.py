@@ -71,6 +71,7 @@ _SWEEP_FIRST = (
     "hopping_window_events",
     "contamination_documents",
     "vocab_top_terms_documents",
+    "repetition_stats_documents",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

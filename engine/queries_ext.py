@@ -1464,3 +1464,28 @@ def vocab_top_terms_documents(sf_dir: str) -> pa.Table:
     )
     t = pa.Table.from_pylist(top.take_all())
     return t.select(["term", "freq"])
+
+
+@query(
+    "repetition_stats_documents",
+    """
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_words
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def repetition_stats_documents(sf_dir: str) -> pa.Table:
+    """Per-doc repetition signal (stages/textstats.py
+    add_repetition_stats): whitespace-token count vs distinct-token count
+    — the Gopher-style boilerplate filter input, exact vs the SQL
+    list_distinct oracle."""
+    from .stages.textstats import add_repetition_stats
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(
+        lambda b: add_repetition_stats(b).drop_columns(["text"]),
+        batch_format="pyarrow").sort("doc_id")
+    return pa.Table.from_pylist(out.take_all()).select(
+        ["doc_id", "n_words", "n_distinct_words"])

@@ -146,3 +146,31 @@ def term_frequencies(ds, text_col: str = "text"):
         .groupby("term")
         .aggregate(Sum("freq_part", alias_name="freq"))
     )
+
+
+def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signal: per-doc whitespace-token counts vs
+    DISTINCT token counts (a doc dominated by repeated tokens is template
+    boilerplate). Exact and fully Arrow-vectorized: tokens explode via
+    split_pattern, distinct-per-doc via one pyarrow group_by over
+    (doc_index, token) — no hashing, so counts match a SQL
+    list_distinct(string_split(...)) oracle byte-for-byte."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    n_words = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
+    pairs = pa.table({"d": pa.array(doc_idx), "tok": flat})
+    per_pair = pairs.group_by(["d", "tok"]).aggregate([([], "count_all")])
+    per_doc = (per_pair.select(["d"]).group_by(["d"])
+               .aggregate([([], "count_all")]))
+    distinct = np.zeros(len(col), dtype=np.int64)
+    d_ids = per_doc["d"].to_numpy(zero_copy_only=False)
+    distinct[d_ids] = per_doc["count_all"].to_numpy(zero_copy_only=False)
+    return batch.append_column(
+        "n_words", pa.array(n_words.astype(np.int64))
+    ).append_column("n_distinct_words", pa.array(distinct))

@@ -587,3 +587,22 @@ def test_wav_edge_payloads():
         "<I", len(truncated) - 8) + truncated[8:]
     with pytest.raises(ValueError):
         decode_wav(truncated)
+
+
+def test_repetition_stats_planted():
+    """Token and distinct-token counts on planted docs, incl. repeated
+    separators (empty tokens count, matching SQL string_split) and nulls."""
+    import pyarrow as pa
+
+    from engine.stages.textstats import add_repetition_stats
+
+    batch = pa.table({"text": pa.array([
+        "a b a b a b",      # 6 tokens, 2 distinct
+        "x",                # 1 token, 1 distinct
+        "a  b",             # "a","","b" -> 3 tokens, 3 distinct
+        "",                 # [""] -> 1 token, 1 distinct
+        None,               # fill_null("") -> 1 token ("")
+    ])})
+    out = add_repetition_stats(batch)
+    assert out["n_words"].to_pylist() == [6, 1, 3, 1, 1]
+    assert out["n_distinct_words"].to_pylist() == [2, 1, 3, 1, 1]
