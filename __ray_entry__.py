@@ -72,6 +72,7 @@ _SWEEP_FIRST = (
     "contamination_documents",
     "vocab_top_terms_documents",
     "repetition_stats_documents",
+    "capped_sample_per_source",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

@@ -1489,3 +1489,44 @@ def repetition_stats_documents(sf_dir: str) -> pa.Table:
         batch_format="pyarrow").sort("doc_id")
     return pa.Table.from_pylist(out.take_all()).select(
         ["doc_id", "n_words", "n_distinct_words"])
+
+
+@query(
+    "capped_sample_per_source",
+    """
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+      FROM documents)
+    SELECT source, doc_id FROM r WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+)
+def capped_sample_per_source(sf_dir: str) -> pa.Table:
+    """Source-balanced deterministic subsample (stages/aggregates.py
+    cap_per_group): at most 5 docs per source, ordered by a Knuth-hash
+    pseudo-shuffle of doc_id — identical integer arithmetic on both the
+    Ray and SQL sides, so the sample is exact vs the ROW_NUMBER oracle."""
+    from .stages.aggregates import cap_per_group
+
+    ds = _t(sf_dir, "documents", ["doc_id", "source"])
+
+    def add_shuf(batch: pa.Table) -> pa.Table:
+        d = batch["doc_id"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        v = d.to_numpy(zero_copy_only=False)
+        shuf = (v * 2654435761) % 4294967296  # matches the SQL expression
+        return batch.append_column("shuf", pa.array(shuf, pa.int64()))
+
+    capped = cap_per_group(
+        ds.map_batches(add_shuf, batch_format="pyarrow"),
+        ["source"],
+        [("source", "ascending"), ("shuf", "ascending"),
+         ("doc_id", "ascending")],
+        5,
+    )
+    t = pa.Table.from_pylist(capped.sort(["source", "doc_id"]).take_all())
+    return t.select(["source", "doc_id"])

@@ -160,3 +160,48 @@ def bucketed_groupby(
         .groupby("_b")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _first_k_per_group(t: pa.Table, group_cols, sort_keys, k: int) -> pa.Table:
+    """Keep each group's first k rows under ``sort_keys`` (vectorized:
+    one sort + boundary arithmetic, no per-group Python)."""
+    n = t.num_rows
+    if n == 0:
+        return t
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    t = t.take(idx)
+    new = np.zeros(n, dtype=bool)
+    new[0] = True
+    for c in group_cols:
+        col = t[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        neq = pc.fill_null(
+            pc.not_equal(col.slice(1, n - 1), col.slice(0, n - 1)), True)
+        new[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+    grp_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
+    rank = np.arange(n) - grp_start
+    return t.filter(pa.array(rank < k))
+
+
+def cap_per_group(ds, group_cols, sort_keys, k: int):
+    """At most ``k`` rows per group, by a deterministic order — the
+    source-balancing / per-group-cap primitive for training-data curation
+    (e.g. "keep at most N files per repo").
+
+    Two-stage: every batch keeps its LOCAL first-k per group (combiner —
+    a group's global top-k is a subset of the union of local top-ks),
+    then one group-cardinality-bounded groupby finalizes. The order must
+    be total (include a unique tiebreak column in ``sort_keys``) for
+    deterministic output at any parallelism."""
+    group_cols = list(group_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _first_k_per_group(batch, group_cols, sort_keys, k)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(group_cols)
+        .map_groups(lambda g: _first_k_per_group(g, group_cols, sort_keys, k),
+                    batch_format="pyarrow")
+    )

@@ -606,3 +606,39 @@ def test_repetition_stats_planted():
     out = add_repetition_stats(batch)
     assert out["n_words"].to_pylist() == [6, 1, 3, 1, 1]
     assert out["n_distinct_words"].to_pylist() == [2, 1, 3, 1, 1]
+
+
+def test_cap_per_group_deterministic_across_parallelism(ray_session):
+    """cap_per_group returns the exact global first-k per group under a
+    total order, identical at different partitionings, including groups
+    smaller than k."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.stages.aggregates import cap_per_group
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    rows = [{"g": f"g{int(rng.integers(0, 6))}", "id": i,
+             "v": int(rng.integers(0, 1000))} for i in range(300)]
+    rows.append({"g": "tiny", "id": 9999, "v": 1})  # group smaller than k
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = cap_per_group(ds, ["g"], [("g", "ascending"),
+                                        ("v", "ascending"),
+                                        ("id", "ascending")], 4)
+        return sorted((r["g"], r["id"]) for r in out.take_all())
+
+    a, b = run(2), run(7)
+    assert a == b
+    # brute force reference
+    import collections
+
+    by_g = collections.defaultdict(list)
+    for r in rows:
+        by_g[r["g"]].append(r)
+    expect = sorted(
+        (g, r["id"])
+        for g, rs in by_g.items()
+        for r in sorted(rs, key=lambda x: (x["v"], x["id"]))[:4])
+    assert a == expect
