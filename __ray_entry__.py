@@ -73,6 +73,7 @@ _SWEEP_FIRST = (
     "vocab_top_terms_documents",
     "repetition_stats_documents",
     "capped_sample_per_source",
+    "grouped_percentiles_docs_by_lang",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

@@ -1530,3 +1530,46 @@ def capped_sample_per_source(sf_dir: str) -> pa.Table:
     )
     t = pa.Table.from_pylist(capped.sort(["source", "doc_id"]).take_all())
     return t.select(["source", "doc_id"])
+
+
+@query(
+    "grouped_percentiles_docs_by_lang",
+    """
+    SELECT lang,
+           count(*) AS n_docs,
+           quantile_disc(n_chars, 0.25) AS p25_chars,
+           quantile_disc(n_chars, 0.50) AS p50_chars,
+           quantile_disc(n_chars, 0.75) AS p75_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def grouped_percentiles_docs_by_lang(sf_dir: str) -> pa.Table:
+    """Per-group EXACT discrete percentiles (the grouped complement of
+    the global value_percentiles_events): one groupby, per-group sorted
+    selection at index ceil(q*n)-1 — DuckDB quantile_disc semantics,
+    integer-exact for binary-representable q. Partitioning assumption
+    (documented, same as session windows): one group's rows fit in one
+    worker — groups are languages here."""
+    ds = _t(sf_dir, "documents", ["lang", "n_chars"])
+
+    def qdisc(group: pa.Table) -> pa.Table:
+        v = group["n_chars"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vals = np.sort(v.to_numpy(zero_copy_only=False))
+        n = len(vals)
+        pick = lambda q: int(vals[int(np.ceil(q * n)) - 1])  # noqa: E731
+        lang = group["lang"][0].as_py()
+        return pa.table({
+            "lang": pa.array([lang]),
+            "n_docs": pa.array([n], pa.int64()),
+            "p25_chars": pa.array([pick(0.25)], pa.int64()),
+            "p50_chars": pa.array([pick(0.50)], pa.int64()),
+            "p75_chars": pa.array([pick(0.75)], pa.int64()),
+        })
+
+    out = ds.groupby("lang").map_groups(qdisc, batch_format="pyarrow")
+    t = pa.Table.from_pylist(out.sort("lang").take_all())
+    return t.select(["lang", "n_docs", "p25_chars", "p50_chars", "p75_chars"])
