@@ -48,6 +48,8 @@ def entry() -> Any:
 # driver rows, and all oracle-SQL queries are additionally checked against
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    "ngram_docfreq_documents",
+    "fd_check_lineitem_returnflag",
     "percentage_range_discount",
     "tumbling_window_events",
     "session_window_events",

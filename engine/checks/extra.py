@@ -436,3 +436,42 @@ def _hierarchy_cycle_distributed(
                        total_rows=n_rows, violation_count=stuck,
                        details={"max_depth": max_depth,
                                 "strategy": "pointer_doubling"})
+
+
+def fd_violations(ds, det_col: str, dep_col: str, num_buckets: int = 256):
+    """Functional-dependency consistency check: every ``det_col`` value
+    that maps to MORE than one distinct ``dep_col`` value, with its
+    distinct-dependent count — the cross-column generalization of the
+    reference's enum/uniqueness checks (checks/check_duplicate.sql
+    counts dup keys; this audits value CONSISTENCY per key).
+
+    Scale shape (high-cardinality determinants — the bucketed_groupby
+    cardinality rule): per-batch pyarrow ``group_by`` collapses to
+    distinct (det, dep) pairs BEFORE the exchange; ONE coarse-bucket
+    shuffle on ``hash(det) % num_buckets`` (a det value lands wholly in
+    one bucket); per-bucket vectorized re-distinct + count-per-det +
+    filter. Output: Dataset (det, n_dep), violation-sized.
+    """
+    from ..dsutil import key_bucket
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        t = (batch.select([det_col, dep_col])
+             .group_by([det_col, dep_col]).aggregate([]))
+        t = t.rename_columns(["det", "dep"])
+        return t.append_column(
+            "_b", pa.array(key_bucket(t, ["det"], num_buckets),
+                           pa.int64()))
+
+    def count_per_det(group: pa.Table) -> pa.Table:
+        pairs = (group.select(["det", "dep"])
+                 .group_by(["det", "dep"]).aggregate([]))
+        per_det = pairs.select(["det"]).group_by(["det"]).aggregate(
+            [([], "count_all")])
+        per_det = per_det.rename_columns(["det", "n_dep"])
+        per_det = per_det.set_column(
+            1, "n_dep", pc.cast(per_det["n_dep"], pa.int64()))
+        return per_det.filter(pc.greater(per_det["n_dep"], 1))
+
+    return (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(count_per_det, batch_format="pyarrow"))

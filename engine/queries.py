@@ -889,3 +889,17 @@ def outlier_3sigma_events(sf_dir: str) -> pa.Table:
     r = outlier_check(_t(sf_dir, "events", ["value"]), "value")
     return _row(total_rows=r.total_rows, violation_count=r.violation_count,
                 status=r.status.value)
+
+
+def _collect(ds) -> pa.Table:
+    """Materialize a (result-sized) Dataset to one Arrow table WITHOUT
+    the per-row ``take_all()``/``from_pylist`` round-trip through Python
+    dicts — blocks come back zero-copy via ``to_arrow_refs`` in block
+    order (sorted datasets stay sorted). Driver-side only; callers keep
+    results result-sized, never corpus-sized."""
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables).combine_chunks()

@@ -12,7 +12,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .queries import QUERIES, ORACLE_SQL, _row, _t, query  # noqa: F401
+from .queries import QUERIES, ORACLE_SQL, _collect, _row, _t, query  # noqa: F401
 from .stages.textstats import BPE_TOKEN_RE, WS_TOKEN_RE, _STOPWORDS
 
 
@@ -1258,34 +1258,32 @@ def bloom_fk_prefilter_events_customer(sf_dir: str) -> pa.Table:
 def asof_join_events_orders(sf_dir: str) -> pa.Table:
     """As-of join (stages/asof.py — an operator Ray Data lacks): each
     event matched to its customer's latest order at-or-before the event
-    timestamp. Orders deduped to max orderkey per (customer, date) on
-    BOTH sides so ties are deterministic (the same requirement DuckDB's
-    ASOF JOIN has). One bucket shuffle + per-bucket vectorized
-    sort/forward-fill."""
-    from .stages.aggregates import bucketed_groupby
+    timestamp. The oracle pre-dedups orders to max orderkey per
+    (customer, date); the Ray side gets the SAME tie semantics from
+    ``right_ties="max_value"`` — one extra in-bucket sort key instead of
+    a whole pre-aggregation shuffle (the all-to-all the round-2 version
+    paid). ONE bucket shuffle total + per-bucket vectorized
+    sort/forward-fill; the terminal order comes from a LOCAL sort of the
+    collected result, not a distributed Dataset.sort."""
     from .stages.asof import asof_join
 
     events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
-    orders = (
-        bucketed_groupby(
-            _t(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]),
-            ["o_custkey", "o_orderdate"],
-            [("o_orderkey", "max", "o_orderkey")])
-        .map_batches(
-            lambda b: pa.table({
-                "user_id": b["o_custkey"],
-                "o_orderdate": b["o_orderdate"],
-                "o_orderkey": b["o_orderkey"],
-            }),
-            batch_format="pyarrow")
-    )
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_orderkey": b["o_orderkey"],
+        }),
+        batch_format="pyarrow")
     out = asof_join(events, orders, key_col="user_id",
                     left_ts_col="ts", right_ts_col="o_orderdate",
                     left_id_col="event_id", right_value_col="o_orderkey",
-                    # explicit types: orders is groupby-derived, so a
-                    # schema() peek would re-execute its whole shuffle
-                    left_id_type=pa.int64(), right_value_type=pa.int64())
-    t = pa.Table.from_pylist(out.sort("left_id").take_all())
+                    left_id_type=pa.int64(), right_value_type=pa.int64(),
+                    right_ties="max_value")
+    # driver-side sort of the already-collected result (O(result) local,
+    # vs the 2.2 s distributed Dataset.sort this replaced)
+    t = _collect(out).sort_by("left_id")
     return pa.table({
         "event_id": t["left_id"],
         "user_id": t["key"],
@@ -1573,3 +1571,66 @@ def grouped_percentiles_docs_by_lang(sf_dir: str) -> pa.Table:
     out = ds.groupby("lang").map_groups(qdisc, batch_format="pyarrow")
     t = pa.Table.from_pylist(out.sort("lang").take_all())
     return t.select(["lang", "n_docs", "p25_chars", "p50_chars", "p75_chars"])
+
+
+@query(
+    "ngram_docfreq_documents",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(ts) - 4)) AS t(i)
+    )
+    SELECT gram, count(DISTINCT doc_id) AS doc_freq
+    FROM grams
+    GROUP BY gram
+    ORDER BY doc_freq DESC, gram ASC
+    LIMIT 50
+    """,
+)
+def ngram_docfreq_documents(sf_dir: str) -> pa.Table:
+    """Boilerplate mining (stages/textstats.py ngram_doc_frequency):
+    top-50 token 5-grams by cross-document frequency — the corpus-wide
+    phrase-recurrence signal CCNet/C4 use to strip shared template text
+    (reference has no corpus-global analysis; this is the pretraining
+    extension). Per-batch vectorized gram construction + distinct-doc
+    partial counts, ONE groupby Sum, distributed sort + limit."""
+    from .stages.textstats import ngram_doc_frequency
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    top = (
+        ngram_doc_frequency(ds, n=5)
+        .sort(["doc_freq", "gram"], descending=[True, False])
+        .limit(50)
+    )
+    return pa.Table.from_pylist(top.take_all()).select(["gram", "doc_freq"])
+
+
+@query(
+    "fd_check_lineitem_returnflag",
+    """
+    SELECT l_orderkey AS det, count(DISTINCT l_returnflag) AS n_dep
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(DISTINCT l_returnflag) > 1
+    ORDER BY det
+    """,
+)
+def fd_check_lineitem_returnflag(sf_dir: str) -> pa.Table:
+    """Functional-dependency / consistency check (checks/extra.py
+    fd_violations): report every determinant value mapping to more than
+    one dependent value — the classic "one order, conflicting return
+    flags" consistency audit (generalizes the reference's enum +
+    uniqueness checks to cross-column consistency). Per-batch distinct
+    (det, dep) combiner + ONE coarse-bucket shuffle + per-bucket
+    vectorized distinct-count (same cardinality rule as
+    bucketed_groupby: ~150k determinants at sf0.1)."""
+    from .checks.extra import fd_violations
+
+    ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    out = fd_violations(ds, "l_orderkey", "l_returnflag")
+    t = _collect(out).sort_by("det")  # violation-sized: local sort
+    return t.select(["det", "n_dep"])

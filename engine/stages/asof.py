@@ -42,6 +42,7 @@ def asof_join(
     num_buckets: int = 64,
     left_id_type: pa.DataType | None = None,
     right_value_type: pa.DataType | None = None,
+    right_ties: str = "error",
 ):
     """Dataset -> Dataset (left_id, key, matched right_value or null).
 
@@ -52,7 +53,18 @@ def asof_join(
     deriving them calls ``Dataset.schema()``, which EXECUTES a lazy
     input pipeline once just to learn the type (lazy Datasets re-execute
     per consumer), so explicit types save a full extra pass over derived
-    inputs."""
+    inputs.
+
+    ``right_ties``: what to do when several right rows share (key, ts) —
+    ``"error"`` (default) keeps the documented caller-must-dedup
+    contract; ``"max_value"`` resolves ties to the greatest
+    ``right_value_col`` IN the per-bucket sort (one extra ascending sort
+    key — the forward-fill's running positional max then lands on the
+    max-value row) — equivalent to pre-aggregating the right side with
+    ``max(value) per (key, ts)`` but WITHOUT that groupby's all-to-all
+    shuffle. Requires an orderable value type."""
+    if right_ties not in ("error", "max_value"):
+        raise ValueError(right_ties)
     if left_id_type is None:
         left_id_type = dict(zip(left_ds.schema().names,
                                 left_ds.schema().types))[left_id_col]
@@ -99,8 +111,15 @@ def asof_join(
 
     def merge(group: pa.Table) -> pa.Table:
         g = group.drop_columns(["_bucket"])
-        idx = pc.sort_indices(g, sort_keys=[
-            ("key", "ascending"), ("ts", "ascending"), ("side", "ascending")])
+        sort_keys = [("key", "ascending"), ("ts", "ascending"),
+                     ("side", "ascending")]
+        if right_ties == "max_value":
+            # right rows (side=0) tie-sorted ascending by value: the
+            # positional running max picks the LAST right row at equal
+            # (key, ts) = the max value; left rows all sort after them
+            # at the same ts, so their rval order is irrelevant
+            sort_keys.append(("rval", "ascending"))
+        idx = pc.sort_indices(g, sort_keys=sort_keys)
         g = g.take(idx)
         n = g.num_rows
         keys = g["key"]

@@ -174,3 +174,69 @@ def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "n_words", pa.array(n_words.astype(np.int64))
     ).append_column("n_distinct_words", pa.array(distinct))
+
+def ngram_doc_frequency(ds, n: int = 5, text_col: str = "text",
+                        min_doc_freq: int = 1):
+    """Cross-document n-gram document frequency — boilerplate MINING
+    (which exact phrases recur across many documents), the corpus-wide
+    complement of ``add_repetition_stats``' within-doc signal. CCNet /
+    C4 drop lines shared by many pages; these docs are single-line, so
+    the unit is the token n-gram.
+
+    Scale shape: per-batch combiner + ONE groupby.
+
+    1. Per batch (each doc wholly inside one batch): tokenize with
+       ``split_pattern``, build every n-gram STRING vectorized — n
+       shifted slices of the flattened token array joined with
+       ``binary_join_element_wise`` (no per-doc Python), cross-document
+       window positions masked via the doc-index array; dedupe to
+       distinct (gram, doc) with one pyarrow ``group_by``, then
+       ``value_counts`` over grams. Because a doc never spans batches,
+       these per-batch distinct-doc counts are EXACT partials.
+    2. ``groupby("gram").Sum`` merges partials — the only shuffle, over
+       (gram, int) rows, already collapsed to batch-distinct grams.
+
+    Returns a Dataset (gram, doc_freq), gram-cardinality-sized. Matches
+    the DuckDB oracle ``array_to_string(ts[i:i+n-1], ' ')`` +
+    ``count(DISTINCT doc_id)`` byte-for-byte (same single-space split,
+    empties kept).
+    """
+    from ray.data.aggregate import Sum
+
+    empty = pa.table({"gram": pa.array([], pa.string()),
+                      "df_part": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        m = len(flat) - n + 1
+        if m <= 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+        # a window starting at i stays in one doc iff tokens i and
+        # i+n-1 belong to the same doc (doc_idx is non-decreasing)
+        valid = doc_idx[:m] == doc_idx[n - 1:]
+        if not valid.any():
+            return empty
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(k, m) for k in range(n)], " ")
+        keep = pa.array(valid)
+        pairs = pa.table({"gram": grams.filter(keep),
+                          "d": pa.array(doc_idx[:m][valid])})
+        distinct = pairs.group_by(["gram", "d"]).aggregate([])
+        vc = pc.value_counts(distinct["gram"].combine_chunks())
+        return pa.table({"gram": vc.field("values"),
+                         "df_part": pc.cast(vc.field("counts"), pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("gram")
+             .aggregate(Sum("df_part", alias_name="doc_freq")))
+    if min_doc_freq > 1:
+        out = out.filter(expr=f"doc_freq >= {min_doc_freq}")
+    return out

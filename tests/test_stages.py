@@ -642,3 +642,113 @@ def test_cap_per_group_deterministic_across_parallelism(ray_session):
         for g, rs in by_g.items()
         for r in sorted(rs, key=lambda x: (x["v"], x["id"]))[:4])
     assert a == expect
+
+
+def test_ngram_doc_frequency_planted(ray_session):
+    """Cross-doc 5-gram document frequency: planted boilerplate phrase in
+    3 of 5 docs (one doc repeats it twice — must still count ONCE), a
+    short doc (<5 tokens -> no grams), brute-force cross-check, and
+    partition invariance (per-batch partials must stay exact)."""
+    import ray.data as rd
+
+    from engine.stages.textstats import ngram_doc_frequency
+
+    boiler = "subscribe to our newsletter today"
+    docs = [
+        f"alpha beta {boiler} gamma",
+        f"{boiler} delta epsilon {boiler}",   # repeated within one doc
+        f"zeta {boiler}",
+        "eta theta iota kappa lam mu",
+        "one two",                            # too short for any 5-gram
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+
+    # brute-force reference
+    import collections
+    ref = collections.Counter()
+    for r in rows:
+        toks = r["text"].split(" ")
+        grams = {" ".join(toks[i:i + 5]) for i in range(len(toks) - 4)}
+        for g in grams:
+            ref[g] += 1
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = ngram_doc_frequency(ds, n=5)
+        return {r["gram"]: r["doc_freq"] for r in out.take_all()}
+
+    got = run(1)
+    assert got == dict(ref)
+    assert got["subscribe to our newsletter today"] == 3
+    assert run(3) == got
+    # min_doc_freq filter keeps only the shared phrase-grams
+    filt = {r["gram"]: r["doc_freq"]
+            for r in ngram_doc_frequency(
+                rd.from_items(rows).repartition(2),
+                n=5, min_doc_freq=2).take_all()}
+    assert filt == {g: c for g, c in ref.items() if c >= 2}
+
+
+def test_fd_violations_planted(ray_session):
+    """FD check: determinants mapping to >1 distinct dependent are
+    reported with exact distinct counts; consistent keys and cross-batch
+    duplicate pairs must not leak in."""
+    import ray.data as rd
+
+    from engine.checks.extra import fd_violations
+
+    rows = (
+        [{"k": 1, "v": "a"}] * 4                      # consistent
+        + [{"k": 2, "v": "a"}, {"k": 2, "v": "b"}]    # 2 deps
+        + [{"k": 3, "v": "x"}, {"k": 3, "v": "y"},
+           {"k": 3, "v": "z"}, {"k": 3, "v": "x"}]    # 3 deps
+        + [{"k": 4, "v": "q"}]                        # consistent
+    )
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = fd_violations(ds, "k", "v", num_buckets=8)
+        return sorted((r["det"], r["n_dep"]) for r in out.take_all())
+
+    expect = [(2, 2), (3, 3)]
+    assert run(1) == expect
+    # cross-batch: the same (det, dep) pair lands in several batches —
+    # per-bucket re-distinct must collapse them
+    assert run(5) == expect
+
+
+def test_asof_join_right_ties_max_value(ray_session):
+    """right_ties="max_value" must equal pre-deduping the right side to
+    max(value) per (key, ts) — planted ties at and before the probe ts."""
+    import ray.data as rd
+
+    from engine.stages.asof import asof_join
+
+    import pyarrow as pa
+
+    left = rd.from_items([
+        {"k": 1, "ts": 100, "id": 10},
+        {"k": 1, "ts": 50, "id": 11},
+        {"k": 2, "ts": 100, "id": 20},
+        {"k": 3, "ts": 10, "id": 30},   # no right row at/below -> null
+    ]).map_batches(lambda b: pa.table({
+        "k": b["k"], "ts": pa.array(b["ts"].to_numpy(False),
+                                    pa.timestamp("us")).cast(pa.timestamp("us")),
+        "id": b["id"]}), batch_format="pyarrow")
+    right_rows = [
+        {"k": 1, "ts": 100, "v": 7}, {"k": 1, "ts": 100, "v": 9},  # tie at ts
+        {"k": 1, "ts": 40, "v": 3}, {"k": 1, "ts": 40, "v": 1},    # earlier tie
+        {"k": 2, "ts": 90, "v": 5}, {"k": 2, "ts": 90, "v": 6},
+        {"k": 3, "ts": 500, "v": 8},                               # after left
+    ]
+    right = rd.from_items(right_rows).map_batches(lambda b: pa.table({
+        "k": b["k"], "ts": pa.array(b["ts"].to_numpy(False),
+                                    pa.timestamp("us")),
+        "v": b["v"]}), batch_format="pyarrow")
+    out = asof_join(left, right, key_col="k", left_ts_col="ts",
+                    right_ts_col="ts", left_id_col="id",
+                    right_value_col="v",
+                    left_id_type=pa.int64(), right_value_type=pa.int64(),
+                    right_ties="max_value", num_buckets=4)
+    got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
+    assert got == {10: 9, 11: 3, 20: 6, 30: None}
