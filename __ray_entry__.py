@@ -48,6 +48,10 @@ def entry() -> Any:
 # driver rows, and all oracle-SQL queries are additionally checked against
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    "rolling_sum_events",
+    "winsorize_clip_events",
+    "kmeans_embeddings_clusters",
+    "semdedup_embeddings",
     "ngram_docfreq_documents",
     "fd_check_lineitem_returnflag",
     "percentage_range_discount",

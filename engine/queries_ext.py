@@ -1609,6 +1609,131 @@ def ngram_docfreq_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(top.take_all()).select(["gram", "doc_freq"])
 
 
+@query("kmeans_embeddings_clusters")
+def kmeans_embeddings_clusters(sf_dir: str) -> pa.Table:
+    """Distributed k-means (stages/clustering.py — cluster-based
+    curation / SemDeDup prerequisite). No oracle SQL (iterative
+    algorithm), but fully DETERMINISTIC at any parallelism: centroid
+    partials are int64-scaled sums (order-free), distances reduce only
+    over the fixed dim axis. Zero shuffle: every pass is map_batches +
+    KB-sized driver-merged partials."""
+    from .stages.clustering import kmeans_fit
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = kmeans_fit(ds, "embedding", "vec_id", k=8, iters=4)
+    k = len(fit["counts"])
+    return pa.table({
+        "cluster_id": pa.array(np.arange(k), pa.int64()),
+        "n_points": pa.array(fit["counts"], pa.int64()),
+        "inertia_x1e6": pa.array(fit["inertia_scaled"], pa.int64()),
+    })
+
+
+@query("semdedup_embeddings")
+def semdedup_embeddings(sf_dir: str) -> pa.Table:
+    """SemDeDup-style embedding near-dedup: k-means clusters, then
+    within-cluster cosine pairs >= 0.99 (stages/clustering.py
+    semdedup_pairs — one upper-triangle matmul per cluster group, pairs
+    never cross clusters). Rows-only (no SQL oracle); deterministic
+    pair set asserted in tests on planted duplicates."""
+    from .stages.clustering import kmeans_fit, semdedup_pairs
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    fit = kmeans_fit(ds, "embedding", "vec_id", k=8, iters=4)
+    out = semdedup_pairs(ds, "embedding", "vec_id", fit["centroids"],
+                         tau=0.99)
+    t = _collect(out)
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")]) \
+        if t.num_rows else t
+
+
+@query(
+    "rolling_sum_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS roll_cents
+    FROM e
+    ORDER BY event_id
+    """,
+)
+def rolling_sum_events(sf_dir: str) -> pa.Table:
+    """Per-key ROWS-window running sum (stages/windows.py
+    rolling_window_sum — SQL window functions are an operator Ray Data
+    has no primitive for): each event's trailing-4-event spend per user,
+    ordered by (ts, event_id). Values projected to integer cents FIRST
+    (oracle float policy: integer prefix sums are associative/exact);
+    one bucket shuffle, per-bucket vectorized sort + cumsum-difference
+    with per-key segment restarts."""
+    from .stages.windows import rolling_window_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "cents": cents})
+
+    out = rolling_window_sum(
+        ds.map_batches(project, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="cents", window=4)
+    t = _collect(out).sort_by("event_id")
+    return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                     "roll_cents": t["roll_sum"]})
+
+
+@query(
+    "winsorize_clip_events",
+    """
+    WITH b AS (
+      SELECT quantile_disc(value, 0.05) AS lo,
+             quantile_disc(value, 0.95) AS hi
+      FROM events
+    )
+    SELECT event_id,
+           CAST(floor(CASE WHEN value < lo THEN lo ELSE hi END * 100 + 0.5)
+                AS BIGINT) AS clipped_cents
+    FROM events, b
+    WHERE value < lo OR value > hi
+    ORDER BY event_id
+    """,
+)
+def winsorize_clip_events(sf_dir: str) -> pa.Table:
+    """Winsorization at EXACT discrete percentiles (stages/selection.py
+    exact_quantiles_disc): p05/p95 computed by histogram-guided
+    selection — 3 scans of one pruned column, ZERO shuffle, nothing
+    driver-side bigger than one bin — then a broadcast clip. The bounds
+    are elements OF the dataset (quantile_disc semantics), so the
+    comparisons below are float-exact on both sides; emitted rows are
+    only the clipped tails (~10%), as integer cents."""
+    from .stages.selection import exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    lo, hi = exact_quantiles_disc(ds, "value", [0.05, 0.95])
+
+    def clip(batch: pa.Table) -> pa.Table:
+        below = pc.less(batch["value"], lo)
+        above = pc.greater(batch["value"], hi)
+        t = batch.filter(pc.or_(below, above))
+        clipped = pc.if_else(pc.less(t["value"], lo), lo, hi)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(clipped, 100.0), 0.5)), pa.int64())
+        return pa.table({"event_id": t["event_id"], "clipped_cents": cents})
+
+    out = ds.map_batches(clip, batch_format="pyarrow")
+    return _collect(out).sort_by("event_id")
+
+
 @query(
     "fd_check_lineitem_returnflag",
     """

@@ -128,6 +128,64 @@ def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
     )
 
 
+def rolling_window_sum(ds, key_col: str, ts_col: str, id_col: str,
+                       value_col: str, window: int = 4,
+                       num_buckets: int = 64):
+    """Per-key ROWS-window running sum (SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts, id ROWS BETWEEN window-1 PRECEDING AND CURRENT
+    ROW)``) — the row-window complement of the time-window aggregates
+    above, and an operator Ray Data has no primitive for.
+
+    ``value_col`` must be int64 (callers project doubles to integer
+    cents first — the oracle float policy: integer running sums are
+    associative and exact, float prefix sums are not). Same shape and
+    partitioning assumption as ``session_window_agg``: keys are
+    hash-bucketed (a key's rows land wholly in one bucket), each bucket
+    gets ONE vectorized (key, ts, id) sort, then the rolling sum is
+    cumsum differences with per-key segment restarts — no per-key
+    Python, ~num_buckets calls total.
+
+    Output rows: (id_col, key_col, roll_sum), one per input row.
+    """
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
+
+    def bucket_roll(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = g[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        new_key = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        cs0 = np.concatenate([[0], np.cumsum(v)])  # int64: exact prefix
+        lo = np.maximum(pos + 1 - window, seg_start)
+        roll = cs0[pos + 1] - cs0[lo]
+        return pa.table({
+            id_col: g[id_col],
+            key_col: keys,
+            "roll_sum": pa.array(roll, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_roll, batch_format="pyarrow")
+    )
+
+
 def hopping_window_agg(ds, ts_col: str, value_col: str,
                        window_sec: int = 21600, hop_sec: int = 10800):
     """Hopping (overlapping/sliding) windows: every event lands in

@@ -752,3 +752,157 @@ def test_asof_join_right_ties_max_value(ray_session):
                     right_ties="max_value", num_buckets=4)
     got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
     assert got == {10: 9, 11: 3, 20: 6, 30: None}
+
+
+def test_rolling_window_sum_planted(ray_session):
+    """Trailing-4-row per-key running sum: window shorter at key starts,
+    (ts, id) tie ordering, brute-force cross-check, partition invariance."""
+    import ray.data as rd
+
+    from engine.stages.windows import rolling_window_sum
+
+    rng = __import__("numpy").random.default_rng(7)
+    rows = [{"id": i, "k": int(rng.integers(0, 5)),
+             "ts": int(rng.integers(0, 40)), "v": int(rng.integers(-9, 50))}
+            for i in range(200)]
+
+    # brute-force reference
+    ref = {}
+    byk = {}
+    for r in rows:
+        byk.setdefault(r["k"], []).append(r)
+    for k, rs in byk.items():
+        rs = sorted(rs, key=lambda r: (r["ts"], r["id"]))
+        for i, r in enumerate(rs):
+            ref[r["id"]] = sum(x["v"] for x in rs[max(0, i - 3):i + 1])
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = rolling_window_sum(ds, key_col="k", ts_col="ts", id_col="id",
+                                 value_col="v", window=4, num_buckets=8)
+        return {r["id"]: r["roll_sum"] for r in out.take_all()}
+
+    got = run(1)
+    assert got == ref
+    assert run(7) == ref
+
+
+def test_exact_quantiles_disc(ray_session):
+    """Histogram-guided exact selection == sorted-array indexing at
+    ceil(q*n)-1, with duplicates, nulls, negative values, partition
+    invariance, and a forced-recursion heavy bin."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.stages.selection import exact_quantiles_disc
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate([
+        rng.normal(0, 100, 3000).round(3),
+        np.full(500, 42.125),            # heavy duplicate mass
+        [-1e6, 1e6],                     # extreme range
+    ])
+    rows = [{"v": float(x)} for x in vals] + [{"v": None}] * 25
+    qs = [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99, 1.0]
+    s = np.sort(vals)
+    n = len(s)
+    expect = [float(s[min(max(int(np.ceil(q * n)), 1), n) - 1]) for q in qs]
+
+    ds = rd.from_items(rows).repartition(6)
+    assert exact_quantiles_disc(ds, "v", qs) == expect
+    # forced recursion: collect_cap far below the duplicate mass and a
+    # bin count so coarse every bin is heavy
+    assert exact_quantiles_disc(ds, "v", qs, num_bins=4,
+                                collect_cap=100) == expect
+    # all-equal column short-circuits
+    same = rd.from_items([{"v": 3.5}] * 50).repartition(3)
+    assert exact_quantiles_disc(same, "v", [0.1, 0.9]) == [3.5, 3.5]
+
+
+def _kmeans_reference(vecs, k, iters):
+    """Independent numpy Lloyd with the engine's exact determinism rules
+    (k-smallest-id seeding, int64-scaled centroid sums)."""
+    import numpy as np
+    SCALE = float(2 ** 20)
+    x = np.asarray(vecs, dtype=np.float64)
+    cents = x[:k].copy()
+
+    def assign(c):
+        d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        return a, d2[np.arange(len(a)), a]
+
+    for _ in range(iters):
+        a, _ = assign(cents)
+        xi = np.floor(x * SCALE + 0.5).astype(np.int64)
+        sums = np.zeros((k, x.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, xi)
+        cnt = np.bincount(a, minlength=k)
+        nz = cnt > 0
+        cents = cents.copy()
+        cents[nz] = sums[nz] / (SCALE * cnt[nz, None])
+    a, dist = assign(cents)
+    cnt = np.bincount(a, minlength=k)
+    inertia = np.zeros(k, dtype=np.int64)
+    np.add.at(inertia, a, np.floor(dist * 1e6 + 0.5).astype(np.int64))
+    return cents, cnt, inertia
+
+
+def test_kmeans_fit_blobs(ray_session):
+    """3 well-separated blobs: recovered sizes, bit-identical centroids
+    vs an independent local Lloyd, and partition invariance."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.stages.clustering import kmeans_fit
+
+    rng = np.random.default_rng(3)
+    blobs = [rng.normal(c, 0.05, (40 + 10 * i, 4))
+             for i, c in enumerate([(0, 0, 0, 0), (5, 5, 5, 5),
+                                    (-5, 5, -5, 5)])]
+    # ids 0..2 (the seeds) get one point from EACH blob, so Lloyd can
+    # recover the three blobs instead of splitting the seed blob
+    vecs = np.concatenate([b[:1] for b in blobs] + [b[1:] for b in blobs])
+    rows = [{"vec_id": i, "embedding": list(map(float, v))}
+            for i, v in enumerate(vecs)]
+
+    ref_c, ref_cnt, ref_inertia = _kmeans_reference(vecs, 3, 4)
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        return kmeans_fit(ds, "embedding", "vec_id", k=3, iters=4)
+
+    r1 = run(1)
+    assert np.array_equal(r1["centroids"], ref_c)          # bit-identical
+    assert np.array_equal(r1["counts"], ref_cnt)
+    assert np.array_equal(r1["inertia_scaled"], ref_inertia)
+    assert sorted(r1["counts"]) == [40, 50, 60]            # blobs recovered
+    r5 = run(5)
+    assert np.array_equal(r5["centroids"], r1["centroids"])
+    assert np.array_equal(r5["inertia_scaled"], r1["inertia_scaled"])
+
+
+def test_semdedup_pairs_planted(ray_session):
+    """Planted exact + near duplicates inside one blob are found; the
+    cross-cluster pair (by design) is not compared."""
+    import numpy as np
+    import ray.data as rd
+
+    from engine.stages.clustering import kmeans_fit, semdedup_pairs
+
+    rng = np.random.default_rng(9)
+    a = rng.normal((0, 0, 0, 0), 0.3, (30, 4))
+    b = rng.normal((8, 8, 8, 8), 0.3, (30, 4))
+    a[7] = a[3]                        # exact dup inside blob A
+    a[11] = a[5] * 1.0001              # near dup (same direction)
+    vecs = np.concatenate([a, b])
+    rows = [{"vec_id": i, "embedding": list(map(float, v))}
+            for i, v in enumerate(vecs)]
+    ds = rd.from_items(rows).repartition(4)
+    fit = kmeans_fit(ds, "embedding", "vec_id", k=2, iters=4)
+    got = {(r["id_a"], r["id_b"])
+           for r in semdedup_pairs(ds, "embedding", "vec_id",
+                                   fit["centroids"],
+                                   tau=0.9999).take_all()}
+    assert (3, 7) in got and (5, 11) in got
+    assert all(x < 30 and y < 30 or (x >= 30 and y >= 30) for x, y in got)
