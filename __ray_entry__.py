@@ -52,6 +52,7 @@ _SWEEP_FIRST = (
     "winsorize_clip_events",
     "kmeans_embeddings_clusters",
     "semdedup_embeddings",
+    "tfidf_top_term_documents",
     "ngram_docfreq_documents",
     "fd_check_lineitem_returnflag",
     "percentage_range_discount",

@@ -53,6 +53,12 @@ QUERY_SET = [
     "session_window_events",
     "asof_join_events_orders",
     "pack_documents_token_budget",
+    # round-3 additions
+    "rolling_sum_events",
+    "winsorize_clip_events",
+    "kmeans_embeddings_clusters",
+    "ngram_docfreq_documents",
+    "fd_check_lineitem_returnflag",
 ]
 
 

@@ -1609,6 +1609,50 @@ def ngram_docfreq_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(top.take_all()).select(["gram", "doc_freq"])
 
 
+@query(
+    "tfidf_top_term_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents WHERE text IS NOT NULL
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term != '' GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, count(DISTINCT doc_id) AS df
+      FROM toks WHERE term != '' GROUP BY term
+    ),
+    ranked AS (
+      SELECT tf.doc_id, tf.term, (tf.tf * 1000000) // df.df AS score,
+             row_number() OVER (
+                 PARTITION BY tf.doc_id
+                 ORDER BY (tf.tf * 1000000) // df.df DESC, tf.term ASC)
+                 AS rn
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term AS top_term, score
+    FROM ranked WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def tfidf_top_term_documents(sf_dir: str) -> pa.Table:
+    """Most-distinctive term per document (stages/textstats.py
+    tfidf_top_terms): integer TF-IDF (tf * 1e6 // doc_freq — exact on
+    both sides, deterministic ties by term). The df side is a
+    vocab-sized table broadcast ONCE via ray.put; each batch then does a
+    local Acero join + vectorized top-1, so per-doc results never
+    shuffle (a distributed join fallback exists above the broadcast
+    guard and is parity-tested)."""
+    from .stages.textstats import tfidf_top_terms
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = tfidf_top_terms(ds)
+    return _collect(out).sort_by("doc_id").select(
+        ["doc_id", "top_term", "score"])
+
+
 @query("kmeans_embeddings_clusters")
 def kmeans_embeddings_clusters(sf_dir: str) -> pa.Table:
     """Distributed k-means (stages/clustering.py — cluster-based

@@ -176,7 +176,7 @@ def add_repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ).append_column("n_distinct_words", pa.array(distinct))
 
 def ngram_doc_frequency(ds, n: int = 5, text_col: str = "text",
-                        min_doc_freq: int = 1):
+                        min_doc_freq: int = 1, drop_empty: bool = False):
     """Cross-document n-gram document frequency — boilerplate MINING
     (which exact phrases recur across many documents), the corpus-wide
     complement of ``add_repetition_stats``' within-doc signal. CCNet /
@@ -226,6 +226,11 @@ def ngram_doc_frequency(ds, n: int = 5, text_col: str = "text",
             return empty
         grams = pc.binary_join_element_wise(
             *[flat.slice(k, m) for k in range(n)], " ")
+        if drop_empty:  # "" tokens from repeated separators (n=1 path)
+            valid &= pc.not_equal(grams, "").to_numpy(
+                zero_copy_only=False).astype(bool)
+            if not valid.any():
+                return empty
         keep = pa.array(valid)
         pairs = pa.table({"gram": grams.filter(keep),
                           "d": pa.array(doc_idx[:m][valid])})
@@ -240,3 +245,122 @@ def ngram_doc_frequency(ds, n: int = 5, text_col: str = "text",
     if min_doc_freq > 1:
         out = out.filter(expr=f"doc_freq >= {min_doc_freq}")
     return out
+
+
+def _tf_partial(batch: pa.Table, text_col: str, id_col: str) -> pa.Table:
+    """Per-document term frequencies — EXACT partials (a doc never spans
+    batches): tokenize, drop empties, one pyarrow group_by."""
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ids = batch[id_col]
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    toks = pc.split_pattern(pc.fill_null(col, ""), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    keep = pc.not_equal(flat, "")
+    pairs = pa.table({
+        id_col: ids.take(pa.array(doc_idx, pa.int64())).filter(keep),
+        "term": flat.filter(keep),
+    })
+    out = pairs.group_by([id_col, "term"]).aggregate([([], "count_all")])
+    return out.rename_columns([id_col, "term", "tf"]).set_column(
+        2, "tf", pc.cast(out.column(2), pa.int64()))
+
+
+def _top1_per_doc(t: pa.Table, id_col: str) -> pa.Table:
+    """First row per doc under (score desc, term asc) — vectorized."""
+    idx = pc.sort_indices(t, sort_keys=[
+        (id_col, "ascending"), ("score", "descending"),
+        ("term", "ascending")])
+    t = t.take(idx)
+    docs = t[id_col]
+    if isinstance(docs, pa.ChunkedArray):
+        docs = docs.combine_chunks()
+    d = docs.to_numpy(zero_copy_only=False)
+    first = np.concatenate([[True], d[1:] != d[:-1]])
+    return t.filter(pa.array(first))
+
+
+def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                    max_broadcast: int = 2_000_000):
+    """Most-distinctive term per document by TF-IDF (linear-idf variant:
+    ``score = tf * 1_000_000 // doc_freq`` — integer arithmetic on both
+    engine and oracle sides, so ranking ties are bit-reproducible; the
+    keyword-extraction signal corpus curation uses for topic balancing).
+
+    Scale shape — the broadcast-vs-shuffle fork the build spec calls for:
+
+    - **document frequency** reuses ``ngram_doc_frequency(n=1)``
+      (per-batch distinct combiner + ONE vocab-cardinality groupby),
+      materialized once (vocab-sized, bounded by the token vocabulary);
+    - **vocab <= max_broadcast** (the normal case — natural-language
+      vocabularies plateau in the millions): the (term, df) table is
+      ``ray.put`` ONCE and every batch does a LOCAL Acero hash join +
+      vectorized top-1 — per-doc results never shuffle at all;
+    - **vocab > max_broadcast**: distributed fallback — Dataset.join of
+      the exact per-batch tf partials against the df table on ``term``
+      (the join scatters a doc's terms across blocks), then doc ids are
+      hash-bucketed and each bucket takes a vectorized top-1 — never
+      one Python call per doc; parity-tested against the broadcast
+      path.
+
+    Returns a Dataset (id_col, top_term, score), one row per document
+    with at least one non-empty token.
+    """
+    import ray
+
+    from ..dsutil import compact, join_partitions
+
+    df_ds = ngram_doc_frequency(ds, n=1, text_col=text_col,
+                                drop_empty=True).materialize()
+    n_vocab = df_ds.count()
+
+    tf = ds.map_batches(
+        lambda b: _tf_partial(b, text_col, id_col), batch_format="pyarrow")
+
+    if n_vocab <= max_broadcast:
+        vocab = pa.concat_tables(
+            [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+        ).combine_chunks().rename_columns(["term", "df"])
+        ref = ray.put(vocab)
+
+        def score_top(batch: pa.Table) -> pa.Table:
+            v = ray.get(ref)  # zero-copy from the local object store
+            j = batch.join(v, keys="term")
+            score = pc.divide(pc.multiply(j["tf"], 1_000_000), j["df"])
+            j = j.append_column("score", pc.cast(score, pa.int64()))
+            top = _top1_per_doc(j, id_col)
+            return pa.table({id_col: top[id_col], "top_term": top["term"],
+                             "score": top["score"]})
+
+        return tf.map_batches(score_top, batch_format="pyarrow")
+
+    nparts = join_partitions()
+    j = compact(tf, nparts).join(
+        compact(df_ds.map_batches(
+            lambda b: b.rename_columns(["term", "df"]),
+            batch_format="pyarrow"), nparts),
+        "inner", num_partitions=nparts, on=("term",))
+
+    from .windows import _bucket_of
+
+    def add_score_bucket(batch: pa.Table) -> pa.Table:
+        score = pc.divide(pc.multiply(batch["tf"], 1_000_000), batch["df"])
+        return batch.append_column(
+            "score", pc.cast(score, pa.int64())
+        ).append_column("_bucket",
+                        pa.array(_bucket_of(batch[id_col], 256)))
+
+    def bucket_top(group: pa.Table) -> pa.Table:
+        top = _top1_per_doc(group.drop_columns(["_bucket"]), id_col)
+        return pa.table({id_col: top[id_col], "top_term": top["term"],
+                         "score": top["score"]})
+
+    return (j.map_batches(add_score_bucket, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(bucket_top, batch_format="pyarrow"))

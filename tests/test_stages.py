@@ -906,3 +906,48 @@ def test_semdedup_pairs_planted(ray_session):
                                    tau=0.9999).take_all()}
     assert (3, 7) in got and (5, 11) in got
     assert all(x < 30 and y < 30 or (x >= 30 and y >= 30) for x, y in got)
+
+
+def test_tfidf_top_terms(ray_session):
+    """Integer TF-IDF top term per doc: brute-force cross-check, tie
+    determinism (lexicographic), partition invariance, and broadcast-vs-
+    distributed-join path parity (max_broadcast=0 forces the join)."""
+    import collections
+
+    import ray.data as rd
+
+    from engine.stages.textstats import tfidf_top_terms
+
+    docs = [
+        "apple banana apple cherry",      # apple tf=2
+        "banana banana banana kiwi",
+        "cherry kiwi  cherry",            # double space -> empty token
+        "unique",                         # df=1 singleton
+        "apple banana",                   # tie on score -> 'apple' wins? check brute
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+
+    df = collections.Counter()
+    for t in docs:
+        for term in {x for x in t.split(" ") if x}:
+            df[term] += 1
+    expect = {}
+    for i, t in enumerate(docs):
+        tf = collections.Counter(x for x in t.split(" ") if x)
+        scored = sorted(((tf[w] * 1_000_000) // df[w], w) for w in tf)
+        best = max(scored, key=lambda s: (s[0], [-ord(c) for c in s[1]]))
+        # max score, ties -> lexicographically smallest term
+        top_score = max(s for s, _ in scored)
+        top_term = min(w for s, w in scored if s == top_score)
+        expect[i] = (top_term, top_score)
+
+    def run(nparts, **kw):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = tfidf_top_terms(ds, **kw)
+        return {r["doc_id"]: (r["top_term"], r["score"])
+                for r in out.take_all()}
+
+    got = run(1)
+    assert got == expect
+    assert run(4) == expect
+    assert run(3, max_broadcast=0) == expect   # distributed-join fallback
