@@ -53,6 +53,7 @@ _SWEEP_FIRST = (
     "kmeans_embeddings_clusters",
     "semdedup_embeddings",
     "tfidf_top_term_documents",
+    "chunk_documents_tokens",
     "ngram_docfreq_documents",
     "fd_check_lineitem_returnflag",
     "percentage_range_discount",

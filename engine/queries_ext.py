@@ -1610,6 +1610,41 @@ def ngram_docfreq_documents(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "chunk_documents_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ts
+      FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+      SELECT doc_id, i AS chunk_idx,
+             array_to_string(ts[i*32+1 : i*32+32], ' ') AS chunk_text,
+             least(len(ts) - i*32, 32) AS n_tokens
+      FROM toks,
+           unnest(generate_series(
+               0, CAST(ceil(len(ts) / 32.0) AS BIGINT) - 1)) AS t(i)
+    )
+    SELECT doc_id, chunk_idx, n_tokens, chunk_text
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents_tokens(sf_dir: str) -> pa.Table:
+    """Context-window chunking (stages/textstats.py chunk_documents —
+    the complement of sequence packing: split long docs into 32-token
+    chunks). Purely per-batch, zero shuffle; chunk texts built from ONE
+    ListArray offsets vector + binary_join per batch (no per-doc
+    Python)."""
+    from .stages.textstats import chunk_documents
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = chunk_documents(ds, chunk_tokens=32)
+    return _collect(out).sort_by(
+        [("doc_id", "ascending"), ("chunk_idx", "ascending")]).select(
+        ["doc_id", "chunk_idx", "n_tokens", "chunk_text"])
+
+
+@query(
     "tfidf_top_term_documents",
     """
     WITH toks AS (

@@ -63,38 +63,70 @@ def add_quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("quality_score", pa.array(score, pa.float64()))
 
 
+def _winnow_pairs(texts: pa.Array | pa.ChunkedArray, k: int,
+                  window: int) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized winnowing core: ONE sliding-window minimum over the
+    packed hash array of the whole batch (cross-doc windows masked via
+    the doc-index array — the same masking rule the n-gram kernels use),
+    plus a ``minimum.reduceat`` segment-min for docs shorter than the
+    window. Returns (list_offsets int64[n_docs+1], fingerprints uint64)
+    — per-doc sorted unique fingerprints, no per-doc Python anywhere."""
+    data, offsets = byte_view(texts)
+    hashes, starts, counts = _shingles(data, offsets, k)
+    n_docs = len(counts)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(n_docs + 1, dtype=np.int64), np.array([], np.uint64)
+    counts_cum = np.concatenate([[0], np.cumsum(counts)])
+    within = np.arange(total, dtype=np.int64) - np.repeat(
+        counts_cum[:-1], counts)
+    gather = np.repeat(starts, counts) + within  # starts need not be packed
+    h = hashes[gather]
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+
+    part_doc, part_fp = [], []
+    m = total - window + 1
+    if m > 0:
+        sw_min = np.lib.stride_tricks.sliding_window_view(
+            h, window).min(axis=1)
+        valid = doc_of[:m] == doc_of[window - 1:]
+        part_doc.append(doc_of[:m][valid])
+        part_fp.append(sw_min[valid])
+    nonzero = np.flatnonzero(counts > 0)
+    short = counts[nonzero] < window  # docs with no full window: global min
+    if short.any():
+        seg_min = np.minimum.reduceat(h, counts_cum[:-1][nonzero])
+        part_doc.append(nonzero[short])
+        part_fp.append(seg_min[short])
+    d = np.concatenate(part_doc)
+    f = np.concatenate(part_fp)
+    order = np.lexsort((f, d))
+    d, f = d[order], f[order]
+    uniq = np.concatenate([[True], (d[1:] != d[:-1]) | (f[1:] != f[:-1])])
+    d, f = d[uniq], f[uniq]
+    per_doc = np.bincount(d, minlength=n_docs)
+    return np.concatenate([[0], np.cumsum(per_doc)]), f.astype(np.uint64)
+
+
 def winnowing_fingerprints(
     texts: pa.Array | pa.ChunkedArray, k: int = 8, window: int = 16
 ) -> list[list[int]]:
     """Winnowing fingerprint set per doc: in every ``window`` consecutive
-    k-gram hashes keep the minimum (rightmost on ties) — guarantees any
-    shared substring of length >= window+k-1 yields a shared fingerprint.
-    Deterministic; returns sorted unique fingerprints per doc."""
-    data, offsets = byte_view(texts)
-    hashes, starts, counts = _shingles(data, offsets, k)
-    out: list[list[int]] = []
-    for d in range(len(counts)):
-        c = int(counts[d])
-        h = hashes[starts[d] : starts[d] + c]
-        if c == 0:
-            out.append([])
-            continue
-        if c <= window:
-            out.append([int(h.min())] if c else [])
-            continue
-        # sliding-window minimum via stride trick (windows = c-window+1)
-        sw = np.lib.stride_tricks.sliding_window_view(h, window)
-        mins = sw.min(axis=1)
-        out.append(sorted(set(int(x) for x in np.unique(mins))))
-    return out
+    k-gram hashes keep the minimum — guarantees any shared substring of
+    length >= window+k-1 yields a shared fingerprint (Schleimer et al.).
+    Deterministic; returns sorted unique fingerprints per doc. (List-of-
+    lists convenience wrapper; the stage path ``add_fingerprints`` stays
+    Arrow-native via ``_winnow_pairs``.)"""
+    offs, fps = _winnow_pairs(texts, k, window)
+    return [fps[offs[i]:offs[i + 1]].tolist() for i in range(len(offs) - 1)]
 
 
 def add_fingerprints(batch: pa.Table, text_col: str = "text",
                      k: int = 8, window: int = 16) -> pa.Table:
-    fps = winnowing_fingerprints(batch[text_col], k, window)
-    return batch.append_column(
-        "fingerprints", pa.array(fps, pa.list_(pa.uint64()))
-    )
+    offs, fps = _winnow_pairs(batch[text_col], k, window)
+    col = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                   pa.array(fps, pa.uint64()))
+    return batch.append_column("fingerprints", col)
 
 
 def heuristic_langid(texts: pa.Array | pa.ChunkedArray) -> list[str]:
@@ -364,3 +396,70 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     return (j.map_batches(add_score_bucket, batch_format="pyarrow")
              .groupby("_bucket")
              .map_groups(bucket_top, batch_format="pyarrow"))
+
+
+def chunk_documents(ds, chunk_tokens: int = 32, text_col: str = "text",
+                    id_col: str = "doc_id"):
+    """Split every document into fixed-size token chunks (the context-
+    window shaping transform — the complement of sequence PACKING in
+    queries_ext.pack_documents_token_budget: packing merges short docs,
+    chunking splits long ones). Purely per-batch (a doc never spans
+    batches), zero shuffle, and fully vectorized: chunk boundaries tile
+    the flattened token array exactly, so the chunk texts come from ONE
+    ``pa.ListArray.from_arrays(offsets, tokens)`` + ``pc.binary_join``
+    — no per-doc Python.
+
+    Emits (id_col, chunk_idx, n_tokens, chunk_text); every doc with
+    non-null text yields >= 1 chunk (single-space split semantics,
+    empties kept — matches the string_split oracle).
+    """
+    C = int(chunk_tokens)
+    if C <= 0:
+        raise ValueError("chunk_tokens must be positive")
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        keep = pc.is_valid(col)
+        col = col.filter(keep)
+        ids = ids.filter(keep)
+        toks = pc.split_pattern(col, " ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        n_chunks = -(-lens // C)                       # >= 1 (len >= 1)
+        doc_rep = np.repeat(np.arange(len(lens), dtype=np.int64), n_chunks)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({
+                id_col: pa.array([], ids.type),
+                "chunk_idx": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "chunk_text": pa.array([], pa.string()),
+            })
+        # chunk_idx restarts per doc: global position minus the doc's
+        # first chunk position
+        first = np.concatenate([[0], np.cumsum(n_chunks)[:-1]])
+        chunk_idx = np.arange(total, dtype=np.int64) - first[doc_rep]
+        doc_start = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        starts = doc_start[doc_rep] + chunk_idx * C
+        doc_end = doc_start[doc_rep] + lens[doc_rep]
+        n_tok = np.minimum(doc_end - starts, C)
+        # consecutive chunks tile each doc, docs tile the flat array ->
+        # [starts..., len(flat)] is a valid monotone offsets vector
+        offsets = np.append(starts, len(flat)).astype(np.int32)
+        chunk_lists = pa.ListArray.from_arrays(pa.array(offsets), flat)
+        texts = pc.binary_join(chunk_lists, " ")
+        return pa.table({
+            id_col: ids.take(pa.array(doc_rep, pa.int64())),
+            "chunk_idx": pa.array(chunk_idx, pa.int64()),
+            "n_tokens": pa.array(n_tok.astype(np.int64), pa.int64()),
+            "chunk_text": texts,
+        })
+
+    return ds.map_batches(chunks, batch_format="pyarrow")

@@ -951,3 +951,41 @@ def test_tfidf_top_terms(ray_session):
     assert got == expect
     assert run(4) == expect
     assert run(3, max_broadcast=0) == expect   # distributed-join fallback
+
+
+def test_chunk_documents_planted(ray_session):
+    """Fixed-token chunking: exact boundary (64 tokens -> 2 chunks),
+    remainder chunk, single-token doc, empty text (one ''-token chunk),
+    null text (no chunks), brute-force texts, partition invariance."""
+    import ray.data as rd
+
+    from engine.stages.textstats import chunk_documents
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [
+        {"doc_id": 0, "text": words(65, "a")},   # 32 + 32 + 1
+        {"doc_id": 1, "text": words(64, "b")},   # exactly 2 chunks
+        {"doc_id": 2, "text": "solo"},
+        {"doc_id": 3, "text": ""},               # [''] -> one 1-token chunk
+        {"doc_id": 4, "text": None},             # dropped
+    ]
+
+    expect = []
+    for r in rows:
+        if r["text"] is None:
+            continue
+        toks = r["text"].split(" ")
+        for ci in range(-(-len(toks) // 32)):
+            seg = toks[ci * 32:(ci + 1) * 32]
+            expect.append((r["doc_id"], ci, len(seg), " ".join(seg)))
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = chunk_documents(ds, chunk_tokens=32)
+        return sorted((r["doc_id"], r["chunk_idx"], r["n_tokens"],
+                       r["chunk_text"]) for r in out.take_all())
+
+    assert run(1) == sorted(expect)
+    assert run(4) == sorted(expect)
