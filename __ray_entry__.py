@@ -54,6 +54,8 @@ _SWEEP_FIRST = (
     "semdedup_embeddings",
     "tfidf_top_term_documents",
     "chunk_documents_tokens",
+    "pivot_events_by_type",
+    "cumulative_new_users_events",
     "ngram_docfreq_documents",
     "fd_check_lineitem_returnflag",
     "percentage_range_discount",

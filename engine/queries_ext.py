@@ -1610,6 +1610,118 @@ def ngram_docfreq_documents(sf_dir: str) -> pa.Table:
 
 
 @query(
+    "pivot_events_by_type",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def pivot_events_by_type(sf_dir: str) -> pa.Table:
+    """Pivot / wide conditional aggregation: one row per day, one count
+    column per event type (the static type set is part of the operator
+    contract, as in any SQL PIVOT). Per-batch one-hot projection (5
+    vectorized equality casts) folds the pivot into plain Sum
+    aggregates — ONE low-cardinality groupby, no per-type passes."""
+    from ray.data.aggregate import Sum
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    ds = _t(sf_dir, "events", ["ts", "event_type"])
+
+    def onehot(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        cols = {"event_date": ts.cast(pa.date32())}
+        for t in types:
+            cols[f"n_{t}"] = pc.cast(
+                pc.equal(batch["event_type"], t), pa.int64())
+        return pa.table(cols)
+
+    out = (ds.map_batches(onehot, batch_format="pyarrow")
+             .groupby("event_date")
+             .aggregate(*[Sum(f"n_{t}", alias_name=f"n_{t}")
+                          for t in types]))
+    return _collect(out).sort_by("event_date")
+
+
+@query(
+    "cumulative_new_users_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS event_date
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT event_date, count(*) AS new_users
+      FROM first_seen GROUP BY 1
+    )
+    SELECT event_date, new_users,
+           CAST(sum(new_users) OVER (ORDER BY event_date) AS BIGINT)
+               AS cumulative_users
+    FROM per_day
+    ORDER BY event_date
+    """,
+)
+def cumulative_new_users_events(sf_dir: str) -> pa.Table:
+    """Cumulative-new-entities curve (growth/retention analytics): each
+    user's FIRST day via per-batch min-combiner + one groupby Min, a
+    second date-cardinality groupby for daily counts, then the running
+    total on the date-sized driver result (an integer cumsum — the
+    global-prefix-sum shape of pack_documents_token_budget, but here the
+    partial set is calendar-sized so the driver pass IS the scale
+    answer)."""
+    from ray.data.aggregate import Min
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
+        t = pa.table({"user_id": batch["user_id"], "day": days})
+        # combiner: per-batch min day per user shrinks the shuffle to
+        # (distinct users in batch) rows
+        g = t.group_by(["user_id"]).aggregate([("day", "min")])
+        return g.rename_columns(["user_id", "day"])
+
+    first = (ds.map_batches(proj, batch_format="pyarrow")
+               .groupby("user_id").aggregate(Min("day", alias_name="day")))
+
+    # date-cardinality daily counts: value_counts per batch, calendar-
+    # sized partials merged on the driver (the sketches.py merge shape)
+    def day_counts(batch: pa.Table) -> pa.Table:
+        d = batch["day"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        vc = pc.value_counts(d)
+        return pa.table({"day": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    import collections
+
+    counts: collections.Counter = collections.Counter()
+    for row in first.map_batches(
+            day_counts, batch_format="pyarrow").take_all():
+        counts[row["day"]] += row["n"]
+    days = sorted(counts)
+    new_users = np.array([counts[d] for d in days], dtype=np.int64)
+    return pa.table({
+        "event_date": pa.array(np.array(days, dtype=np.int32)).cast(
+            pa.date32()),
+        "new_users": pa.array(new_users, pa.int64()),
+        "cumulative_users": pa.array(np.cumsum(new_users), pa.int64()),
+    })
+
+
+@query(
     "chunk_documents_tokens",
     """
     WITH toks AS (

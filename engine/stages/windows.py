@@ -231,3 +231,57 @@ def hopping_window_agg(ds, ts_col: str, value_col: str,
         .aggregate(Count(alias_name="n_events"),
                    Sum("value_cents", alias_name="total_value_cents"))
     )
+
+
+def lag_gap_stats(ds, key_col: str, ts_col: str, id_col: str,
+                  num_buckets: int = 64):
+    """Per-key inter-arrival (LAG) gap statistics — the SQL
+    ``ts - LAG(ts) OVER (PARTITION BY key ORDER BY ts, id)`` window
+    reduced per key to ``(n_gaps, max_gap_us, sum_gap_us)``.
+
+    Same bucket-then-vectorize shape as ``rolling_window_sum``: ONE
+    (key, ts, id) sort per hash bucket, adjacent diffs in integer
+    microseconds (exact — no float policy concerns), per-key reduction
+    via a single pyarrow ``group_by`` inside the bucket (C++ hash agg,
+    no per-key Python). Keys with a single event emit nothing (no gap),
+    matching the SQL ``WHERE gap IS NOT NULL``. Output is
+    key-cardinality-sized: (key, n_gaps, max_gap_us, sum_gap_us).
+    """
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
+
+    def bucket_gaps(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ts = g[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        same_key = ~np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        gaps = np.diff(micros, prepend=micros[:1])
+        t = pa.table({
+            key_col: keys.filter(pa.array(same_key)),
+            "gap": pa.array(gaps[same_key], pa.int64()),
+        })
+        r = t.group_by([key_col]).aggregate(
+            [("gap", "count"), ("gap", "max"), ("gap", "sum")])
+        return r.rename_columns(
+            [key_col, "n_gaps", "max_gap_us", "sum_gap_us"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_gaps, batch_format="pyarrow")
+    )
