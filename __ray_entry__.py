@@ -48,6 +48,17 @@ def entry() -> Any:
 # driver rows, and all oracle-SQL queries are additionally checked against
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    "max_gap_events_per_user",
+    "df_stopword_scrub_documents",
+    "json_props_rollup_events",
+    "outlier_mad_events",
+    "histogram_events_value",
+    "revenue_by_nation",
+    "corr_lineitem_qty_price",
+    "users_per_event_type",
+    "funnel_signup_purchase_events",
+    "zscore_events_value",
+    "rollup_events_grouping_sets",
     "rolling_sum_events",
     "winsorize_clip_events",
     "kmeans_embeddings_clusters",

@@ -1950,3 +1950,692 @@ def fd_check_lineitem_returnflag(sf_dir: str) -> pa.Table:
     out = fd_violations(ds, "l_orderkey", "l_returnflag")
     t = _collect(out).sort_by("det")  # violation-sized: local sort
     return t.select(["det", "n_dep"])
+
+
+# ===========================================================================
+# Inter-arrival (LAG window) gap statistics
+# ===========================================================================
+
+@query(
+    "max_gap_events_per_user",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+                 (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id, count(gap) AS n_gaps,
+           CAST(max(gap) AS BIGINT) AS max_gap_us,
+           CAST(sum(gap) AS BIGINT) AS sum_gap_us
+    FROM g WHERE gap IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def max_gap_events_per_user(sf_dir: str) -> pa.Table:
+    """Per-user inter-arrival gap stats — the SQL LAG window function
+    (stages/windows.py lag_gap_stats): one hash-bucket shuffle, one
+    vectorized (user, ts, id) sort per bucket, adjacent integer-us
+    diffs with key-segment restarts, per-key reduce via pyarrow
+    group_by (C++ hash agg). Single-event users emit nothing, matching
+    ``WHERE gap IS NOT NULL``. Gaps are integer microseconds — exact on
+    both sides (no float policy concerns)."""
+    from .stages.windows import lag_gap_stats
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = lag_gap_stats(ds, key_col="user_id", ts_col="ts",
+                        id_col="event_id")
+    t = _collect(out).sort_by("user_id")  # key-cardinality result
+    return t.select(["user_id", "n_gaps", "max_gap_us", "sum_gap_us"])
+
+
+# ===========================================================================
+# Corpus-DF boilerplate token scrub (CCNet-style mine -> broadcast -> rewrite)
+# ===========================================================================
+
+@query(
+    "df_stopword_scrub_documents",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+             unnest(generate_series(1, len(string_split(text, ' ')))) AS idx
+      FROM documents
+    ),
+    df AS (SELECT word, count(DISTINCT doc_id) AS nd FROM words GROUP BY word),
+    boiler AS (
+      SELECT word FROM df
+      WHERE nd * 5 > 4 * (SELECT count(*) FROM documents)
+    )
+    SELECT d.doc_id,
+           coalesce(string_agg(k.word, ' ' ORDER BY k.idx), '') AS clean_text
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, idx, word FROM words
+               WHERE word NOT IN (SELECT word FROM boiler)) k
+           USING (doc_id)
+    GROUP BY d.doc_id ORDER BY d.doc_id
+    """,
+)
+def df_stopword_scrub_documents(sf_dir: str) -> pa.Table:
+    """Corpus-level boilerplate removal (the CCNet/C4 mine -> broadcast
+    -> rewrite shape): tokens whose document frequency exceeds 80% of
+    the corpus are deleted from every document.
+
+    Pass 1 mines DF with a per-batch distinct-doc combiner (docs are
+    rows, so per-batch pyarrow ``count_distinct`` partials sum exactly)
+    into ONE vocabulary-cardinality groupby; the boilerplate set — tiny
+    by construction (high-DF tokens) — is collected and broadcast into
+    pass 2, which drops matching tokens via a flattened ``pc.is_in``
+    mask and reassembles each document with Arrow list-offset
+    arithmetic + ``binary_join`` (no per-row Python). The corpus itself
+    is never shuffled."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    n_docs = ds.count()  # parquet metadata count
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(batch["text"], " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = parts.offsets.to_numpy()
+        values = parts.values.slice(offs[0], offs[-1] - offs[0])
+        doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64),
+                            np.diff(offs))
+        t = pa.table({"word": values, "doc": pa.array(doc_idx, pa.int64())})
+        g = t.group_by(["word"]).aggregate([("doc", "count_distinct")])
+        return g.rename_columns(["word", "nd"])
+
+    df = (ds.map_batches(df_partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("nd", alias_name="nd")))
+    dft = _collect(df)  # vocabulary-sized
+    boiler = dft.filter(
+        pc.greater(pc.multiply(dft["nd"], 5), 4 * n_docs))["word"]
+    if isinstance(boiler, pa.ChunkedArray):
+        boiler = boiler.combine_chunks()
+    boiler_ref = ray.put(boiler)  # broadcast once, read per worker
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        drop_set = ray.get(boiler_ref)
+        parts = pc.split_pattern(batch["text"], " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        offs = parts.offsets.to_numpy()
+        values = parts.values.slice(offs[0], offs[-1] - offs[0])
+        offs0 = offs - offs[0]
+        keep = pc.invert(pc.is_in(values, value_set=drop_set))
+        keep_np = keep.to_numpy(zero_copy_only=False).astype(np.int64)
+        ck = np.concatenate([[0], np.cumsum(keep_np)])
+        new_offs = ck[offs0]  # kept-word count boundaries per doc
+        lst = pa.ListArray.from_arrays(
+            pa.array(new_offs, pa.int32()), values.filter(keep))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "clean_text": pc.binary_join(lst, " "),
+        })
+
+    out = ds.map_batches(scrub, batch_format="pyarrow")
+    return _collect(out).sort_by("doc_id")
+
+
+# ===========================================================================
+# Semi-structured (JSON) payload extraction
+# ===========================================================================
+
+@query(
+    "json_props_rollup_events",
+    """
+    SELECT event_type,
+           CAST(sum(TRY_CAST(regexp_extract(props, '"k": (-?\\d+)', 1)
+                             AS BIGINT)) AS BIGINT) AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def json_props_rollup_events(sf_dir: str) -> pa.Table:
+    """Semi-structured payload extraction: pull an integer field out of
+    the JSON ``props`` column with a compiled-regex Arrow kernel
+    (``pc.extract_regex`` — no per-row json.loads) and roll it up per
+    event type. Unparseable rows contribute NULL to the sum but still
+    count, matching TRY_CAST semantics."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], r'"k": (?P<k>-?\d+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        return pa.table({"event_type": batch["event_type"], "k": k,
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    out = (ds.map_batches(extract, batch_format="pyarrow")
+             .groupby("event_type")
+             .aggregate(Sum("k", alias_name="sum_k"),
+                        Sum("one", alias_name="n_events")))
+    return _collect(out).sort_by("event_type").select(
+        ["event_type", "sum_k", "n_events"])
+
+
+# ===========================================================================
+# Robust (MAD) outlier check
+# ===========================================================================
+
+@query(
+    "outlier_mad_events",
+    """
+    WITH m AS (SELECT quantile_disc(value, 0.5) AS med FROM events),
+         d AS (SELECT quantile_disc(abs(value - med), 0.5) AS mad
+               FROM events, m)
+    SELECT (SELECT count(value) FROM events) AS total_rows,
+           (SELECT count(*) FROM events, m, d
+            WHERE abs(value - med) > 3 * mad) AS violation_count,
+           CASE WHEN (SELECT count(*) FROM events, m, d
+                      WHERE abs(value - med) > 3 * mad) = 0
+                THEN 'PASS' ELSE 'WARNING' END AS status
+    FROM m
+    """,
+)
+def outlier_mad_events(sf_dir: str) -> pa.Table:
+    """Robust outlier detection via median absolute deviation — the
+    median-based complement of the 3-sigma check (A11), immune to the
+    outliers it hunts. Both medians are EXACT discrete quantiles from
+    histogram-guided selection (stages/selection.py — zero shuffle);
+    med and mad are elements of the data, so ``abs(x - med)`` and
+    ``3 * mad`` are identical double expressions on both sides."""
+    from ray.data.aggregate import Sum
+    from .stages.selection import exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["value"])
+    med = exact_quantiles_disc(ds, "value", [0.5])[0]
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"absdev": pc.abs(pc.subtract(batch["value"], med))})
+
+    dds = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = exact_quantiles_disc(dds, "absdev", [0.5])[0]
+    thr = 3 * mad
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        dev = pc.abs(pc.subtract(batch["value"], med))
+        viol = pc.sum(pc.cast(pc.greater(dev, thr), pa.int64())).as_py() or 0
+        n = batch.num_rows - batch["value"].null_count
+        return pa.table({"n": pa.array([n], pa.int64()),
+                         "v": pa.array([viol], pa.int64())})
+
+    agg = ds.map_batches(count_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("v", alias_name="v"))
+    total, viol = int(agg["n"]), int(agg["v"])
+    return _row(total_rows=total, violation_count=viol,
+                status="PASS" if viol == 0 else "WARNING")
+
+
+# ===========================================================================
+# Fixed-bin histogram profile
+# ===========================================================================
+
+@query(
+    "histogram_events_value",
+    """
+    SELECT CAST(floor(value / 25) AS BIGINT) AS bin, count(*) AS n
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def histogram_events_value(sf_dir: str) -> pa.Table:
+    """Fixed-width-bin histogram profile of a numeric column: per-batch
+    ``value_counts`` over the floor-divided bin id (bin-cardinality
+    partials), then one tiny groupby merge — the profiling shape whose
+    shuffle volume is bins x blocks regardless of corpus size."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["value"])
+
+    def bins(batch: pa.Table) -> pa.Table:
+        col = pc.drop_null(batch["value"])
+        b = pc.cast(pc.floor(pc.divide(col, 25.0)), pa.int64())
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        vc = pc.value_counts(b)
+        return pa.table({"bin": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    out = (ds.map_batches(bins, batch_format="pyarrow")
+             .groupby("bin").aggregate(Sum("n", alias_name="n")))
+    return _collect(out).sort_by("bin").select(["bin", "n"])
+
+
+# ===========================================================================
+# Star-schema revenue rollup (multi-hop join: fact -> fact -> dim -> dim)
+# ===========================================================================
+
+@query(
+    "revenue_by_nation",
+    """
+    SELECT n_name AS nation,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_c100
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def revenue_by_nation(sf_dir: str,
+                      max_broadcast: int | None = None) -> pa.Table:
+    """Star-schema rollup across lineitem -> orders -> customer ->
+    nation (the TPC-H Q5 shape). Scale plan: revenue is pre-aggregated
+    per order INSIDE map_batches (integer cents x discount-percent —
+    exact), so the fact table is reduced to order cardinality before
+    anything joins; the orderkey->nation dimension chain is composed
+    driver-side and broadcast ONCE via ``ray.put`` when it fits the
+    guard (index_in lookups, zero shuffles beyond the one groupby),
+    with tiered distributed-join fallbacks when orders and/or customer
+    outgrow it (parity-tested in test_revenue_by_nation_paths). Final
+    groupby has nation cardinality (tiny)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64())
+        disc = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev_o = (li.map_batches(rev_partial, batch_format="pyarrow")
+               .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nat = _collect(_t(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    nat_keys = nat["n_nationkey"].combine_chunks()
+    nat_names = nat["n_name"].combine_chunks()
+
+    def finish(keyed):
+        out = keyed.groupby("nation").aggregate(
+            Sum("rev", alias_name="revenue_c100"))
+        return _collect(out).sort_by("nation").select(
+            ["nation", "revenue_c100"])
+
+    if orders.count() <= mb:
+        # normal case: the whole orderkey->nation chain composes into
+        # one broadcast lookup table; the fact side never joins at all
+        omap = _collect(orders)
+        cmap = _collect(cust)
+        nname_per_cust = pc.take(nat_names, pc.index_in(
+            cmap["c_nationkey"].combine_chunks(), nat_keys))
+        nname_per_order = pc.take(nname_per_cust, pc.index_in(
+            omap["o_custkey"].combine_chunks(),
+            cmap["c_custkey"].combine_chunks()))
+        dim_ref = ray.put((omap["o_orderkey"].combine_chunks(),
+                           nname_per_order))
+
+        def to_nation(batch: pa.Table) -> pa.Table:
+            keys, names = ray.get(dim_ref)
+            idx = pc.index_in(batch["l_orderkey"], keys)
+            t = pa.table({"nation": pc.take(names, idx),
+                          "rev": batch["rev"]})
+            return t.filter(pc.is_valid(t["nation"]))  # inner-join drop
+
+        return finish(rev_o.map_batches(to_nation, batch_format="pyarrow"))
+
+    # orders outgrew the guard: ONE order-cardinality distributed join
+    j = compact(rev_o, join_partitions()).join(
+        orders, "inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    if cust.count() <= mb:
+        cmap = _collect(cust)
+        nname_per_cust = pc.take(nat_names, pc.index_in(
+            cmap["c_nationkey"].combine_chunks(), nat_keys))
+        dim_ref = ray.put((cmap["c_custkey"].combine_chunks(),
+                           nname_per_cust))
+
+        def cust_to_nation(batch: pa.Table) -> pa.Table:
+            keys, names = ray.get(dim_ref)
+            idx = pc.index_in(batch["o_custkey"], keys)
+            t = pa.table({"nation": pc.take(names, idx),
+                          "rev": batch["rev"]})
+            return t.filter(pc.is_valid(t["nation"]))
+
+        return finish(j.map_batches(cust_to_nation, batch_format="pyarrow"))
+
+    # customer also outgrew the guard: second distributed join; the
+    # nation dim (countries) is always broadcastable
+    j2 = compact(j, join_partitions()).join(
+        cust, "inner", num_partitions=join_partitions(),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def nat_lookup(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["c_nationkey"], nat_keys)
+        t = pa.table({"nation": pc.take(nat_names, idx),
+                      "rev": batch["rev"]})
+        return t.filter(pc.is_valid(t["nation"]))
+
+    return finish(j2.map_batches(nat_lookup, batch_format="pyarrow"))
+
+
+# ===========================================================================
+# Exact-partial Pearson correlation profile
+# ===========================================================================
+
+@query(
+    "corr_lineitem_qty_price",
+    """
+    WITH p AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                      * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS syy
+      FROM lineitem
+    )
+    SELECT n AS total_rows,
+           CAST(floor((n * sxy - sx * sy)
+                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                      * 10000 + 0.5) AS BIGINT) AS corr_x10k
+    FROM p
+    """,
+)
+def corr_lineitem_qty_price(sf_dir: str) -> pa.Table:
+    """Pearson correlation profile (quantity vs price) with EXACT
+    distributed moments: per-batch int64 partial sums over integer
+    projections (quantity as-is, price in cents; batch_size bounded so
+    sum(y^2) stays in int64), merged on the driver in arbitrary-
+    precision Python ints, then ONE double-precision formula evaluated
+    with the identical expression tree as the SQL — bit-identical by
+    IEEE determinism, no float-accumulation-order dependence."""
+    import math
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = pc.cast(pc.floor(pc.add(batch["l_quantity"], 0.5)),
+                    pa.int64()).to_numpy(zero_copy_only=False)
+        y = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["l_extendedprice"], 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in [
+            ("n", len(x)), ("sx", int(x.sum())), ("sy", int(y.sum())),
+            ("sxy", int((x * y).sum())), ("sxx", int((x * x).sum())),
+            ("syy", int((y * y).sum())),
+        ]})
+
+    # batch_size 32768 bounds the per-batch syy partial at ~3.6e18 < 2^63
+    # (price <= ~$105k -> cents^2 <= 1.1e14 per row)
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=32768))
+    n = sum(parts["n"].to_pylist())
+    sx = float(sum(parts["sx"].to_pylist()))
+    sy = float(sum(parts["sy"].to_pylist()))
+    sxy = float(sum(parts["sxy"].to_pylist()))
+    sxx = float(sum(parts["sxx"].to_pylist()))
+    syy = float(sum(parts["syy"].to_pylist()))
+    corr = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    return _row(total_rows=n,
+                corr_x10k=int(math.floor(corr * 10000 + 0.5)))
+
+
+# ===========================================================================
+# Exact COUNT(DISTINCT) per group — two-level distinct
+# ===========================================================================
+
+@query(
+    "users_per_event_type",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def users_per_event_type(sf_dir: str) -> pa.Table:
+    """Exact grouped COUNT(DISTINCT): per-batch (type, user) dedup
+    combiner (carrying row counts) -> ONE pair-cardinality groupby that
+    makes every pair globally unique -> per-batch re-aggregation to
+    (type, users-in-batch, events) partials -> tiny type-cardinality
+    groupby. Distinct is the non-additive aggregate, so the first
+    shuffle is the price of exactness; its volume is bounded by
+    |types x users|, not corpus rows (approx_distinct_orderkeys is the
+    sketch alternative when even that is too wide)."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "user_id": batch["user_id"]})
+        g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["event_type", "user_id", "c"])
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["event_type", "user_id"])
+               .aggregate(Sum("c", alias_name="c")))
+
+    def type_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "u": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "c": batch["c"]})
+        g = t.group_by(["event_type"]).aggregate([("u", "sum"), ("c", "sum")])
+        return g.rename_columns(["event_type", "n_users", "n_events"])
+
+    out = (pairs.map_batches(type_partial, batch_format="pyarrow")
+                .groupby("event_type")
+                .aggregate(Sum("n_users", alias_name="n_users"),
+                           Sum("n_events", alias_name="n_events")))
+    return _collect(out).sort_by("event_type").select(
+        ["event_type", "n_users", "n_events"])
+
+
+# ===========================================================================
+# Conversion funnel (ordered-event reachability per user)
+# ===========================================================================
+
+@query(
+    "funnel_signup_purchase_events",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'
+                      THEN epoch_us(ts) END) AS first_signup,
+             max(CASE WHEN event_type = 'purchase'
+                      THEN epoch_us(ts) END) AS last_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_users,
+           count(CASE WHEN first_signup IS NOT NULL
+                       AND last_purchase IS NOT NULL
+                       AND first_signup < last_purchase
+                      THEN 1 END) AS n_converted
+    FROM u
+    """,
+)
+def funnel_signup_purchase_events(sf_dir: str) -> pa.Table:
+    """Two-step conversion funnel: a user converts when some signup
+    strictly precedes some purchase. No per-user event-sequence scan —
+    the ordering predicate collapses to conditional MIN/MAX (first
+    signup vs last purchase), which are mergeable partials: per-batch
+    masked min/max per user, one user-cardinality groupby, then a tiny
+    counting reduce. Timestamps stay integer microseconds (exact)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        micros = ts.cast(pa.int64())
+        su = pc.if_else(pc.equal(batch["event_type"], "signup"),
+                        micros, pa.scalar(None, pa.int64()))
+        pu = pc.if_else(pc.equal(batch["event_type"], "purchase"),
+                        micros, pa.scalar(None, pa.int64()))
+        t = pa.table({"user_id": batch["user_id"], "su": su, "pu": pu})
+        g = t.group_by(["user_id"]).aggregate([("su", "min"), ("pu", "max")])
+        return g.rename_columns(["user_id", "su", "pu"])
+
+    users = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Min("su", alias_name="su"),
+                          Max("pu", alias_name="pu")))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        conv = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(batch["su"]), pc.is_valid(batch["pu"])),
+            pc.less(batch["su"], batch["pu"]))
+        n_conv = pc.sum(pc.cast(pc.fill_null(conv, False), pa.int64()))
+        return pa.table({"n_users": pa.array([batch.num_rows], pa.int64()),
+                         "n_converted": pa.array([n_conv.as_py() or 0],
+                                                 pa.int64())})
+
+    agg = users.map_batches(count_partial, batch_format="pyarrow").aggregate(
+        Sum("n_users", alias_name="n_users"),
+        Sum("n_converted", alias_name="n_converted"))
+    return _row(n_users=int(agg["n_users"]),
+                n_converted=int(agg["n_converted"]))
+
+
+# ===========================================================================
+# Z-score standardization transform (exact global moments)
+# ===========================================================================
+
+@query(
+    "zscore_events_value",
+    """
+    WITH p AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 AS sx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 AS sxx
+      FROM events
+    )
+    SELECT event_id,
+           CAST(floor((CAST(floor(value * 100 + 0.5) AS BIGINT) - sx / n)
+                      / (sqrt(n * sxx - sx * sx) / n) * 10000 + 0.5)
+                AS BIGINT) AS z_x10k
+    FROM events, p ORDER BY event_id
+    """,
+)
+def zscore_events_value(sf_dir: str) -> pa.Table:
+    """Feature standardization: z-score every value against EXACT
+    global moments — int64 cent-projection partials merged in Python
+    ints (the corr_lineitem_qty_price machinery, one column), then a
+    single broadcast-scalar map pass. mu and sigma are evaluated with
+    the identical double expression tree as the SQL, so the per-row
+    (c - mu) / sigma is bit-identical on both sides before the x10k
+    floor."""
+    import math
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"n": pa.array([len(c)], pa.int64()),
+                         "sx": pa.array([int(c.sum())], pa.int64()),
+                         "sxx": pa.array([int((c * c).sum())], pa.int64())})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=65536))
+    n = sum(parts["n"].to_pylist())
+    sx = float(sum(parts["sx"].to_pylist()))
+    sxx = float(sum(parts["sxx"].to_pylist()))
+    mu = sx / n
+    sigma = math.sqrt(n * sxx - sx * sx) / n
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        z = (c - mu) / sigma
+        return pa.table({
+            "event_id": batch["event_id"],
+            "z_x10k": pa.array(np.floor(z * 10000 + 0.5).astype(np.int64)),
+        })
+
+    out = ds.map_batches(zmap, batch_format="pyarrow")
+    return _collect(out).sort_by("event_id")
+
+
+# ===========================================================================
+# Multi-level rollup (GROUPING SETS) in one pass
+# ===========================================================================
+
+@query(
+    "rollup_events_grouping_sets",
+    """
+    SELECT coalesce(event_type, '<all>') AS event_type,
+           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS event_date,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)), (event_type), ())
+    ORDER BY 1, 2
+    """,
+)
+def rollup_events_grouping_sets(sf_dir: str) -> pa.Table:
+    """GROUPING SETS in one pass: per-batch aggregation at the FINEST
+    level (type x day — the only corpus-sized work), then the tiny
+    aggregated partials are expanded x3 into their rollup levels
+    ('<all>' sentinels) and merged in ONE groupby. Coarser levels cost
+    partial-set rows, never a second scan of the data."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def finest(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        cents = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        t = pa.table({"event_type": batch["event_type"],
+                      "event_date": ts.cast(pa.date32()).cast(pa.string()),
+                      "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "cents": cents})
+        g = t.group_by(["event_type", "event_date"]).aggregate(
+            [("n", "sum"), ("cents", "sum")])
+        g = g.rename_columns(["event_type", "event_date", "n", "cents"])
+        # expand the aggregated partials into the coarser levels
+        lvl1 = pa.table({
+            "event_type": g["event_type"],
+            "event_date": pa.array(["<all>"] * g.num_rows),
+            "n": g["n"], "cents": g["cents"]})
+        lvl2 = pa.table({
+            "event_type": pa.array(["<all>"] * g.num_rows),
+            "event_date": pa.array(["<all>"] * g.num_rows),
+            "n": g["n"], "cents": g["cents"]})
+        return pa.concat_tables([g, lvl1, lvl2])
+
+    out = (ds.map_batches(finest, batch_format="pyarrow")
+             .groupby(["event_type", "event_date"])
+             .aggregate(Sum("n", alias_name="n_events"),
+                        Sum("cents", alias_name="value_cents")))
+    return _collect(out).sort_by([
+        ("event_type", "ascending"), ("event_date", "ascending")]).select(
+        ["event_type", "event_date", "n_events", "value_cents"])

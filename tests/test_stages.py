@@ -989,3 +989,94 @@ def test_chunk_documents_planted(ray_session):
 
     assert run(1) == sorted(expect)
     assert run(4) == sorted(expect)
+
+
+def test_lag_gap_stats_planted(ray_session):
+    """Per-key LAG gap stats: brute-force cross-check, (ts, id) tie
+    ordering, single-event keys emit nothing, partition invariance."""
+    import ray.data as rd
+
+    from engine.stages.windows import lag_gap_stats
+
+    rng = __import__("numpy").random.default_rng(11)
+    rows = [{"id": i, "k": int(rng.integers(0, 6)),
+             "ts": int(rng.integers(0, 10_000_000))} for i in range(300)]
+    rows.append({"id": 300, "k": 99, "ts": 5})  # single-event key
+
+    byk = {}
+    for r in rows:
+        byk.setdefault(r["k"], []).append(r)
+    ref = {}
+    for k, rs in byk.items():
+        rs = sorted(rs, key=lambda r: (r["ts"], r["id"]))
+        gaps = [b["ts"] - a["ts"] for a, b in zip(rs, rs[1:])]
+        if gaps:
+            ref[k] = (len(gaps), max(gaps), sum(gaps))
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = lag_gap_stats(ds, key_col="k", ts_col="ts", id_col="id",
+                            num_buckets=4)
+        return {r["k"]: (r["n_gaps"], r["max_gap_us"], r["sum_gap_us"])
+                for r in out.take_all()}
+
+    assert run(1) == ref
+    assert run(9) == ref
+    assert 99 not in ref  # no gap row for the single-event key
+
+
+def test_df_stopword_scrub_planted(ray_session, tmp_path):
+    """Corpus-DF boilerplate scrub: tokens in >80% of docs are removed
+    everywhere (duplicates included); an all-boilerplate doc becomes the
+    empty string; word order inside each doc is preserved."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext  # noqa: F401  (registers the extended set)
+    from engine.queries import QUERIES
+
+    docs = pa.table({
+        "doc_id": pa.array(range(10), pa.int64()),
+        # "the" in all 10 docs (df=10 > 8); "rare{i}" in one each;
+        # "mid" in 5 docs (df=5 <= 8, kept)
+        "text": pa.array(
+            [f"the rare{i} the mid" if i < 5 else f"the rare{i} the"
+             for i in range(10)]),
+    })
+    d = tmp_path / "sfX"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+
+    out = QUERIES["df_stopword_scrub_documents"](str(d))
+    got = dict(zip(out["doc_id"].to_pylist(), out["clean_text"].to_pylist()))
+    for i in range(5):
+        assert got[i] == f"rare{i} mid"
+    for i in range(5, 10):
+        assert got[i] == f"rare{i}"
+
+    # all-boilerplate doc -> empty string
+    docs2 = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["the the", "the a", "the b"]),
+    })
+    d2 = tmp_path / "sfY"
+    d2.mkdir()
+    pq.write_table(docs2, d2 / "documents.parquet")
+    out2 = QUERIES["df_stopword_scrub_documents"](str(d2))
+    got2 = dict(zip(out2["doc_id"].to_pylist(),
+                    out2["clean_text"].to_pylist()))
+    assert got2 == {0: "", 1: "a", 2: "b"}
+
+
+def test_revenue_by_nation_paths(ray_session):
+    """All three scale paths of the star rollup agree: full broadcast
+    (orders fit), orders-join + customer broadcast, and double
+    distributed join (nothing fits)."""
+    import engine.queries_ext as qx
+
+    sf = "/root/testdata/sf0.001"
+    full = qx.revenue_by_nation(sf)                     # broadcast path
+    mid = qx.revenue_by_nation(sf, max_broadcast=500)   # orders too big
+    none = qx.revenue_by_nation(sf, max_broadcast=0)    # both too big
+    assert full.equals(mid)
+    assert full.equals(none)
