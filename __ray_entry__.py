@@ -59,6 +59,7 @@ _SWEEP_FIRST = (
     "funnel_signup_purchase_events",
     "zscore_events_value",
     "rollup_events_grouping_sets",
+    "range_window_sum_events",
     "rolling_sum_events",
     "winsorize_clip_events",
     "kmeans_embeddings_clusters",

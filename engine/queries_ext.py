@@ -2639,3 +2639,46 @@ def rollup_events_grouping_sets(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by([
         ("event_type", "ascending"), ("event_date", "ascending")]).select(
         ["event_type", "event_date", "n_events", "value_cents"])
+
+
+@query(
+    "range_window_sum_events",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts
+                                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS range_cents
+    FROM e ORDER BY event_id
+    """,
+)
+def range_window_sum_events(sf_dir: str) -> pa.Table:
+    """Per-key RANGE-interval window sum (stages/windows.py
+    range_window_sum): each event's trailing-1-hour spend per user,
+    peer-inclusive like SQL RANGE frames. One bucket shuffle, one
+    vectorized sort per bucket, both frame edges via global
+    searchsorted over segment-re-based timestamps — no per-key
+    Python. Integer cents projected first (exact prefix sums)."""
+    from .stages.windows import range_window_sum
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def project(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
+            pa.int64())
+        return pa.table({"event_id": batch["event_id"],
+                         "user_id": batch["user_id"],
+                         "ts": batch["ts"], "cents": cents})
+
+    out = range_window_sum(
+        ds.map_batches(project, batch_format="pyarrow"),
+        key_col="user_id", ts_col="ts", id_col="event_id",
+        value_col="cents", range_us=3_600_000_000)
+    t = _collect(out).sort_by("event_id")
+    return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
+                     "range_cents": t["range_sum"]})

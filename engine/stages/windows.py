@@ -285,3 +285,71 @@ def lag_gap_stats(ds, key_col: str, ts_col: str, id_col: str,
         .groupby("_bucket")
         .map_groups(bucket_gaps, batch_format="pyarrow")
     )
+
+
+def range_window_sum(ds, key_col: str, ts_col: str, id_col: str,
+                     value_col: str, range_us: int,
+                     num_buckets: int = 64):
+    """Per-key RANGE-window running sum (SQL ``SUM(v) OVER (PARTITION BY
+    key ORDER BY ts RANGE BETWEEN <range> PRECEDING AND CURRENT ROW)``)
+    — the time-range complement of ``rolling_window_sum``'s row window.
+
+    SQL RANGE frames are peer-inclusive: every row sharing the current
+    row's ts is in the frame (even ones sorted later), which the kernel
+    reproduces with a right-side ``searchsorted``. Vectorization trick:
+    after the one per-bucket (key, ts) sort, per-key segments are made
+    globally monotonic by re-basing each segment's timestamps and
+    spacing segments ``range_us + 1`` apart — then BOTH frame edges are
+    single ``np.searchsorted`` calls over the whole bucket (no per-key
+    Python). ``value_col`` must be int64 (integer sums are exact)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
+
+    def bucket_range(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        ts = g[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vals = g[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        v = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        new_key = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        seg_id = np.cumsum(new_key) - 1
+        # re-base each segment at 0 and space segments > range_us apart:
+        # the composite axis is globally sorted and frame edges never
+        # cross a segment boundary
+        rebased = micros - micros[seg_start]
+        comp = rebased + seg_id * (np.int64(rebased.max())
+                                   + np.int64(range_us) + 1)
+        lo = np.searchsorted(comp, comp - range_us, side="left")
+        hi = np.searchsorted(comp, comp, side="right")  # peer-inclusive
+        cs0 = np.concatenate([[0], np.cumsum(v)])  # int64: exact prefix
+        roll = cs0[hi] - cs0[lo]
+        return pa.table({
+            id_col: g[id_col],
+            key_col: keys,
+            "range_sum": pa.array(roll, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_range, batch_format="pyarrow")
+    )

@@ -1080,3 +1080,36 @@ def test_revenue_by_nation_paths(ray_session):
     none = qx.revenue_by_nation(sf, max_broadcast=0)    # both too big
     assert full.equals(mid)
     assert full.equals(none)
+
+
+def test_range_window_sum_planted(ray_session):
+    """Trailing-range per-key sum: peer-inclusive frames (equal ts rows
+    include each other), brute-force cross-check, partition invariance."""
+    import ray.data as rd
+
+    from engine.stages.windows import range_window_sum
+
+    rng = __import__("numpy").random.default_rng(13)
+    rows = [{"id": i, "k": int(rng.integers(0, 5)),
+             "ts": int(rng.integers(0, 50)) * 1_000_000,
+             "v": int(rng.integers(-9, 50))} for i in range(250)]
+    W = 10 * 1_000_000  # 10-second range
+
+    ref = {}
+    byk = {}
+    for r in rows:
+        byk.setdefault(r["k"], []).append(r)
+    for k, rs in byk.items():
+        for r in rs:
+            ref[r["id"]] = sum(
+                x["v"] for x in rs
+                if r["ts"] - W <= x["ts"] <= r["ts"])  # peer-inclusive
+
+    def run(nparts):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = range_window_sum(ds, key_col="k", ts_col="ts", id_col="id",
+                               value_col="v", range_us=W, num_buckets=8)
+        return {r["id"]: r["range_sum"] for r in out.take_all()}
+
+    assert run(1) == ref
+    assert run(6) == ref
