@@ -48,6 +48,12 @@ def entry() -> Any:
 # driver rows, and all oracle-SQL queries are additionally checked against
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    "mode_event_type_per_user",
+    "balance_langs_documents",
+    "daily_active_users_events",
+    "retention_next_day_events",
+    "sample_hash_topk_documents",
+    "event_sequence_signature_events",
     "max_gap_events_per_user",
     "df_stopword_scrub_documents",
     "json_props_rollup_events",
@@ -62,8 +68,6 @@ _SWEEP_FIRST = (
     "range_window_sum_events",
     "rolling_sum_events",
     "winsorize_clip_events",
-    "kmeans_embeddings_clusters",
-    "semdedup_embeddings",
     "tfidf_top_term_documents",
     "chunk_documents_tokens",
     "pivot_events_by_type",
@@ -86,16 +90,22 @@ _SWEEP_FIRST = (
     "asof_join_events_orders",
     "range_join_events_value_bands",
     "train_val_split_documents",
-    "ivf_knn_embeddings",
-    "approx_distinct_orderkeys",
-    "multimodal_decode_features",
-    "multimodal_audio_features",
     "hopping_window_events",
     "contamination_documents",
     "vocab_top_terms_documents",
     "repetition_stats_documents",
     "capped_sample_per_source",
     "grouped_percentiles_docs_by_lang",
+    "multimodal_decode_features",
+    "multimodal_audio_features",
+    "kmeans_embeddings_clusters",
+    # rows-only (no oracle SQL) sketch/ANN queries past this line spill
+    # beyond a 50-query driver sweep window; they carry the weaker
+    # rows-only driver evidence anyway, and each is parity/property-
+    # tested in the pytest suite every run
+    "semdedup_embeddings",
+    "ivf_knn_embeddings",
+    "approx_distinct_orderkeys",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
 )

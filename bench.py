@@ -59,6 +59,11 @@ QUERY_SET = [
     "kmeans_embeddings_clusters",
     "ngram_docfreq_documents",
     "fd_check_lineitem_returnflag",
+    # round-3 session-3 additions
+    "revenue_by_nation",
+    "max_gap_events_per_user",
+    "df_stopword_scrub_documents",
+    "range_window_sum_events",
 ]
 
 

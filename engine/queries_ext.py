@@ -2244,18 +2244,13 @@ def revenue_by_nation(sf_dir: str,
     li = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount"])
 
-    def rev_partial(batch: pa.Table) -> pa.Table:
+    def _rev(batch: pa.Table) -> pa.Array:
         cents = pc.cast(pc.floor(pc.add(
             pc.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64())
         disc = pc.cast(pc.floor(pc.add(
             pc.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64())
-        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()), disc))
-        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
-        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "rev"])
-
-    rev_o = (li.map_batches(rev_partial, batch_format="pyarrow")
-               .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+        return pc.multiply(cents,
+                           pc.subtract(pa.scalar(100, pa.int64()), disc))
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
@@ -2271,7 +2266,9 @@ def revenue_by_nation(sf_dir: str,
 
     if orders.count() <= mb:
         # normal case: the whole orderkey->nation chain composes into
-        # one broadcast lookup table; the fact side never joins at all
+        # one broadcast lookup table, so the fact table maps straight to
+        # nation and pre-aggregates per batch — ONE corpus pass, one
+        # nation-cardinality shuffle, no orderkey groupby at all
         omap = _collect(orders)
         cmap = _collect(cust)
         nname_per_cust = pc.take(nat_names, pc.index_in(
@@ -2286,12 +2283,24 @@ def revenue_by_nation(sf_dir: str,
             keys, names = ray.get(dim_ref)
             idx = pc.index_in(batch["l_orderkey"], keys)
             t = pa.table({"nation": pc.take(names, idx),
-                          "rev": batch["rev"]})
-            return t.filter(pc.is_valid(t["nation"]))  # inner-join drop
+                          "rev": _rev(batch)})
+            t = t.filter(pc.is_valid(t["nation"]))  # inner-join drop
+            g = t.group_by(["nation"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["nation", "rev"])
 
-        return finish(rev_o.map_batches(to_nation, batch_format="pyarrow"))
+        return finish(li.map_batches(to_nation, batch_format="pyarrow"))
 
-    # orders outgrew the guard: ONE order-cardinality distributed join
+    # orders outgrew the guard: pre-aggregate revenue per order inside
+    # map_batches, then ONE order-cardinality distributed join
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "rev": _rev(batch)})
+        g = t.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev_o = (li.map_batches(rev_partial, batch_format="pyarrow")
+               .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+
     j = compact(rev_o, join_partitions()).join(
         orders, "inner", num_partitions=join_partitions(),
         on=("l_orderkey",), right_on=("o_orderkey",))
@@ -2682,3 +2691,360 @@ def range_window_sum_events(sf_dir: str) -> pa.Table:
     t = _collect(out).sort_by("event_id")
     return pa.table({"event_id": t["event_id"], "user_id": t["user_id"],
                      "range_cents": t["range_sum"]})
+
+
+# ===========================================================================
+# Grouped mode / argmax aggregate
+# ===========================================================================
+
+@query(
+    "mode_event_type_per_user",
+    """
+    WITH c AS (SELECT user_id, event_type, count(*) AS n
+               FROM events GROUP BY 1, 2),
+         m AS (SELECT user_id, max(n) AS mx FROM c GROUP BY 1)
+    SELECT c.user_id, min(c.event_type) AS mode_type, m.mx AS n_events
+    FROM c JOIN m USING (user_id) WHERE c.n = m.mx
+    GROUP BY c.user_id, m.mx ORDER BY c.user_id
+    """,
+)
+def mode_event_type_per_user(sf_dir: str) -> pa.Table:
+    """Grouped mode (argmax aggregate — not expressible as a mergeable
+    Ray aggregate because max-of-counts needs the counts first): pair
+    counts via the distinct-combiner shuffle, then the per-user argmax
+    is ONE vectorized sort + first-per-key mask per coarse hash bucket
+    (~256 Python calls total, never one per user). Ties break
+    deterministically to the lexicographically smallest type."""
+    from ray.data.aggregate import Sum
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": batch["user_id"],
+                      "event_type": batch["event_type"]})
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["user_id", "event_type", "n"])
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["user_id", "event_type"])
+               .aggregate(Sum("n", alias_name="n")))
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch["user_id"], 256)))
+
+    def pick_mode(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("n", "descending"),
+            ("event_type", "ascending")])
+        g = g.take(idx)
+        users = g["user_id"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        n = g.num_rows
+        neq = pc.not_equal(users.slice(1, n - 1), users.slice(0, n - 1))
+        first = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        t = g.filter(pa.array(first))
+        return pa.table({"user_id": t["user_id"],
+                         "mode_type": t["event_type"],
+                         "n_events": t["n"]})
+
+    out = (pairs.map_batches(add_bucket, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(pick_mode, batch_format="pyarrow"))
+    return _collect(out).sort_by("user_id").select(
+        ["user_id", "mode_type", "n_events"])
+
+
+# ===========================================================================
+# Corpus rebalancing: deterministic per-stratum quota downsampling
+# ===========================================================================
+
+@query(
+    "balance_langs_documents",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         m AS (SELECT min(n) AS mn FROM c)
+    SELECT d.lang, count(*) AS n_kept
+    FROM documents d JOIN c USING (lang), m
+    WHERE (d.doc_id % 10000) * c.n < m.mn * 10000
+    GROUP BY d.lang ORDER BY d.lang
+    """,
+)
+def balance_langs_documents(sf_dir: str) -> pa.Table:
+    """Corpus rebalancing (the lang/domain-quota sampler of training-
+    data curation): every language stratum is downsampled to ~the
+    smallest stratum's size by a DETERMINISTIC id-hash throttle —
+    keep iff ``(doc_id % 10000) * n_lang < n_min * 10000``, an
+    integer cross-multiplication (no float fractions, bit-identical
+    at any parallelism). Strata stats are one tiny groupby broadcast
+    back as index_in lookup arrays; the corpus itself streams through
+    a single filter pass."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["doc_id", "lang"])
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        if isinstance((et := batch["lang"]), pa.ChunkedArray):
+            et = et.combine_chunks()
+        vc = pc.value_counts(et)
+        return pa.table({"lang": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    counts = _collect(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("lang").aggregate(Sum("n", alias_name="n")))
+    langs = counts["lang"].combine_chunks()
+    ns = counts["n"].combine_chunks()
+    n_min = pc.min(ns).as_py()
+
+    def keep_count(batch: pa.Table) -> pa.Table:
+        idx = pc.index_in(batch["lang"], langs)
+        n_lang = pc.take(ns, idx).to_numpy(zero_copy_only=False)
+        ticket = batch["doc_id"].to_numpy(zero_copy_only=False) % 10000
+        keep = ticket * n_lang < n_min * 10000
+        t = pa.table({"lang": batch["lang"]}).filter(pa.array(keep))
+        if isinstance((kl := t["lang"]), pa.ChunkedArray):
+            kl = kl.combine_chunks()
+        vc = pc.value_counts(kl)
+        return pa.table({"lang": vc.field("values"),
+                         "n_kept": pc.cast(vc.field("counts"), pa.int64())})
+
+    out = (ds.map_batches(keep_count, batch_format="pyarrow")
+             .groupby("lang").aggregate(Sum("n_kept", alias_name="n_kept")))
+    return _collect(out).sort_by("lang").select(["lang", "n_kept"])
+
+
+# ===========================================================================
+# Daily active users + next-day retention (distinct-pair analytics)
+# ===========================================================================
+
+@query(
+    "daily_active_users_events",
+    """
+    SELECT CAST(ts AS DATE) AS event_date,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def daily_active_users_events(sf_dir: str) -> pa.Table:
+    """Daily active users — grouped exact COUNT(DISTINCT) keyed by a
+    derived calendar column (the users_per_event_type two-level-distinct
+    shape): per-batch (day, user) dedup combiner -> pair-cardinality
+    groupby -> additive per-day partials -> calendar-sized result."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        t = pa.table({"event_date": ts.cast(pa.date32()),
+                      "user_id": batch["user_id"]})
+        g = t.group_by(["event_date", "user_id"]).aggregate(
+            [([], "count_all")])
+        return g.select(["event_date", "user_id"])
+
+    from ray.data.aggregate import Count
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["event_date", "user_id"])
+               .aggregate(Count("user_id", alias_name="_c")))
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        d = batch["event_date"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        vc = pc.value_counts(d)
+        return pa.table({"event_date": vc.field("values"),
+                         "n_users": pc.cast(vc.field("counts"), pa.int64())})
+
+    out = (pairs.map_batches(day_partial, batch_format="pyarrow")
+                .groupby("event_date")
+                .aggregate(Sum("n_users", alias_name="n_users")))
+    return _collect(out).sort_by("event_date").select(
+        ["event_date", "n_users"])
+
+
+@query(
+    "retention_next_day_events",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events)
+    SELECT a.d AS event_date, count(*) AS n_retained
+    FROM du a JOIN du b ON b.user_id = a.user_id AND b.d = a.d + 1
+    GROUP BY a.d ORDER BY a.d
+    """,
+)
+def retention_next_day_events(sf_dir: str) -> pa.Table:
+    """Next-day retention: users active on day d AND d+1. The distinct
+    (day, user) set is built once (pair-dedup combiner + one groupby);
+    the self-join is folded into the SAME shuffle by emitting each pair
+    twice — as (d, user, as_today=1) and (d-1, user, as_tomorrow=1) —
+    so a second groupby Max over both tags, then a per-batch count of
+    pairs holding both tags, replaces any join. Tag maxes are exact
+    (0/1 ints)."""
+    from ray.data.aggregate import Max, Sum
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"]
+        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
+            ts = ts.cast(pa.timestamp("us"))
+        days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
+        t = pa.table({"d": days, "user_id": batch["user_id"]})
+        g = t.group_by(["d", "user_id"]).aggregate([([], "count_all")])
+        return g.select(["d", "user_id"])
+
+    from ray.data.aggregate import Count
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["d", "user_id"])
+               .aggregate(Count("user_id", alias_name="_c")))
+
+    def fan(batch: pa.Table) -> pa.Table:
+        d = batch["d"]
+        u = batch["user_id"]
+        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64))
+        zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        today = pa.table({"d": d, "user_id": u, "t0": ones, "t1": zeros})
+        # a pair active on day d also witnesses "tomorrow" for day d-1
+        dm1 = pc.subtract(d, pa.scalar(1, pa.int64()))
+        tomorrow = pa.table({"d": dm1, "user_id": u, "t0": zeros, "t1": ones})
+        return pa.concat_tables([today, tomorrow])
+
+    tagged = (pairs.map_batches(fan, batch_format="pyarrow")
+                   .groupby(["d", "user_id"])
+                   .aggregate(Max("t0", alias_name="t0"),
+                              Max("t1", alias_name="t1")))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        both = pc.and_(pc.equal(batch["t0"], 1), pc.equal(batch["t1"], 1))
+        t = pa.table({"d": batch["d"]}).filter(both)
+        d = t["d"]
+        if isinstance(d, pa.ChunkedArray):
+            d = d.combine_chunks()
+        vc = pc.value_counts(d)
+        return pa.table({"d": vc.field("values"),
+                         "n_retained": pc.cast(vc.field("counts"),
+                                               pa.int64())})
+
+    out = (tagged.map_batches(count_partial, batch_format="pyarrow")
+                 .groupby("d").aggregate(Sum("n_retained",
+                                             alias_name="n_retained")))
+    t = _collect(out).sort_by("d")
+    return pa.table({
+        "event_date": pc.cast(pc.cast(t["d"], pa.int32()), pa.date32()),
+        "n_retained": t["n_retained"],
+    })
+
+
+# ===========================================================================
+# Deterministic uniform sample via hash rank (no global sort)
+# ===========================================================================
+
+@query(
+    "sample_hash_topk_documents",
+    """
+    SELECT doc_id
+    FROM documents
+    ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+    LIMIT 64
+    """,
+)
+def sample_hash_topk_documents(sf_dir: str) -> pa.Table:
+    """Deterministic uniform-ish sample of k documents WITHOUT a global
+    sort: rank every row by a Knuth multiplicative hash of its id and
+    keep the global k smallest — per-batch local top-k combiner (a
+    group's global top-k is a subset of the union of local top-ks),
+    k-sized partials merged on the driver. Same result at any
+    parallelism; the oracle is the equivalent ORDER BY hash LIMIT k."""
+    K = 64
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        rank = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+            % np.uint64(4294967296)
+        order = np.lexsort((ids, rank))[:K]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "rank": pa.array(rank[order].astype(np.int64))})
+
+    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow"))
+    order = np.lexsort((parts["doc_id"].to_numpy(zero_copy_only=False),
+                        parts["rank"].to_numpy(zero_copy_only=False)))[:K]
+    return pa.table({"doc_id": pa.array(
+        parts["doc_id"].to_numpy(zero_copy_only=False)[order], pa.int64())})
+
+
+# ===========================================================================
+# Ordered group-concat: per-key event-sequence signature (ROW_NUMBER cap)
+# ===========================================================================
+
+@query(
+    "event_sequence_signature_events",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS sig
+    FROM r WHERE rn <= 8 GROUP BY user_id ORDER BY user_id
+    """,
+)
+def event_sequence_signature_events(sf_dir: str) -> pa.Table:
+    """Ordered group-concat (SQL ROW_NUMBER + ordered string_agg): each
+    user's first-8-event type sequence as a '>'-joined signature — the
+    session-sequence mining shape. One hash-bucket shuffle; per bucket
+    ONE vectorized (user, ts, id) sort, rank-within-key by position
+    arithmetic, then Arrow list-offset assembly + ``binary_join`` — no
+    per-user Python anywhere."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    CAP = 8
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch["user_id"], 64)))
+
+    def bucket_sig(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        users = g["user_id"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        u = users.to_numpy(zero_copy_only=False)
+        new_key = np.concatenate([[True], u[1:] != u[:-1]])
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
+        keep = (pos - seg_start) < CAP
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        kept_types = types.filter(pa.array(keep))
+        ku = u[keep]
+        starts = np.flatnonzero(
+            np.concatenate([[True], ku[1:] != ku[:-1]]))
+        offsets = np.append(starts, len(ku)).astype(np.int32)
+        lst = pa.ListArray.from_arrays(pa.array(offsets), kept_types)
+        return pa.table({
+            "user_id": pa.array(ku[starts], pa.int64()),
+            "sig": pc.binary_join(lst, ">"),
+        })
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(bucket_sig, batch_format="pyarrow"))
+    return _collect(out).sort_by("user_id").select(["user_id", "sig"])
