@@ -2937,7 +2937,11 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
     out = (tagged.map_batches(count_partial, batch_format="pyarrow")
                  .groupby("d").aggregate(Sum("n_retained",
                                              alias_name="n_retained")))
-    t = _collect(out).sort_by("d")
+    t = _collect(out)
+    if t.num_rows == 0:  # no consecutive-day activity anywhere
+        return pa.table({"event_date": pa.array([], pa.date32()),
+                         "n_retained": pa.array([], pa.int64())})
+    t = t.sort_by("d")
     return pa.table({
         "event_date": pc.cast(pc.cast(t["d"], pa.int32()), pa.date32()),
         "n_retained": t["n_retained"],

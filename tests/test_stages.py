@@ -1113,3 +1113,71 @@ def test_range_window_sum_planted(ray_session):
 
     assert run(1) == ref
     assert run(6) == ref
+
+
+def test_mode_and_signature_parallelism_invariance(ray_session, tmp_path):
+    """Bucket-then-vectorize argmax and ordered group-concat return
+    identical tables regardless of input partitioning (ties included)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import QUERIES
+
+    rng = __import__("numpy").random.default_rng(17)
+    n = 400
+    types = ["a", "b", "c"]
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000
+                        + int(rng.integers(0, 4)) * 86_400_000_000
+                        + int(rng.integers(0, 50)) * 1_000_000
+                        for _ in range(n)], pa.timestamp("us")),
+        "user_id": pa.array([int(rng.integers(0, 12)) for _ in range(n)],
+                            pa.int64()),
+        "event_type": pa.array([types[int(rng.integers(0, 3))]
+                                for _ in range(n)]),
+        "value": pa.array([float(rng.integers(0, 1000)) / 10
+                           for _ in range(n)]),
+        "props": pa.array(['{"k": 1}'] * n),
+    })
+    d = tmp_path / "sfZ"
+    d.mkdir()
+    # two parquet layouts of the same rows -> different block boundaries
+    pq.write_table(events, d / "events.parquet", row_group_size=37)
+    d2 = tmp_path / "sfZ2"
+    d2.mkdir()
+    pq.write_table(events, d2 / "events.parquet", row_group_size=400)
+
+    for q in ["mode_event_type_per_user", "event_sequence_signature_events",
+              "daily_active_users_events", "retention_next_day_events"]:
+        a = QUERIES[q](str(d))
+        b = QUERIES[q](str(d2))
+        assert a.equals(b), q
+
+
+def test_retention_empty_result_schema(ray_session, tmp_path):
+    """All activity on one calendar day -> zero retained pairs; the
+    query must still return the typed empty (event_date, n_retained)
+    schema instead of tripping over schema-less empty blocks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import QUERIES
+
+    events = pa.table({
+        "event_id": pa.array(range(20), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                        for i in range(20)], pa.timestamp("us")),
+        "user_id": pa.array([i % 4 for i in range(20)], pa.int64()),
+        "event_type": pa.array(["view"] * 20),
+        "value": pa.array([1.0] * 20),
+        "props": pa.array(['{"k": 1}'] * 20),
+    })
+    d = tmp_path / "sfE"
+    d.mkdir()
+    pq.write_table(events, d / "events.parquet")
+    out = QUERIES["retention_next_day_events"](str(d))
+    assert out.num_rows == 0
+    assert out.schema.names == ["event_date", "n_retained"]
