@@ -98,11 +98,11 @@ _SWEEP_FIRST = (
     "grouped_percentiles_docs_by_lang",
     "multimodal_decode_features",
     "multimodal_audio_features",
-    "kmeans_embeddings_clusters",
     # rows-only (no oracle SQL) sketch/ANN queries past this line spill
     # beyond a 50-query driver sweep window; they carry the weaker
     # rows-only driver evidence anyway, and each is parity/property-
     # tested in the pytest suite every run
+    "kmeans_embeddings_clusters",
     "semdedup_embeddings",
     "ivf_knn_embeddings",
     "approx_distinct_orderkeys",

@@ -12,12 +12,33 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .queries import QUERIES, ORACLE_SQL, _collect, _row, _t, query  # noqa: F401
+from .queries import (  # noqa: F401
+    QUERIES, ORACLE_SQL, _cents, _collect, _row, _t, query,
+)
 from .stages.textstats import BPE_TOKEN_RE, WS_TOKEN_RE, _STOPWORDS
 
 
 def _x10k(arr) -> pa.Array:
     return pc.cast(pc.floor(pc.add(pc.multiply(arr, 10000.0), 0.5)), pa.int64())
+
+
+def _ts_us(col):
+    """Normalize a timestamp column to timestamp[us] before epoch math
+    (from_items yields timestamp[s], parquet timestamp[us])."""
+    if not (pa.types.is_timestamp(col.type) and col.type.unit == "us"):
+        col = col.cast(pa.timestamp("us"))
+    return col
+
+
+def _vc_partial(col, value_name: str, count_name: str) -> pa.Table:
+    """Per-batch ``value_counts`` partial as a (value, int64 count)
+    table — the additive combiner behind the histogram / calendar /
+    stratum rollups (merge with one groupby Sum)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vc = pc.value_counts(col)
+    return pa.table({value_name: vc.field("values"),
+                     count_name: pc.cast(vc.field("counts"), pa.int64())})
 
 
 # broadcast-side row guard for cross-table probes (tests shrink it to
@@ -1635,9 +1656,7 @@ def pivot_events_by_type(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["ts", "event_type"])
 
     def onehot(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"]
-        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
-            ts = ts.cast(pa.timestamp("us"))
+        ts = _ts_us(batch["ts"])
         cols = {"event_date": ts.cast(pa.date32())}
         for t in types:
             cols[f"n_{t}"] = pc.cast(
@@ -1682,9 +1701,7 @@ def cumulative_new_users_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
     def proj(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"]
-        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
-            ts = ts.cast(pa.timestamp("us"))
+        ts = _ts_us(batch["ts"])
         days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
         t = pa.table({"user_id": batch["user_id"], "day": days})
         # combiner: per-batch min day per user shrinks the shuffle to
@@ -1698,12 +1715,7 @@ def cumulative_new_users_events(sf_dir: str) -> pa.Table:
     # date-cardinality daily counts: value_counts per batch, calendar-
     # sized partials merged on the driver (the sketches.py merge shape)
     def day_counts(batch: pa.Table) -> pa.Table:
-        d = batch["day"]
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        vc = pc.value_counts(d)
-        return pa.table({"day": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
+        return _vc_partial(batch["day"], "day", "n")
 
     import collections
 
@@ -2098,7 +2110,7 @@ def json_props_rollup_events(sf_dir: str) -> pa.Table:
     (``pc.extract_regex`` — no per-row json.loads) and roll it up per
     event type. Unparseable rows contribute NULL to the sum but still
     count, matching TRY_CAST semantics."""
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
     ds = _t(sf_dir, "events", ["event_type", "props"])
 
@@ -2195,11 +2207,7 @@ def histogram_events_value(sf_dir: str) -> pa.Table:
     def bins(batch: pa.Table) -> pa.Table:
         col = pc.drop_null(batch["value"])
         b = pc.cast(pc.floor(pc.divide(col, 25.0)), pa.int64())
-        if isinstance(b, pa.ChunkedArray):
-            b = b.combine_chunks()
-        vc = pc.value_counts(b)
-        return pa.table({"bin": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
+        return _vc_partial(b, "bin", "n")
 
     out = (ds.map_batches(bins, batch_format="pyarrow")
              .groupby("bin").aggregate(Sum("n", alias_name="n")))
@@ -2245,10 +2253,8 @@ def revenue_by_nation(sf_dir: str,
             ["l_orderkey", "l_extendedprice", "l_discount"])
 
     def _rev(batch: pa.Table) -> pa.Array:
-        cents = pc.cast(pc.floor(pc.add(
-            pc.multiply(batch["l_extendedprice"], 100.0), 0.5)), pa.int64())
-        disc = pc.cast(pc.floor(pc.add(
-            pc.multiply(batch["l_discount"], 100.0), 0.5)), pa.int64())
+        cents = _cents(batch["l_extendedprice"])
+        disc = _cents(batch["l_discount"])
         return pc.multiply(cents,
                            pc.subtract(pa.scalar(100, pa.int64()), disc))
 
@@ -2380,11 +2386,9 @@ def corr_lineitem_qty_price(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        x = pc.cast(pc.floor(pc.add(batch["l_quantity"], 0.5)),
-                    pa.int64()).to_numpy(zero_copy_only=False)
-        y = pc.cast(pc.floor(pc.add(
-            pc.multiply(batch["l_extendedprice"], 100.0), 0.5)),
-            pa.int64()).to_numpy(zero_copy_only=False)
+        x = _cents(batch["l_quantity"], 1.0).to_numpy(
+            zero_copy_only=False)
+        y = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
         return pa.table({k: pa.array([v], pa.int64()) for k, v in [
             ("n", len(x)), ("sx", int(x.sum())), ("sy", int(y.sum())),
             ("sxy", int((x * y).sum())), ("sxx", int((x * x).sum())),
@@ -2401,8 +2405,12 @@ def corr_lineitem_qty_price(sf_dir: str) -> pa.Table:
     sxy = float(sum(parts["sxy"].to_pylist()))
     sxx = float(sum(parts["sxx"].to_pylist()))
     syy = float(sum(parts["syy"].to_pylist()))
-    corr = (n * sxy - sx * sy) / (
-        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    if den == 0.0:
+        raise ValueError(
+            "corr_lineitem_qty_price: a column has zero variance — "
+            "correlation undefined")
+    corr = (n * sxy - sx * sy) / den
     return _row(total_rows=n,
                 corr_x10k=int(math.floor(corr * 10000 + 0.5)))
 
@@ -2492,10 +2500,7 @@ def funnel_signup_purchase_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"]
-        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
-            ts = ts.cast(pa.timestamp("us"))
-        micros = ts.cast(pa.int64())
+        micros = _ts_us(batch["ts"]).cast(pa.int64())
         su = pc.if_else(pc.equal(batch["event_type"], "signup"),
                         micros, pa.scalar(None, pa.int64()))
         pu = pc.if_else(pc.equal(batch["event_type"], "purchase"),
@@ -2561,9 +2566,7 @@ def zscore_events_value(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["event_id", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(
-            pc.multiply(batch["value"], 100.0), 0.5)),
-            pa.int64()).to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
         return pa.table({"n": pa.array([len(c)], pa.int64()),
                          "sx": pa.array([int(c.sum())], pa.int64()),
                          "sxx": pa.array([int((c * c).sum())], pa.int64())})
@@ -2575,11 +2578,13 @@ def zscore_events_value(sf_dir: str) -> pa.Table:
     sxx = float(sum(parts["sxx"].to_pylist()))
     mu = sx / n
     sigma = math.sqrt(n * sxx - sx * sx) / n
+    if sigma == 0.0:
+        raise ValueError(
+            "zscore_events_value: zero variance — z-scores undefined "
+            "(the SQL oracle's division by zero errors the same way)")
 
     def zmap(batch: pa.Table) -> pa.Table:
-        c = pc.cast(pc.floor(pc.add(
-            pc.multiply(batch["value"], 100.0), 0.5)),
-            pa.int64()).to_numpy(zero_copy_only=False)
+        c = _cents(batch["value"]).to_numpy(zero_copy_only=False)
         z = (c - mu) / sigma
         return pa.table({
             "event_id": batch["event_id"],
@@ -2618,11 +2623,8 @@ def rollup_events_grouping_sets(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
 
     def finest(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"]
-        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
-            ts = ts.cast(pa.timestamp("us"))
-        cents = pc.cast(pc.floor(pc.add(
-            pc.multiply(batch["value"], 100.0), 0.5)), pa.int64())
+        ts = _ts_us(batch["ts"])
+        cents = _cents(batch["value"])
         t = pa.table({"event_type": batch["event_type"],
                       "event_date": ts.cast(pa.date32()).cast(pa.string()),
                       "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
@@ -2677,9 +2679,7 @@ def range_window_sum_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def project(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
-            pa.int64())
+        cents = _cents(batch["value"])
         return pa.table({"event_id": batch["event_id"],
                          "user_id": batch["user_id"],
                          "ts": batch["ts"], "cents": cents})
@@ -2789,11 +2789,7 @@ def balance_langs_documents(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "documents", ["doc_id", "lang"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        if isinstance((et := batch["lang"]), pa.ChunkedArray):
-            et = et.combine_chunks()
-        vc = pc.value_counts(et)
-        return pa.table({"lang": vc.field("values"),
-                         "n": pc.cast(vc.field("counts"), pa.int64())})
+        return _vc_partial(batch["lang"], "lang", "n")
 
     counts = _collect(
         ds.map_batches(count_partial, batch_format="pyarrow")
@@ -2808,11 +2804,7 @@ def balance_langs_documents(sf_dir: str) -> pa.Table:
         ticket = batch["doc_id"].to_numpy(zero_copy_only=False) % 10000
         keep = ticket * n_lang < n_min * 10000
         t = pa.table({"lang": batch["lang"]}).filter(pa.array(keep))
-        if isinstance((kl := t["lang"]), pa.ChunkedArray):
-            kl = kl.combine_chunks()
-        vc = pc.value_counts(kl)
-        return pa.table({"lang": vc.field("values"),
-                         "n_kept": pc.cast(vc.field("counts"), pa.int64())})
+        return _vc_partial(t["lang"], "lang", "n_kept")
 
     out = (ds.map_batches(keep_count, batch_format="pyarrow")
              .groupby("lang").aggregate(Sum("n_kept", alias_name="n_kept")))
@@ -2836,33 +2828,24 @@ def daily_active_users_events(sf_dir: str) -> pa.Table:
     derived calendar column (the users_per_event_type two-level-distinct
     shape): per-batch (day, user) dedup combiner -> pair-cardinality
     groupby -> additive per-day partials -> calendar-sized result."""
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"]
-        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
-            ts = ts.cast(pa.timestamp("us"))
+        ts = _ts_us(batch["ts"])
         t = pa.table({"event_date": ts.cast(pa.date32()),
                       "user_id": batch["user_id"]})
         g = t.group_by(["event_date", "user_id"]).aggregate(
             [([], "count_all")])
         return g.select(["event_date", "user_id"])
 
-    from ray.data.aggregate import Count
-
     pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
                .groupby(["event_date", "user_id"])
                .aggregate(Count("user_id", alias_name="_c")))
 
     def day_partial(batch: pa.Table) -> pa.Table:
-        d = batch["event_date"]
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        vc = pc.value_counts(d)
-        return pa.table({"event_date": vc.field("values"),
-                         "n_users": pc.cast(vc.field("counts"), pa.int64())})
+        return _vc_partial(batch["event_date"], "event_date", "n_users")
 
     out = (pairs.map_batches(day_partial, batch_format="pyarrow")
                 .groupby("event_date")
@@ -2888,20 +2871,16 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
     so a second groupby Max over both tags, then a per-batch count of
     pairs holding both tags, replaces any join. Tag maxes are exact
     (0/1 ints)."""
-    from ray.data.aggregate import Max, Sum
+    from ray.data.aggregate import Count, Max, Sum
 
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"]
-        if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
-            ts = ts.cast(pa.timestamp("us"))
+        ts = _ts_us(batch["ts"])
         days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
         t = pa.table({"d": days, "user_id": batch["user_id"]})
         g = t.group_by(["d", "user_id"]).aggregate([([], "count_all")])
         return g.select(["d", "user_id"])
-
-    from ray.data.aggregate import Count
 
     pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
                .groupby(["d", "user_id"])
@@ -2926,13 +2905,7 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
     def count_partial(batch: pa.Table) -> pa.Table:
         both = pc.and_(pc.equal(batch["t0"], 1), pc.equal(batch["t1"], 1))
         t = pa.table({"d": batch["d"]}).filter(both)
-        d = t["d"]
-        if isinstance(d, pa.ChunkedArray):
-            d = d.combine_chunks()
-        vc = pc.value_counts(d)
-        return pa.table({"d": vc.field("values"),
-                         "n_retained": pc.cast(vc.field("counts"),
-                                               pa.int64())})
+        return _vc_partial(t["d"], "d", "n_retained")
 
     out = (tagged.map_batches(count_partial, batch_format="pyarrow")
                  .groupby("d").aggregate(Sum("n_retained",

@@ -332,12 +332,28 @@ def range_window_sum(ds, key_col: str, ts_col: str, id_col: str,
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
         seg_id = np.cumsum(new_key) - 1
-        # re-base each segment at 0 and space segments > range_us apart:
-        # the composite axis is globally sorted and frame edges never
-        # cross a segment boundary
+        # re-base each segment at 0 and give segment i an offset of the
+        # ACTUAL spans of all earlier segments plus (range_us + 1) gaps:
+        # the composite axis is globally sorted, frame edges never cross
+        # a segment boundary, and — unlike charging every segment the
+        # bucket-max span — the axis grows only as (total real span +
+        # n_segments * range_us), which cannot reach 2^63 for any
+        # physical corpus (that would need ~292k key-years per bucket)
         rebased = micros - micros[seg_start]
-        comp = rebased + seg_id * (np.int64(rebased.max())
-                                   + np.int64(range_us) + 1)
+        starts = np.flatnonzero(new_key)
+        ends = np.append(starts[1:], n)
+        spans = rebased[ends - 1]  # last rebased value of each segment
+        step = spans + np.int64(range_us) + 1
+        # overflow guard evaluated in float64 (no wrap), with margin
+        est = float(spans.sum(dtype=np.float64)) \
+            + len(step) * float(range_us + 1)
+        if est >= 2.0 ** 61:  # pragma: no cover - astronomical spans only
+            raise ValueError(
+                "range_window_sum: composite time axis would overflow "
+                f"int64 (~{est:.3g} us of span+gap in one bucket); "
+                "shrink the window or the per-bucket key spans")
+        offsets = np.concatenate([[0], np.cumsum(step[:-1])])
+        comp = rebased + offsets[seg_id]
         lo = np.searchsorted(comp, comp - range_us, side="left")
         hi = np.searchsorted(comp, comp, side="right")  # peer-inclusive
         cs0 = np.concatenate([[0], np.cumsum(v)])  # int64: exact prefix
