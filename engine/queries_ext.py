@@ -3025,3 +3025,170 @@ def event_sequence_signature_events(sf_dir: str) -> pa.Table:
              .groupby("_bucket")
              .map_groups(bucket_sig, batch_format="pyarrow"))
     return _collect(out).sort_by("user_id").select(["user_id", "sig"])
+
+
+# ===========================================================================
+# Heavy hitters (Misra-Gries mergeable sketch)
+# ===========================================================================
+
+@query(
+    "heavy_hitters_event_types",
+    """
+    SELECT event_type AS key, count(*) AS est,
+           CAST(0 AS BIGINT) AS err_bound
+    FROM events GROUP BY event_type
+    ORDER BY est DESC, key
+    """,
+)
+def heavy_hitters_event_types(sf_dir: str) -> pa.Table:
+    """Heavy hitters via the mergeable Misra-Gries(k) sketch
+    (stages/sketches.py): per-batch MG partials, KB-sized driver merge.
+    With cardinality <= k the sketch is provably exact (no pruning ever
+    fires), so this query has a plain COUNT oracle; the pruning path's
+    undercount/err_bound guarantee is property-tested on planted skew
+    in test_heavy_hitters_guarantee."""
+    from .stages.sketches import heavy_hitters
+
+    ds = _t(sf_dir, "events", ["event_type"])
+    return heavy_hitters(ds, "event_type", k=8)
+
+
+# ===========================================================================
+# Calendar-function rollup (ISO week)
+# ===========================================================================
+
+@query(
+    "weekly_rollup_events",
+    """
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def weekly_rollup_events(sf_dir: str) -> pa.Table:
+    """Weekly tumbling rollup via the calendar (Monday-start weeks, the
+    SQL date_trunc('week') contract — not fixed 604800-second windows):
+    Arrow's ``floor_temporal(unit='week')`` matches DuckDB's Monday
+    convention; grouped partial sums per batch, one week-cardinality
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        week = pc.floor_temporal(ts, unit="week",
+                                 week_starts_monday=True).cast(pa.date32())
+        t = pa.table({"week": week,
+                      "n": pa.array(np.ones(batch.num_rows,
+                                            dtype=np.int64)),
+                      "cents": _cents(batch["value"])})
+        g = t.group_by(["week"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["week", "n", "cents"])
+
+    out = (ds.map_batches(proj, batch_format="pyarrow")
+             .groupby("week")
+             .aggregate(Sum("n", alias_name="n_events"),
+                        Sum("cents", alias_name="value_cents")))
+    return _collect(out).sort_by("week").select(
+        ["week", "n_events", "value_cents"])
+
+
+# ===========================================================================
+# Share-of-total (percent-of-whole profile)
+# ===========================================================================
+
+@query(
+    "share_of_total_events_by_type",
+    """
+    SELECT event_type, count(*) AS n_events,
+           CAST(floor(count(*) * 10000.0 / (SELECT count(*) FROM events)
+                      + 0.5) AS BIGINT) AS share_x10k
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def share_of_total_events_by_type(sf_dir: str) -> pa.Table:
+    """Percent-of-total profile: per-type counts (value_counts
+    combiner + tiny groupby) with each count's share of the whole in
+    basis points — the count*10000.0/total double expression is
+    identical on both sides before the half-up floor."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_type"])
+    out = (ds.map_batches(
+               lambda b: _vc_partial(b["event_type"], "event_type", "n"),
+               batch_format="pyarrow")
+             .groupby("event_type").aggregate(Sum("n", alias_name="n")))
+    t = _collect(out).sort_by("event_type")
+    n = t["n"].to_numpy(zero_copy_only=False)
+    total = int(n.sum())
+    share = np.floor(n * 10000.0 / total + 0.5).astype(np.int64)
+    return pa.table({"event_type": t["event_type"],
+                     "n_events": pa.array(n, pa.int64()),
+                     "share_x10k": pa.array(share)})
+
+
+# ===========================================================================
+# Cross-modal join: documents x embeddings
+# ===========================================================================
+
+@query(
+    "doc_embedding_label_stats",
+    """
+    SELECT label, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents JOIN embeddings ON doc_id = vec_id
+    GROUP BY label ORDER BY label
+    """,
+)
+def doc_embedding_label_stats(sf_dir: str,
+                              max_broadcast: int | None = None) -> pa.Table:
+    """Cross-modal fact join (text table x embedding table on document
+    id): the embedding side is reduced to its (vec_id, label) columns —
+    broadcast via ``ray.put`` under the size guard, distributed
+    ``Dataset.join`` fallback above it (both at corpus scale the label
+    map is the smaller projection). Per-label partials aggregate inside
+    the same pass."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
+    emb = _t(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def finish(keyed):
+        out = keyed.groupby("label").aggregate(
+            Sum("one", alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"))
+        return _collect(out).sort_by("label").select(
+            ["label", "n_docs", "total_chars"])
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    if emb.count() <= mb:
+        lm = _collect(emb)
+        dim_ref = ray.put((lm["vec_id"].combine_chunks(),
+                           lm["label"].combine_chunks()))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            keys, labels = ray.get(dim_ref)
+            idx = pc.index_in(batch["doc_id"], keys)
+            t = pa.table({"label": pc.take(labels, idx),
+                          "n_chars": batch["n_chars"],
+                          "one": pa.array(np.ones(batch.num_rows,
+                                                  dtype=np.int64))})
+            return t.filter(pc.is_valid(t["label"]))
+
+        return finish(docs.map_batches(lookup, batch_format="pyarrow"))
+
+    j = docs.join(emb, "inner", num_partitions=join_partitions(),
+                  on=("doc_id",), right_on=("vec_id",))
+
+    def add_one(batch: pa.Table) -> pa.Table:
+        return pa.table({"label": batch["label"],
+                         "n_chars": batch["n_chars"],
+                         "one": pa.array(np.ones(batch.num_rows,
+                                                 dtype=np.int64))})
+
+    return finish(j.map_batches(add_one, batch_format="pyarrow"))

@@ -242,3 +242,101 @@ def bloom_probe_orphans(ds, column: str, bloom_bits: np.ndarray):
         Sum("total", alias_name="total"),
         Sum("definite_orphans", alias_name="definite_orphans"))
     return int(agg["total"] or 0), int(agg["definite_orphans"] or 0)
+
+
+def misra_gries_partial(column, k: int) -> "pa.Table":
+    """Per-batch Misra-Gries(k) heavy-hitter summary: exact batch
+    counts, pruned to <= k survivors by decrementing everything by the
+    (k+1)-th largest count (dropped keys had count <= that, so every
+    key's estimate undercounts its true batch frequency by at most the
+    decrement). Rows: (key, est, bdec) — ``bdec`` carries the batch's
+    decrement ONCE (row 0, zero elsewhere) so merged error bounds are
+    exact sums, no batch tagging. A batch whose survivors all prune
+    away still emits one (null-key, 0, dec) carrier row."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(column, pa.ChunkedArray):
+        column = column.combine_chunks()
+    vc = pc.value_counts(column)
+    keys = vc.field("values")
+    counts = pc.cast(vc.field("counts"), pa.int64()).to_numpy(
+        zero_copy_only=False)
+    if len(counts) <= k:
+        bdec = np.zeros(len(counts), dtype=np.int64)
+        return pa.table({"key": keys,
+                         "est": pa.array(counts, pa.int64()),
+                         "bdec": pa.array(bdec)})
+    order = np.argsort(counts)[::-1]
+    dec = int(counts[order[k]])  # (k+1)-th largest
+    est = counts - dec
+    keep = est > 0
+    n_keep = int(keep.sum())
+    if n_keep == 0:  # all counts equal: empty summary, weight carried
+        return pa.table({"key": pa.array([None], keys.type),
+                         "est": pa.array([0], pa.int64()),
+                         "bdec": pa.array([dec], pa.int64())})
+    bdec = np.zeros(n_keep, dtype=np.int64)
+    bdec[0] = dec
+    return pa.table({
+        "key": keys.filter(pa.array(keep)),
+        "est": pa.array(est[keep], pa.int64()),
+        "bdec": pa.array(bdec),
+    })
+
+
+def misra_gries_merge(parts: "pa.Table", k: int) -> "pa.Table":
+    """Merge MG(k) partial summaries (the standard mergeable-summaries
+    construction): sum estimates per key, accumulate every partial's
+    deleted weight, prune to k again. Output rows (key, est,
+    err_bound) satisfy ``true - err_bound <= est <= true``, and any key
+    with true frequency > err_bound is guaranteed present."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    carried = int(pc.sum(parts["bdec"]).as_py() or 0)
+    parts = parts.filter(pc.is_valid(parts["key"]))  # drop carrier rows
+    g = parts.group_by(["key"]).aggregate([("est", "sum")])
+    keys = g["key"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    est = g["est_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(est) > k:
+        order = np.argsort(est)[::-1]
+        dec = int(est[order[k]])
+        est = est - dec
+        carried += dec
+        keep = est > 0
+        keys = keys.filter(pa.array(keep))
+        est = est[keep]
+    return pa.table({
+        "key": keys,
+        "est": pa.array(est, pa.int64()),
+        "err_bound": pa.array(np.full(len(est), carried, dtype=np.int64)),
+    })
+
+
+def heavy_hitters(ds, column: str, k: int = 16):
+    """Distributed heavy hitters: per-batch MG(k) partials collected
+    driver-side (<= k+1 rows per block — KB-scale, like the other
+    sketches in this module) and merged once. Returns (key, est,
+    err_bound) sorted by est desc then key asc."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    def part(batch: pa.Table) -> pa.Table:
+        return misra_gries_partial(batch[column], k)
+
+    tables = [t for t in ray.get(
+        ds.map_batches(part, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not tables:
+        return pa.table({"key": pa.array([], pa.string()),
+                         "est": pa.array([], pa.int64()),
+                         "err_bound": pa.array([], pa.int64())})
+    merged = misra_gries_merge(
+        pa.concat_tables(tables).combine_chunks(), k)
+    idx = pc.sort_indices(merged, sort_keys=[("est", "descending"),
+                                             ("key", "ascending")])
+    return merged.take(idx)

@@ -1181,3 +1181,38 @@ def test_retention_empty_result_schema(ray_session, tmp_path):
     out = QUERIES["retention_next_day_events"](str(d))
     assert out.num_rows == 0
     assert out.schema.names == ["event_date", "n_retained"]
+
+
+def test_heavy_hitters_guarantee(ray_session):
+    """Misra-Gries pruning path: on planted skew the heavy key survives
+    any batching, with true-err_bound <= est <= true."""
+    import ray.data as rd
+
+    from engine.stages.sketches import heavy_hitters
+
+    rng = __import__("numpy").random.default_rng(23)
+    # one key with ~30% mass over a 200-key uniform tail
+    vals = ["HH" if rng.random() < 0.3 else f"k{int(rng.integers(0, 200))}"
+            for _ in range(5000)]
+    true_hh = vals.count("HH")
+    for nparts in (1, 7, 32):
+        ds = rd.from_items([{"v": v} for v in vals]).repartition(nparts)
+        out = heavy_hitters(ds, "v", k=4)
+        rows = {r["key"].as_py(): (r["est"].as_py(), r["err_bound"].as_py())
+                for r in [out.slice(i, 1).to_pylist() and
+                          {k: out[k][i] for k in out.column_names}
+                          for i in range(out.num_rows)]}
+        assert "HH" in rows, (nparts, rows)
+        est, err = rows["HH"]
+        assert est <= true_hh <= est + err, (nparts, est, err, true_hh)
+
+
+def test_doc_embedding_join_paths(ray_session):
+    """Broadcast and distributed-join paths of the cross-modal join
+    agree."""
+    import engine.queries_ext as qx
+
+    sf = "/root/testdata/sf0.001"
+    a = qx.doc_embedding_label_stats(sf)
+    b = qx.doc_embedding_label_stats(sf, max_broadcast=0)
+    assert a.equals(b)
