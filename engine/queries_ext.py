@@ -13,7 +13,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .queries import (  # noqa: F401
-    QUERIES, ORACLE_SQL, _cents, _collect, _row, _t, query,
+    QUERIES, ORACLE_SQL, _cents, _collect, _row, _t, _vc_partial, query,
 )
 from .stages.textstats import BPE_TOKEN_RE, WS_TOKEN_RE, _STOPWORDS
 
@@ -28,17 +28,6 @@ def _ts_us(col):
     if not (pa.types.is_timestamp(col.type) and col.type.unit == "us"):
         col = col.cast(pa.timestamp("us"))
     return col
-
-
-def _vc_partial(col, value_name: str, count_name: str) -> pa.Table:
-    """Per-batch ``value_counts`` partial as a (value, int64 count)
-    table — the additive combiner behind the histogram / calendar /
-    stratum rollups (merge with one groupby Sum)."""
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    vc = pc.value_counts(col)
-    return pa.table({value_name: vc.field("values"),
-                     count_name: pc.cast(vc.field("counts"), pa.int64())})
 
 
 # broadcast-side row guard for cross-table probes (tests shrink it to
