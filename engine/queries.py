@@ -567,13 +567,15 @@ def daily_rollup_events(sf_dir: str) -> pa.Table:
     "SELECT count(DISTINCT CAST(ts AS DATE)) AS distinct_dates FROM events",
 )
 def distinct_dates_events(sf_dir: str) -> pa.Table:
-    """A6 COUNT(DISTINCT expr) (config/rules/count_rules.yml:28)."""
+    """A6 COUNT(DISTINCT expr) (config/rules/count_rules.yml:28).
+    The distinct set is calendar-bounded, so per-block ``_vc_partial``s
+    merge on the driver — no ``unique`` shuffle."""
     ds = _t(sf_dir, "events", ["ts"])
-    days = ds.map_batches(
-        lambda b: pa.table({"d": pc.cast(b["ts"], pa.date32())}),
+    parts = _collect(ds.map_batches(
+        lambda b: _vc_partial(pc.cast(b["ts"], pa.date32()), "d", "n"),
         batch_format="pyarrow",
-    )
-    return _row(distinct_dates=len(days.unique("d")))
+    ))
+    return _row(distinct_dates=pc.count_distinct(parts["d"]).as_py())
 
 
 # ===========================================================================
