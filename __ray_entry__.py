@@ -99,11 +99,13 @@ _SWEEP_FIRST = (
     "capped_sample_per_source",
     "grouped_percentiles_docs_by_lang",
     # entries past this line spill beyond a 50-query driver sweep
-    # window. First the two near-variant checks whose siblings are
-    # already driver-certified (their DuckDB oracles still run every
-    # pytest sweep), then the rows-only sketch/ANN/multimodal queries
-    # (weaker rows-only driver evidence anyway; each parity/property-
-    # tested in the suite every run)
+    # window. First late-round oracle-SQL additions and two
+    # near-variant checks whose siblings are already driver-certified
+    # (their DuckDB oracles still run every pytest sweep), then the
+    # rows-only sketch/ANN/multimodal queries (weaker rows-only driver
+    # evidence anyway; each parity/property-tested in the suite)
+    "equidepth_histogram_events",
+    "null_profile_orders",
     "percentage_range_discount",
     "ssn_mask_format_customer_name",
     "multimodal_decode_features",

@@ -3181,3 +3181,91 @@ def doc_embedding_label_stats(sf_dir: str,
                                                  dtype=np.int64))})
 
     return finish(j.map_batches(add_one, batch_format="pyarrow"))
+
+
+# ===========================================================================
+# Equi-depth (quartile) histogram + one-pass column null profile
+# ===========================================================================
+
+@query(
+    "equidepth_histogram_events",
+    """
+    WITH b AS (SELECT quantile_disc(value, 0.25) AS q1,
+                      quantile_disc(value, 0.50) AS q2,
+                      quantile_disc(value, 0.75) AS q3
+               FROM events)
+    SELECT CASE WHEN value <= q1 THEN 0 WHEN value <= q2 THEN 1
+                WHEN value <= q3 THEN 2 ELSE 3 END AS bucket,
+           count(*) AS n,
+           CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS lo_cents,
+           CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS hi_cents
+    FROM events, b GROUP BY 1 ORDER BY 1
+    """,
+)
+def equidepth_histogram_events(sf_dir: str) -> pa.Table:
+    """Equi-depth histogram: EXACT quartile boundaries from the
+    histogram-guided selection (zero shuffle), then one counting pass
+    bucketing every row — boundaries are elements OF the data, so the
+    <= comparisons are float-exact on both sides. Per-bucket min/max
+    ride the same 4-row-per-block partials."""
+    from .stages.selection import exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["value"])
+    q1, q2, q3 = exact_quantiles_disc(ds, "value", [0.25, 0.5, 0.75])
+
+    def part(batch: pa.Table) -> pa.Table:
+        v = batch["value"]
+        b = pc.add(
+            pc.add(pc.cast(pc.greater(v, q1), pa.int64()),
+                   pc.cast(pc.greater(v, q2), pa.int64())),
+            pc.cast(pc.greater(v, q3), pa.int64()))
+        t = pa.table({"bucket": b, "value": v})
+        g = t.group_by(["bucket"]).aggregate(
+            [([], "count_all"), ("value", "min"), ("value", "max")])
+        return g.rename_columns(["bucket", "n", "vmin", "vmax"])
+
+    parts = _collect(ds.map_batches(part, batch_format="pyarrow"))
+    g = parts.group_by(["bucket"]).aggregate(
+        [("n", "sum"), ("vmin", "min"), ("vmax", "max")])
+    g = g.rename_columns(["bucket", "n", "vmin", "vmax"]).sort_by("bucket")
+    return pa.table({
+        "bucket": g["bucket"], "n": g["n"],
+        "lo_cents": _cents(g["vmin"]),
+        "hi_cents": _cents(g["vmax"]),
+    })
+
+
+@query(
+    "null_profile_orders",
+    """
+    SELECT col, n_nulls FROM (
+      SELECT 'o_custkey' AS col,
+             count(*) - count(o_custkey) AS n_nulls FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', count(*) - count(o_orderdate) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', count(*) - count(o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_totalprice', count(*) - count(o_totalprice) FROM orders
+    ) ORDER BY col
+    """,
+)
+def null_profile_orders(sf_dir: str) -> pa.Table:
+    """Whole-table null profile in ONE pass (the reference runs one
+    null check per rule/column — null_checker.py — this is the
+    table-profile generalization): per-batch ``null_count`` for every
+    column at once (Arrow metadata reads, no value scan), columns x
+    blocks partial rows, driver sum."""
+    cols = ["o_custkey", "o_orderdate", "o_orderstatus", "o_totalprice"]
+    ds = _t(sf_dir, "orders", cols)
+
+    def part(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "col": pa.array(cols),
+            "n_nulls": pa.array(
+                [batch[c].null_count for c in cols], pa.int64()),
+        })
+
+    parts = _collect(ds.map_batches(part, batch_format="pyarrow"))
+    g = parts.group_by(["col"]).aggregate([("n_nulls", "sum")])
+    return g.rename_columns(["col", "n_nulls"]).sort_by("col")
