@@ -541,7 +541,9 @@ def daily_rollup_events(sf_dir: str) -> pa.Table:
     def users_side():
         from .stages.aggregates import bucketed_groupby
 
-        proj = ds.map_batches(
+        # own pruned read: the stats side needs value, this side doesn't
+        uds = _t(sf_dir, "events", ["ts", "user_id"])
+        proj = uds.map_batches(
             lambda b: pa.table({"event_date": pc.cast(b["ts"], pa.date32()),
                                 "user_id": b["user_id"]}),
             batch_format="pyarrow")

@@ -3155,19 +3155,29 @@ def doc_embedding_label_stats(sf_dir: str,
             ["label", "n_docs", "total_chars"])
 
     mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
-    if emb.count() <= mb:
+    use_broadcast = emb.count() <= mb
+    if use_broadcast:
         lm = _collect(emb)
-        dim_ref = ray.put((lm["vec_id"].combine_chunks(),
-                           lm["label"].combine_chunks()))
+        keys0 = lm["vec_id"].combine_chunks()
+        labels0 = lm["label"].combine_chunks()
+        # the index_in lookup assumes a proper key map: unique vec_ids,
+        # non-null labels (dupes would take only the first match, null
+        # labels would be dropped as non-matches) — checked once on the
+        # collected map; anything else goes to the general join
+        use_broadcast = (labels0.null_count == 0
+                         and pc.count_distinct(keys0).as_py() == len(keys0))
+    if use_broadcast:
+        dim_ref = ray.put((keys0, labels0))
 
         def lookup(batch: pa.Table) -> pa.Table:
             keys, labels = ray.get(dim_ref)
             idx = pc.index_in(batch["doc_id"], keys)
+            matched = pc.is_valid(idx)  # match on KEY validity, not label
             t = pa.table({"label": pc.take(labels, idx),
                           "n_chars": batch["n_chars"],
                           "one": pa.array(np.ones(batch.num_rows,
                                                   dtype=np.int64))})
-            return t.filter(pc.is_valid(t["label"]))
+            return t.filter(matched)
 
         return finish(docs.map_batches(lookup, batch_format="pyarrow"))
 
@@ -3199,7 +3209,7 @@ def doc_embedding_label_stats(sf_dir: str,
            count(*) AS n,
            CAST(floor(min(value) * 100 + 0.5) AS BIGINT) AS lo_cents,
            CAST(floor(max(value) * 100 + 0.5) AS BIGINT) AS hi_cents
-    FROM events, b GROUP BY 1 ORDER BY 1
+    FROM events, b WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1
     """,
 )
 def equidepth_histogram_events(sf_dir: str) -> pa.Table:
@@ -3214,7 +3224,7 @@ def equidepth_histogram_events(sf_dir: str) -> pa.Table:
     q1, q2, q3 = exact_quantiles_disc(ds, "value", [0.25, 0.5, 0.75])
 
     def part(batch: pa.Table) -> pa.Table:
-        v = batch["value"]
+        v = pc.drop_null(batch["value"])  # NULLs excluded on both sides
         b = pc.add(
             pc.add(pc.cast(pc.greater(v, q1), pa.int64()),
                    pc.cast(pc.greater(v, q2), pa.int64())),

@@ -252,7 +252,8 @@ def misra_gries_partial(column, k: int) -> "pa.Table":
     decrement). Rows: (key, est, bdec) — ``bdec`` carries the batch's
     decrement ONCE (row 0, zero elsewhere) so merged error bounds are
     exact sums, no batch tagging. A batch whose survivors all prune
-    away still emits one (null-key, 0, dec) carrier row."""
+    away still emits one (null-key, est=0, dec) carrier row — real
+    null-key groups always carry est>0, so carriers are separable."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -295,7 +296,9 @@ def misra_gries_merge(parts: "pa.Table", k: int) -> "pa.Table":
     import pyarrow.compute as pc
 
     carried = int(pc.sum(parts["bdec"]).as_py() or 0)
-    parts = parts.filter(pc.is_valid(parts["key"]))  # drop carrier rows
+    # null keys are REAL groups (SQL GROUP BY semantics); carrier rows
+    # are (null, est=0) and disappear through the final est>0 filter,
+    # merging harmlessly into any genuine null-key group
     g = parts.group_by(["key"]).aggregate([("est", "sum")])
     keys = g["key"]
     if isinstance(keys, pa.ChunkedArray):
@@ -306,9 +309,9 @@ def misra_gries_merge(parts: "pa.Table", k: int) -> "pa.Table":
         dec = int(est[order[k]])
         est = est - dec
         carried += dec
-        keep = est > 0
-        keys = keys.filter(pa.array(keep))
-        est = est[keep]
+    keep = est > 0
+    keys = keys.filter(pa.array(keep))
+    est = est[keep]
     return pa.table({
         "key": keys,
         "est": pa.array(est, pa.int64()),
@@ -328,11 +331,12 @@ def heavy_hitters(ds, column: str, k: int = 16):
     def part(batch: pa.Table) -> pa.Table:
         return misra_gries_partial(batch[column], k)
 
-    tables = [t for t in ray.get(
+    refs = ray.get(
         ds.map_batches(part, batch_format="pyarrow").to_arrow_refs())
-        if t.num_rows]
+    tables = [t for t in refs if t.num_rows]
     if not tables:
-        return pa.table({"key": pa.array([], pa.string()),
+        key_type = refs[0]["key"].type if refs else pa.string()
+        return pa.table({"key": pa.array([], key_type),
                          "est": pa.array([], pa.int64()),
                          "err_bound": pa.array([], pa.int64())})
     merged = misra_gries_merge(

@@ -1198,10 +1198,8 @@ def test_heavy_hitters_guarantee(ray_session):
     for nparts in (1, 7, 32):
         ds = rd.from_items([{"v": v} for v in vals]).repartition(nparts)
         out = heavy_hitters(ds, "v", k=4)
-        rows = {r["key"].as_py(): (r["est"].as_py(), r["err_bound"].as_py())
-                for r in [out.slice(i, 1).to_pylist() and
-                          {k: out[k][i] for k in out.column_names}
-                          for i in range(out.num_rows)]}
+        rows = {r["key"]: (r["est"], r["err_bound"])
+                for r in out.to_pylist()}
         assert "HH" in rows, (nparts, rows)
         est, err = rows["HH"]
         assert est <= true_hh <= est + err, (nparts, est, err, true_hh)
@@ -1216,3 +1214,25 @@ def test_doc_embedding_join_paths(ray_session):
     a = qx.doc_embedding_label_stats(sf)
     b = qx.doc_embedding_label_stats(sf, max_broadcast=0)
     assert a.equals(b)
+
+
+def test_heavy_hitters_null_keys(ray_session):
+    """NULL is a real group (SQL GROUP BY semantics): a heavy null key
+    must survive the merge with a correct estimate, and carrier rows
+    must not leak phantom null rows into null-free results."""
+    import ray.data as rd
+
+    from engine.stages.sketches import heavy_hitters
+
+    vals = (["x"] * 5 + [None] * 40 + [f"t{i}" for i in range(30)])
+    ds = rd.from_items([{"v": v} for v in vals]).repartition(3)
+    out = heavy_hitters(ds, "v", k=4)
+    rows = {r["key"]: (r["est"], r["err_bound"]) for r in out.to_pylist()}
+    assert None in rows
+    est, err = rows[None]
+    assert est <= 40 <= est + err
+
+    # null-free input -> no null row in the output
+    ds2 = rd.from_items([{"v": f"k{i % 3}"} for i in range(60)])
+    out2 = heavy_hitters(ds2, "v", k=8)
+    assert None not in [r["key"] for r in out2.to_pylist()]
