@@ -106,6 +106,7 @@ _SWEEP_FIRST = (
     # evidence anyway; each parity/property-tested in the suite)
     "equidepth_histogram_events",
     "null_profile_orders",
+    "customers_without_orders",
     "percentage_range_discount",
     "ssn_mask_format_customer_name",
     "multimodal_decode_features",

@@ -3279,3 +3279,63 @@ def null_profile_orders(sf_dir: str) -> pa.Table:
     parts = _collect(ds.map_batches(part, batch_format="pyarrow"))
     g = parts.group_by(["col"]).aggregate([("n_nulls", "sum")])
     return g.rename_columns(["col", "n_nulls"]).sort_by("col")
+
+
+# ===========================================================================
+# Row-emitting anti-join (EXCEPT with payload)
+# ===========================================================================
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey LIMIT 20
+    """,
+)
+def customers_without_orders(sf_dir: str) -> pa.Table:
+    """Row-emitting anti-join (the FK checks report counts; audits also
+    want the offending ROWS): customers with no orders, first 20 by
+    key. The probe side's distinct keys are collected via per-batch
+    dedup partials and broadcast once (``ray.put`` + ``pc.is_in``);
+    the first-k-by-key is a per-batch local top-k combiner + k-sized
+    driver merge — no global sort. Above the broadcast guard the same
+    shape becomes the distributed set-difference of
+    checks/core.existence_check."""
+    import ray
+
+    K = 20
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+
+    def key_partial(batch: pa.Table) -> pa.Table:
+        k = batch["o_custkey"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({"k": k.unique()})
+
+    keys = _collect(orders.map_batches(key_partial,
+                                       batch_format="pyarrow"))["k"]
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    n_keys = len(keys)
+    if n_keys > MAX_BROADCAST_ROWS:  # pragma: no cover - scale path
+        raise ValueError(
+            f"probe side has {n_keys} distinct keys > broadcast guard; "
+            "use checks.existence_check's distributed set difference")
+    keys_ref = ray.put(keys.unique())
+
+    def probe(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        miss = pc.invert(pc.is_in(batch["c_custkey"], value_set=ks))
+        t = batch.filter(miss)
+        idx = pc.sort_indices(t, sort_keys=[("c_custkey", "ascending")])
+        return t.take(idx[:K])  # local first-k combiner
+
+    parts = _collect(cust.map_batches(probe, batch_format="pyarrow"))
+    if parts.num_rows == 0:  # full FK coverage: nobody is orphaned
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "c_mktsegment": pa.array([], pa.string())})
+    out = parts.sort_by("c_custkey").slice(0, K)
+    return out.select(["c_custkey", "c_mktsegment"])

@@ -1236,3 +1236,39 @@ def test_heavy_hitters_null_keys(ray_session):
     ds2 = rd.from_items([{"v": f"k{i % 3}"} for i in range(60)])
     out2 = heavy_hitters(ds2, "v", k=8)
     assert None not in [r["key"] for r in out2.to_pylist()]
+
+
+def test_customers_without_orders_planted(ray_session, tmp_path):
+    """Row-emitting anti-join: planted orphan customers come back in
+    key order, capped at 20, with their payload columns."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import QUERIES
+
+    cust = pa.table({
+        "c_custkey": pa.array(range(100), pa.int64()),
+        "c_name": pa.array([f"c{i}" for i in range(100)]),
+        "c_nationkey": pa.array([0] * 100, pa.int64()),
+        "c_acctbal": pa.array([0.0] * 100),
+        "c_mktsegment": pa.array([f"seg{i % 3}" for i in range(100)]),
+    })
+    # orders reference only even custkeys -> 50 orphans, first 20 emitted
+    orders = pa.table({
+        "o_orderkey": pa.array(range(50), pa.int64()),
+        "o_custkey": pa.array([2 * i for i in range(50)], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 50),
+        "o_totalprice": pa.array([1.0] * 50),
+        "o_orderdate": pa.array([1_700_000_000_000_000] * 50,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 50),
+    })
+    d = tmp_path / "sfA"
+    d.mkdir()
+    pq.write_table(cust, d / "customer.parquet")
+    pq.write_table(orders, d / "orders.parquet")
+    out = QUERIES["customers_without_orders"](str(d))
+    assert out["c_custkey"].to_pylist() == [2 * i + 1 for i in range(20)]
+    assert out["c_mktsegment"].to_pylist() == [
+        f"seg{(2 * i + 1) % 3}" for i in range(20)]
