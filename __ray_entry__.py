@@ -107,6 +107,7 @@ _SWEEP_FIRST = (
     "equidepth_histogram_events",
     "null_profile_orders",
     "customers_without_orders",
+    "value_percentiles_cont_events",
     "percentage_range_discount",
     "ssn_mask_format_customer_name",
     "multimodal_decode_features",

@@ -3339,3 +3339,29 @@ def customers_without_orders(sf_dir: str) -> pa.Table:
                          "c_mktsegment": pa.array([], pa.string())})
     out = parts.sort_by("c_custkey").slice(0, K)
     return out.select(["c_custkey", "c_mktsegment"])
+
+
+@query(
+    "value_percentiles_cont_events",
+    """
+    SELECT CAST(floor(quantile_cont(value, 0.25) * 10000 + 0.5) AS BIGINT)
+               AS p25_x10k,
+           CAST(floor(quantile_cont(value, 0.50) * 10000 + 0.5) AS BIGINT)
+               AS p50_x10k,
+           CAST(floor(quantile_cont(value, 0.90) * 10000 + 0.5) AS BIGINT)
+               AS p90_x10k
+    FROM events
+    """,
+)
+def value_percentiles_cont_events(sf_dir: str) -> pa.Table:
+    """Interpolated percentiles (PERCENTILE_CONT), completing the
+    quantile family next to disc/approx: exact neighbouring elements
+    from histogram-guided selection (zero shuffle), one IEEE-identical
+    ``lo + (hi-lo)*frac`` interpolation per q."""
+    from .stages.selection import exact_quantiles_cont
+
+    ds = _t(sf_dir, "events", ["value"])
+    p25, p50, p90 = exact_quantiles_cont(ds, "value", [0.25, 0.5, 0.9])
+    return _row(p25_x10k=int(np.floor(p25 * 10000 + 0.5)),
+                p50_x10k=int(np.floor(p50 * 10000 + 0.5)),
+                p90_x10k=int(np.floor(p90 * 10000 + 0.5)))

@@ -154,3 +154,33 @@ def exact_quantiles_disc(ds, col: str, qs: list[float],
     got = _exact_ranks(proj, col, sorted(set(ranks)), num_bins,
                        collect_cap, 0)
     return [got[k] for k in ranks]
+
+
+def exact_quantiles_cont(ds, col: str, qs: list[float],
+                         num_bins: int = 4096,
+                         collect_cap: int = 4_000_000) -> list[float]:
+    """Exact INTERPOLATED quantiles (DuckDB ``quantile_cont`` /
+    PERCENTILE_CONT semantics): index = (n-1)*q on the 0-based sorted
+    order; result = lo + (hi - lo) * frac between the two neighbouring
+    ELEMENTS. Both neighbours come from the same histogram-guided exact
+    selection as ``exact_quantiles_disc`` (zero shuffle); only the final
+    interpolation is derived arithmetic, evaluated with the same double
+    expression the SQL engine uses."""
+    proj = _project_non_null(ds, col)
+    from ray.data.aggregate import Count
+
+    n = proj.aggregate(Count(col, alias_name="n"))["n"]
+    if n == 0:
+        raise ValueError(f"exact_quantiles_cont: no non-null {col!r} values")
+    idxs = [min(max((n - 1) * q, 0.0), float(n - 1)) for q in qs]
+    ranks = sorted({r for i in idxs
+                    for r in (int(np.floor(i)) + 1,
+                              min(int(np.floor(i)) + 2, n))})
+    got = _exact_ranks(proj, col, ranks, num_bins, collect_cap, 0)
+    out = []
+    for i in idxs:
+        k = int(np.floor(i))
+        lo = got[k + 1]
+        hi = got[min(k + 2, n)]
+        out.append(lo + (hi - lo) * (i - k))
+    return out

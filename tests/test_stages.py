@@ -1272,3 +1272,23 @@ def test_customers_without_orders_planted(ray_session, tmp_path):
     assert out["c_custkey"].to_pylist() == [2 * i + 1 for i in range(20)]
     assert out["c_mktsegment"].to_pylist() == [
         f"seg{(2 * i + 1) % 3}" for i in range(20)]
+
+
+def test_exact_quantiles_cont(ray_session):
+    """Interpolated quantiles == numpy linear interpolation on the
+    sorted array, at any partitioning (exact neighbours + one float
+    expression)."""
+    import ray.data as rd
+
+    from engine.stages.selection import exact_quantiles_cont
+
+    rng = np.random.default_rng(29)
+    vals = np.round(rng.uniform(0, 500, size=3001), 2)
+    qs = [0.0, 0.25, 0.5, 0.9, 1.0]
+    expect = [float(np.quantile(vals, q, method="linear")) for q in qs]
+    for nparts in (1, 8):
+        ds = rd.from_items([{"v": float(x)} for x in vals]).repartition(
+            nparts)
+        got = exact_quantiles_cont(ds, "v", qs)
+        for g, e in zip(got, expect):
+            assert abs(g - e) < 1e-9, (g, e)
