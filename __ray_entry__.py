@@ -108,6 +108,7 @@ _SWEEP_FIRST = (
     "null_profile_orders",
     "customers_without_orders",
     "value_percentiles_cont_events",
+    "fuzzy_name_pairs_customer",
     "percentage_range_discount",
     "ssn_mask_format_customer_name",
     "multimodal_decode_features",

@@ -3365,3 +3365,36 @@ def value_percentiles_cont_events(sf_dir: str) -> pa.Table:
     return _row(p25_x10k=int(np.floor(p25 * 10000 + 0.5)),
                 p50_x10k=int(np.floor(p50 * 10000 + 0.5)),
                 p90_x10k=int(np.floor(p90 * 10000 + 0.5)))
+
+
+# ===========================================================================
+# Fuzzy (edit-distance-1) string self-join
+# ===========================================================================
+
+@query(
+    "fuzzy_name_pairs_customer",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) = 1
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_name_pairs_customer(sf_dir: str) -> pa.Table:
+    """Approximate string self-join: every customer pair whose names
+    are at edit distance exactly 1 (stages/fuzzy.py — the FastSS
+    deletion-neighborhood trick: hashed single-deletion variants bring
+    candidates together in ONE groupby with full recall by
+    construction; exact vectorized verification rejects collisions and
+    identical names). The oracle is the quadratic levenshtein join —
+    this engine never materializes n^2 comparisons."""
+    from .stages.fuzzy import fuzzy_join_dist1
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = fuzzy_join_dist1(ds, "c_custkey", "c_name")
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64())})
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -1,0 +1,207 @@
+"""Fuzzy (edit-distance-1) string self-join via deletion neighborhoods.
+
+The classic approximate-string-join trick (FastSS / SymSpell family):
+two strings are within edit distance 1 iff they share a *deletion
+variant* — for a substitution, delete the differing position from both;
+for an insertion/deletion, the shorter string IS a deletion variant of
+the longer. So every string emits ``len + 1`` keys (each single-char
+deletion plus itself), equal keys are brought together by ONE groupby,
+and candidate pairs are verified exactly. Full recall by construction,
+no n^2 scan.
+
+Everything is vectorized:
+
+- **variant keys are hashed, never materialized**: with the polynomial
+  hash ``h(s) = sum(b_j * r^(j+1)) + len(s)`` (mod 2^64), the hash of
+  s-with-position-i-deleted is ``prefix_i + (suffix_i / r) + len - 1``
+  where prefix/suffix are cumulative sums — so all L+1 keys of every
+  string in a batch come out of two cumsums over the flattened bytes
+  (padding-free, batch-boundary-independent);
+- **pair generation** inside each coarse bucket is the offset-sweep
+  over key-sorted rows (one vectorized same-key mask per offset d, d
+  bounded by the largest key group);
+- **exact verification** compares padded byte matrices: equal lengths
+  -> exactly one differing position (substitution); lengths off by one
+  -> delete the first mismatch position from the longer and compare
+  (gather-index shift, no Python per pair). Hash collisions and
+  distance-0 (identical) candidates are rejected here.
+
+Partitioning: one ``groupby`` on ``hash(key) % num_buckets``; bucket
+rows are (key, id, string) — strings ride the shuffle once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_R = np.uint64(1099511628211)  # FNV prime as the polynomial base
+
+
+def _byte_view(arr: pa.Array):
+    """(flat bytes, 0-based offsets) of a string array."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.string())
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
+                         count=len(arr) + 1 + arr.offset)[arr.offset:]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    return data[offs[0]:offs[-1]].copy(), (offs - offs[0]).astype(np.int64)
+
+
+def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """All deletion-variant hashes + identity hashes for a batch.
+
+    Returns (keys, row_idx): for every string j with length L_j, its
+    L_j deletion hashes and 1 identity hash, each tagged with j.
+    """
+    data, offs = _byte_view(names)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    total = int(offs[-1])
+    # position within each string
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
+    b = data.astype(np.uint64)
+    # powers of r per flat position: r^(pos+1) for the "kept before the
+    # deletion" weighting, r^pos for "shifted after the deletion"
+    max_len = int(lens.max()) if n else 0
+    powers = np.empty(max_len + 2, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wrap IS the mod-2^64 math
+        for i in range(1, max_len + 2):
+            powers[i] = powers[i - 1] * _R
+    w_hi = b * powers[pos + 1]  # weight r^(j+1) (char kept at its slot)
+    w_lo = b * powers[pos]      # weight r^j (char shifted left by one)
+    # per-string cumulative sums (segment-local, exclusive/inclusive)
+    cum_hi = np.cumsum(w_hi, dtype=np.uint64)
+    cum_lo = np.cumsum(w_lo, dtype=np.uint64)
+    seg_hi0 = np.repeat(cum_hi[offs[:-1]] - w_hi[offs[:-1]], lens)
+    seg_lo_end = np.repeat(cum_lo[offs[1:] - 1], lens)
+    prefix = np.concatenate([np.zeros(1, np.uint64), cum_hi])[
+        pos + np.repeat(offs[:-1], lens)] - seg_hi0  # w_hi sum BEFORE pos
+    suffix = seg_lo_end - cum_lo + w_lo  # sum of w_lo for chars >= pos
+    suffix = suffix - w_lo               # ... strictly AFTER pos
+    del_keys = prefix + suffix + np.repeat(
+        (lens - 1).astype(np.uint64), lens)
+    # identity hash of each full string
+    full = np.zeros(n, dtype=np.uint64)
+    if total:
+        cum = np.cumsum(w_hi, dtype=np.uint64)
+        ends = offs[1:] - 1
+        starts = offs[:-1]
+        full = cum[ends] - (cum[starts] - w_hi[starts])
+    id_keys = full + lens.astype(np.uint64)
+    keys = np.concatenate([del_keys, id_keys])
+    rows = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), lens),
+                           np.arange(n, dtype=np.int64)])
+    return keys, rows
+
+
+def _pad_matrix(names: list[bytes], width: int) -> np.ndarray:
+    m = np.zeros((len(names), width), dtype=np.uint8)
+    for i, s in enumerate(names):  # result-sized (candidate pairs only)
+        m[i, :len(s)] = np.frombuffer(s, dtype=np.uint8)
+    return m
+
+
+def _verify_pairs(na: pa.Array, nb: pa.Array) -> np.ndarray:
+    """Exact edit-distance==1 mask for candidate string pairs."""
+    a_bytes = [x.encode() for x in na.to_pylist()]
+    b_bytes = [x.encode() for x in nb.to_pylist()]
+    la = np.array([len(x) for x in a_bytes], dtype=np.int64)
+    lb = np.array([len(x) for x in b_bytes], dtype=np.int64)
+    w = int(max(la.max(initial=1), lb.max(initial=1)))
+    A = _pad_matrix(a_bytes, w)
+    B = _pad_matrix(b_bytes, w)
+    diff = A != B
+    ndiff = diff.sum(axis=1)
+    ok = np.zeros(len(la), dtype=bool)
+    same_len = la == lb
+    ok[same_len & (ndiff == 1)] = True  # substitution
+    # length off by one: delete first-mismatch char from the longer
+    off1 = np.abs(la - lb) == 1
+    if off1.any():
+        idx = np.flatnonzero(off1)
+        L = np.where(la[idx] >= lb[idx], 0, 1)  # 0: a longer, 1: b longer
+        longm = np.where(L[:, None] == 0, A[idx], B[idx])
+        shortm = np.where(L[:, None] == 0, B[idx], A[idx])
+        first = (longm != shortm).argmax(axis=1)
+        cols = np.arange(w - 1, dtype=np.int64)[None, :]
+        gather = cols + (cols >= first[:, None])
+        deleted = np.take_along_axis(longm, gather, axis=1)
+        ok[idx] = (deleted == shortm[:, :w - 1]).all(axis=1)
+    return ok
+
+
+def fuzzy_join_dist1(ds, id_col: str, s_col: str, num_buckets: int = 128):
+    """All id pairs (a < b) whose strings are at edit distance EXACTLY 1.
+
+    Per batch: hashed deletion-neighborhood keys (no variant strings
+    materialized), local (key, id) dedup; ONE coarse-bucket groupby;
+    per bucket a key-sort + offset-sweep yields candidate pairs, then
+    the exact vectorized verifier (which also rejects hash collisions
+    and distance-0 duplicates). Output: (id_a, id_b) rows.
+    """
+    def emit(batch: pa.Table) -> pa.Table:
+        names = batch[s_col]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        keys, rows = _deletion_keys(names)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[rows]
+        t = pa.table({
+            "k": pa.array(keys.astype(np.int64)),
+            id_col: pa.array(ids),
+            s_col: names.take(pa.array(rows)),
+        })
+        # local dedup: repeated chars make duplicate variants of a row
+        t = t.group_by(["k", id_col], use_threads=False).aggregate(
+            [(s_col, "first")]).rename_columns(["k", id_col, s_col])
+        bucket = (t["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("k", "ascending"), (id_col, "ascending")])
+        g = g.take(idx)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        names = g[s_col]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        n = len(k)
+        ia_all, ib_all = [], []
+        d = 1
+        while True:  # offset sweep, bounded by the largest key group
+            if d >= n:
+                break
+            same = k[d:] == k[:-d]
+            if not same.any():
+                break
+            t0 = np.flatnonzero(same)
+            ia_all.append(t0)
+            ib_all.append(t0 + d)
+            d += 1
+        if not ia_all:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        ok = _verify_pairs(names.take(pa.array(ia)),
+                           names.take(pa.array(ib)))
+        ia, ib = ia[ok], ib[ok]
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        # same pair can never arise twice WITHIN a key group, and a
+        # dist-1 pair shares exactly one variant VALUE, but two distinct
+        # key values could collide into one group only across k values —
+        # (k, id) sort keeps groups separate, so pairs are unique here
+        return pa.table({"id_a": pa.array(a, pa.int64()),
+                         "id_b": pa.array(b, pa.int64())})
+
+    return (ds.map_batches(emit, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(bucket_pairs, batch_format="pyarrow"))

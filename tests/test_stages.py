@@ -1292,3 +1292,46 @@ def test_exact_quantiles_cont(ray_session):
         got = exact_quantiles_cont(ds, "v", qs)
         for g, e in zip(got, expect):
             assert abs(g - e) < 1e-9, (g, e)
+
+
+def test_fuzzy_join_dist1_brute_force(ray_session):
+    """Deletion-neighborhood join == brute-force Levenshtein==1 on
+    random short strings with planted insert/delete/substitute
+    mutations, identical at any partitioning."""
+    import ray.data as rd
+
+    from engine.stages.fuzzy import fuzzy_join_dist1
+
+    rng = np.random.default_rng(31)
+    alpha = "abc"
+    base = ["".join(rng.choice(list(alpha), size=rng.integers(2, 7)))
+            for _ in range(60)]
+    strs = list(base)
+    for s in base[:20]:  # planted distance-1 mutations
+        i = int(rng.integers(0, len(s)))
+        strs.append(s[:i] + s[i + 1:])                       # deletion
+        strs.append(s[:i] + rng.choice(list(alpha)) + s[i:])  # insertion
+        strs.append(s[:i] + rng.choice(list(alpha)) + s[i + 1:])  # subst
+    rows = [{"id": i, "s": s} for i, s in enumerate(strs)]
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = {(i, j) for i in range(len(strs)) for j in range(i + 1, len(strs))
+              if lev(strs[i], strs[j]) == 1}
+    assert expect, "planted mutations must produce pairs"
+
+    for nparts in (1, 6):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = fuzzy_join_dist1(ds, "id", "s", num_buckets=16)
+        got = {(r["id_a"], r["id_b"]) for r in out.take_all()}
+        assert got == expect, (nparts, got ^ expect)
