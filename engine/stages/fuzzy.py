@@ -36,19 +36,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .textfeat import byte_view
+
 _R = np.uint64(1099511628211)  # FNV prime as the polynomial base
-
-
-def _byte_view(arr: pa.Array):
-    """(flat bytes, 0-based offsets) of a string array."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_large_string(arr.type):
-        arr = arr.cast(pa.string())
-    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32,
-                         count=len(arr) + 1 + arr.offset)[arr.offset:]
-    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
-    return data[offs[0]:offs[-1]].copy(), (offs - offs[0]).astype(np.int64)
 
 
 def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -57,7 +47,7 @@ def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     Returns (keys, row_idx): for every string j with length L_j, its
     L_j deletion hashes and 1 identity hash, each tagged with j.
     """
-    data, offs = _byte_view(names)
+    data, offs = byte_view(names)
     n = len(offs) - 1
     lens = np.diff(offs)
     total = int(offs[-1])
@@ -74,29 +64,43 @@ def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
             powers[i] = powers[i - 1] * _R
     w_hi = b * powers[pos + 1]  # weight r^(j+1) (char kept at its slot)
     w_lo = b * powers[pos]      # weight r^j (char shifted left by one)
-    # per-string cumulative sums (segment-local, exclusive/inclusive)
-    cum_hi = np.cumsum(w_hi, dtype=np.uint64)
-    cum_lo = np.cumsum(w_lo, dtype=np.uint64)
-    seg_hi0 = np.repeat(cum_hi[offs[:-1]] - w_hi[offs[:-1]], lens)
-    seg_lo_end = np.repeat(cum_lo[offs[1:] - 1], lens)
-    prefix = np.concatenate([np.zeros(1, np.uint64), cum_hi])[
-        pos + np.repeat(offs[:-1], lens)] - seg_hi0  # w_hi sum BEFORE pos
-    suffix = seg_lo_end - cum_lo + w_lo  # sum of w_lo for chars >= pos
-    suffix = suffix - w_lo               # ... strictly AFTER pos
+    # per-string sums via GLOBAL exclusive prefixes (cpre[x] = sum of
+    # w over flat indices < x) — empty strings fall out naturally as
+    # zero-width [offs[i], offs[i+1]) windows
+    cpre_hi = np.concatenate(
+        [np.zeros(1, np.uint64), np.cumsum(w_hi, dtype=np.uint64)])
+    cpre_lo = np.concatenate(
+        [np.zeros(1, np.uint64), np.cumsum(w_lo, dtype=np.uint64)])
+    flat = pos + np.repeat(offs[:-1], lens)
+    prefix = cpre_hi[flat] - np.repeat(cpre_hi[offs[:-1]], lens)
+    suffix = np.repeat(cpre_lo[offs[1:]], lens) - cpre_lo[flat + 1]
     del_keys = prefix + suffix + np.repeat(
         (lens - 1).astype(np.uint64), lens)
-    # identity hash of each full string
-    full = np.zeros(n, dtype=np.uint64)
-    if total:
-        cum = np.cumsum(w_hi, dtype=np.uint64)
-        ends = offs[1:] - 1
-        starts = offs[:-1]
-        full = cum[ends] - (cum[starts] - w_hi[starts])
+    # identity hash of each full string (0 for empty strings)
+    full = cpre_hi[offs[1:]] - cpre_hi[offs[:-1]]
     id_keys = full + lens.astype(np.uint64)
     keys = np.concatenate([del_keys, id_keys])
     rows = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), lens),
                            np.arange(n, dtype=np.int64)])
     return keys, rows
+
+
+def _name_hashes(names: pa.Array) -> np.ndarray:
+    """Identity polynomial hash per string (the _deletion_keys id key)."""
+    data, offs = byte_view(names)
+    lens = np.diff(offs)
+    max_len = int(lens.max()) if len(lens) else 0
+    powers = np.empty(max_len + 2, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, max_len + 2):
+            powers[i] = powers[i - 1] * _R
+    pos = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+        offs[:-1], lens)
+    w = data.astype(np.uint64) * powers[pos + 1]
+    cpre = np.concatenate([np.zeros(1, np.uint64),
+                           np.cumsum(w, dtype=np.uint64)])
+    return cpre[offs[1:]] - cpre[offs[:-1]] + lens.astype(np.uint64)
 
 
 def _pad_matrix(names: list[bytes], width: int) -> np.ndarray:
@@ -145,6 +149,8 @@ def fuzzy_join_dist1(ds, id_col: str, s_col: str, num_buckets: int = 128):
     and distance-0 duplicates). Output: (id_a, id_b) rows.
     """
     def emit(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[s_col]))  # SQL: NULL
+        # strings satisfy no levenshtein predicate, so they never join
         names = batch[s_col]
         if isinstance(names, pa.ChunkedArray):
             names = names.combine_chunks()
@@ -190,6 +196,16 @@ def fuzzy_join_dist1(ds, id_col: str, s_col: str, num_buckets: int = 128):
                              "id_b": pa.array([], pa.int64())})
         ia = np.concatenate(ia_all)
         ib = np.concatenate(ib_all)
+        # cheap pre-filter: identical strings are distance 0, never 1 —
+        # drops the g^2 candidates a heavily-duplicated name generates
+        # before they reach the byte-matrix verifier (run exact dedup
+        # upstream to also bound the offset sweep's group sizes)
+        nh = _name_hashes(names)
+        differ = nh[ia] != nh[ib]
+        ia, ib = ia[differ], ib[differ]
+        if not len(ia):
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
         ok = _verify_pairs(names.take(pa.array(ia)),
                            names.take(pa.array(ib)))
         ia, ib = ia[ok], ib[ok]

@@ -1306,7 +1306,7 @@ def test_fuzzy_join_dist1_brute_force(ray_session):
     alpha = "abc"
     base = ["".join(rng.choice(list(alpha), size=rng.integers(2, 7)))
             for _ in range(60)]
-    strs = list(base)
+    strs = list(base) + ["", "a", "b", "ab"]  # empty/1-char edge cases
     for s in base[:20]:  # planted distance-1 mutations
         i = int(rng.integers(0, len(s)))
         strs.append(s[:i] + s[i + 1:])                       # deletion
