@@ -455,7 +455,11 @@ def fd_violations(ds, det_col: str, dep_col: str, num_buckets: int = 256):
     from ..dsutil import key_bucket
 
     def distinct_pairs(batch: pa.Table) -> pa.Table:
+        # SQL COUNT(DISTINCT dep) excludes NULLs; drop them here so a
+        # det mapping to {X, NULL} is not reported as inconsistent
+        # (null DETS stay: GROUP BY treats NULL as a real group)
         t = (batch.select([det_col, dep_col])
+             .filter(pc.is_valid(batch[dep_col]))
              .group_by([det_col, dep_col]).aggregate([]))
         t = t.rename_columns(["det", "dep"])
         return t.append_column(

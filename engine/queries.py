@@ -544,8 +544,10 @@ def daily_rollup_events(sf_dir: str) -> pa.Table:
         # own pruned read: the stats side needs value, this side doesn't
         uds = _t(sf_dir, "events", ["ts", "user_id"])
         proj = uds.map_batches(
+            # count(DISTINCT user_id) excludes NULLs
             lambda b: pa.table({"event_date": pc.cast(b["ts"], pa.date32()),
-                                "user_id": b["user_id"]}),
+                                "user_id": b["user_id"]}).filter(
+                pc.is_valid(b["user_id"])),
             batch_format="pyarrow")
         pairs = bucketed_groupby(proj, ["event_date", "user_id"],
                                  [("", "count", "c")])

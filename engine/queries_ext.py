@@ -1706,17 +1706,13 @@ def cumulative_new_users_events(sf_dir: str) -> pa.Table:
     def day_counts(batch: pa.Table) -> pa.Table:
         return _vc_partial(batch["day"], "day", "n")
 
-    import collections
-
-    counts: collections.Counter = collections.Counter()
-    for row in first.map_batches(
-            day_counts, batch_format="pyarrow").take_all():
-        counts[row["day"]] += row["n"]
-    days = sorted(counts)
-    new_users = np.array([counts[d] for d in days], dtype=np.int64)
+    parts = _collect(first.map_batches(day_counts, batch_format="pyarrow"))
+    g = (parts.group_by(["day"]).aggregate([("n", "sum")])
+              .rename_columns(["day", "n"]).sort_by("day"))
+    days = g["day"].to_numpy(zero_copy_only=False)
+    new_users = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
     return pa.table({
-        "event_date": pa.array(np.array(days, dtype=np.int32)).cast(
-            pa.date32()),
+        "event_date": pa.array(days.astype(np.int32)).cast(pa.date32()),
         "new_users": pa.array(new_users, pa.int64()),
         "cumulative_users": pa.array(np.cumsum(new_users), pa.int64()),
     })
@@ -1868,9 +1864,7 @@ def rolling_sum_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
     def project(batch: pa.Table) -> pa.Table:
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(batch["value"], 100.0), 0.5)),
-            pa.int64())
+        cents = _cents(batch["value"])
         return pa.table({"event_id": batch["event_id"],
                          "user_id": batch["user_id"],
                          "ts": batch["ts"], "cents": cents})
@@ -1918,9 +1912,8 @@ def winsorize_clip_events(sf_dir: str) -> pa.Table:
         above = pc.greater(batch["value"], hi)
         t = batch.filter(pc.or_(below, above))
         clipped = pc.if_else(pc.less(t["value"], lo), lo, hi)
-        cents = pc.cast(
-            pc.floor(pc.add(pc.multiply(clipped, 100.0), 0.5)), pa.int64())
-        return pa.table({"event_id": t["event_id"], "clipped_cents": cents})
+        return pa.table({"event_id": t["event_id"],
+                         "clipped_cents": _cents(clipped)})
 
     out = ds.map_batches(clip, batch_format="pyarrow")
     return _collect(out).sort_by("event_id")
@@ -2252,6 +2245,16 @@ def revenue_by_nation(sf_dir: str,
     nat = _collect(_t(sf_dir, "nation", ["n_nationkey", "n_name"]))
     nat_keys = nat["n_nationkey"].combine_chunks()
     nat_names = nat["n_name"].combine_chunks()
+    if pc.count_distinct(nat_keys).as_py() != len(nat_keys):
+        # every tier resolves nation via index_in (first match); a
+        # duplicated/null n_nationkey would silently diverge from the
+        # SQL join's fan-out, so refuse loudly (same broadcast-map
+        # contract as doc_embedding_label_stats)
+        raise ValueError("revenue_by_nation: nation keys must be unique "
+                         "and non-null")
+
+    def _pk_unique(tbl: pa.Table, col: str) -> bool:
+        return pc.count_distinct(tbl[col]).as_py() == tbl.num_rows
 
     def finish(keyed):
         out = keyed.groupby("nation").aggregate(
@@ -2259,31 +2262,35 @@ def revenue_by_nation(sf_dir: str,
         return _collect(out).sort_by("nation").select(
             ["nation", "revenue_c100"])
 
-    if orders.count() <= mb:
+    if orders.count() <= mb and cust.count() <= mb:
         # normal case: the whole orderkey->nation chain composes into
         # one broadcast lookup table, so the fact table maps straight to
         # nation and pre-aggregates per batch — ONE corpus pass, one
         # nation-cardinality shuffle, no orderkey groupby at all
         omap = _collect(orders)
         cmap = _collect(cust)
-        nname_per_cust = pc.take(nat_names, pc.index_in(
-            cmap["c_nationkey"].combine_chunks(), nat_keys))
-        nname_per_order = pc.take(nname_per_cust, pc.index_in(
-            omap["o_custkey"].combine_chunks(),
-            cmap["c_custkey"].combine_chunks()))
-        dim_ref = ray.put((omap["o_orderkey"].combine_chunks(),
-                           nname_per_order))
+        if _pk_unique(omap, "o_orderkey") and _pk_unique(cmap, "c_custkey"):
+            nname_per_cust = pc.take(nat_names, pc.index_in(
+                cmap["c_nationkey"].combine_chunks(), nat_keys))
+            nname_per_order = pc.take(nname_per_cust, pc.index_in(
+                omap["o_custkey"].combine_chunks(),
+                cmap["c_custkey"].combine_chunks()))
+            dim_ref = ray.put((omap["o_orderkey"].combine_chunks(),
+                               nname_per_order))
 
-        def to_nation(batch: pa.Table) -> pa.Table:
-            keys, names = ray.get(dim_ref)
-            idx = pc.index_in(batch["l_orderkey"], keys)
-            t = pa.table({"nation": pc.take(names, idx),
-                          "rev": _rev(batch)})
-            t = t.filter(pc.is_valid(t["nation"]))  # inner-join drop
-            g = t.group_by(["nation"]).aggregate([("rev", "sum")])
-            return g.rename_columns(["nation", "rev"])
+            def to_nation(batch: pa.Table) -> pa.Table:
+                keys, names = ray.get(dim_ref)
+                idx = pc.index_in(batch["l_orderkey"], keys)
+                t = pa.table({"nation": pc.take(names, idx),
+                              "rev": _rev(batch)})
+                t = t.filter(pc.is_valid(t["nation"]))  # inner-join drop
+                g = t.group_by(["nation"]).aggregate([("rev", "sum")])
+                return g.rename_columns(["nation", "rev"])
 
-        return finish(li.map_batches(to_nation, batch_format="pyarrow"))
+            return finish(li.map_batches(to_nation,
+                                         batch_format="pyarrow"))
+        # duplicated/null dim keys: index_in takes the FIRST match
+        # where the SQL join fans out — use the real joins below
 
     # orders outgrew the guard: pre-aggregate revenue per order inside
     # map_batches, then ONE order-cardinality distributed join
@@ -2302,19 +2309,21 @@ def revenue_by_nation(sf_dir: str,
 
     if cust.count() <= mb:
         cmap = _collect(cust)
-        nname_per_cust = pc.take(nat_names, pc.index_in(
-            cmap["c_nationkey"].combine_chunks(), nat_keys))
-        dim_ref = ray.put((cmap["c_custkey"].combine_chunks(),
-                           nname_per_cust))
+        if _pk_unique(cmap, "c_custkey"):
+            nname_per_cust = pc.take(nat_names, pc.index_in(
+                cmap["c_nationkey"].combine_chunks(), nat_keys))
+            dim_ref = ray.put((cmap["c_custkey"].combine_chunks(),
+                               nname_per_cust))
 
-        def cust_to_nation(batch: pa.Table) -> pa.Table:
-            keys, names = ray.get(dim_ref)
-            idx = pc.index_in(batch["o_custkey"], keys)
-            t = pa.table({"nation": pc.take(names, idx),
-                          "rev": batch["rev"]})
-            return t.filter(pc.is_valid(t["nation"]))
+            def cust_to_nation(batch: pa.Table) -> pa.Table:
+                keys, names = ray.get(dim_ref)
+                idx = pc.index_in(batch["o_custkey"], keys)
+                t = pa.table({"nation": pc.take(names, idx),
+                              "rev": batch["rev"]})
+                return t.filter(pc.is_valid(t["nation"]))
 
-        return finish(j.map_batches(cust_to_nation, batch_format="pyarrow"))
+            return finish(j.map_batches(cust_to_nation,
+                                        batch_format="pyarrow"))
 
     # customer also outgrew the guard: second distributed join; the
     # nation dim (countries) is always broadcastable
@@ -2440,8 +2449,11 @@ def users_per_event_type(sf_dir: str) -> pa.Table:
                .aggregate(Sum("c", alias_name="c")))
 
     def type_partial(batch: pa.Table) -> pa.Table:
+        # a NULL user is a real (type, NULL) pair for the event count
+        # (count(*)) but contributes 0 to count(DISTINCT user_id)
         t = pa.table({"event_type": batch["event_type"],
-                      "u": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+                      "u": pc.cast(pc.is_valid(batch["user_id"]),
+                                   pa.int64()),
                       "c": batch["c"]})
         g = t.group_by(["event_type"]).aggregate([("u", "sum"), ("c", "sum")])
         return g.rename_columns(["event_type", "n_users", "n_events"])
@@ -2825,6 +2837,8 @@ def daily_active_users_events(sf_dir: str) -> pa.Table:
         ts = _ts_us(batch["ts"])
         t = pa.table({"event_date": ts.cast(pa.date32()),
                       "user_id": batch["user_id"]})
+        # count(DISTINCT user_id) excludes NULLs
+        t = t.filter(pc.is_valid(t["user_id"]))
         g = t.group_by(["event_date", "user_id"]).aggregate(
             [([], "count_all")])
         return g.select(["event_date", "user_id"])
@@ -2868,6 +2882,8 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
         ts = _ts_us(batch["ts"])
         days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
         t = pa.table({"d": days, "user_id": batch["user_id"]})
+        # SQL's self-join on user_id never matches NULL = NULL
+        t = t.filter(pc.is_valid(t["user_id"]))
         g = t.group_by(["d", "user_id"]).aggregate([([], "count_all")])
         return g.select(["d", "user_id"])
 

@@ -117,8 +117,13 @@ def asof_join(
             # right rows (side=0) tie-sorted ascending by value: the
             # positional running max picks the LAST right row at equal
             # (key, ts) = the max value; left rows all sort after them
-            # at the same ts, so their rval order is irrelevant
-            sort_keys.append(("rval", "ascending"))
+            # at the same ts, so their rval order is irrelevant. A
+            # validity key sorts NULL rvals FIRST so a null in a tied
+            # group never shadows the max (SQL max() ignores nulls;
+            # all-null groups still resolve to null)
+            g = g.append_column(
+                "_rvalid", pc.cast(pc.is_valid(g["rval"]), pa.int8()))
+            sort_keys += [("_rvalid", "ascending"), ("rval", "ascending")]
         idx = pc.sort_indices(g, sort_keys=sort_keys)
         g = g.take(idx)
         n = g.num_rows

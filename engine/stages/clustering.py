@@ -94,7 +94,7 @@ def kmeans_fit(ds, vec_col: str, id_col: str, k: int = 8,
     centroids = np.asarray([r["_v"] for r in rows[:k]], dtype=np.float64)
     d = centroids.shape[1]
 
-    def stats_pass(cents: np.ndarray):
+    def stats_pass(cents: np.ndarray, with_inertia: bool = False):
         def partial(batch: pa.Table) -> pa.Table:
             x = _to_matrix(batch, vec_col)
             a, dist = _assign(x, cents)
@@ -103,8 +103,11 @@ def kmeans_fit(ds, vec_col: str, id_col: str, k: int = 8,
             np.add.at(sums, a, xi)
             cnt = np.bincount(a, minlength=k).astype(np.int64)
             inertia = np.zeros(k, dtype=np.int64)
-            np.add.at(inertia, a,
-                      np.floor(dist * 1e6 + 0.5).astype(np.int64))
+            if with_inertia:  # only the final pass reports it; the
+                # Lloyd iterations discard inertia, so skip the
+                # full-corpus floor/scatter there
+                np.add.at(inertia, a,
+                          np.floor(dist * 1e6 + 0.5).astype(np.int64))
             return pa.table({
                 "cluster": pa.array(np.arange(k), pa.int64()),
                 "cnt": pa.array(cnt, pa.int64()),
@@ -128,7 +131,7 @@ def kmeans_fit(ds, vec_col: str, id_col: str, k: int = 8,
         centroids = centroids.copy()
         centroids[nz] = sums[nz] / (_SCALE * cnt[nz, None])
 
-    cnt, inertia, _ = stats_pass(centroids)
+    cnt, inertia, _ = stats_pass(centroids, with_inertia=True)
     return {"centroids": centroids, "counts": cnt,
             "inertia_scaled": inertia}
 

@@ -41,22 +41,23 @@ from .textfeat import byte_view
 _R = np.uint64(1099511628211)  # FNV prime as the polynomial base
 
 
-def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-    """All deletion-variant hashes + identity hashes for a batch.
+def _hash_prefixes(names: pa.Array):
+    """Shared polynomial-hash kernel: per-flat-byte weighted prefix sums.
 
-    Returns (keys, row_idx): for every string j with length L_j, its
-    L_j deletion hashes and 1 identity hash, each tagged with j.
+    Returns (offs, lens, pos, cpre_hi, cpre_lo): ``cpre_hi[x]`` is the
+    exclusive prefix sum of ``byte * r^(pos+1)`` (the "kept at its
+    slot" weighting that defines the identity hash), ``cpre_lo`` the
+    same with ``r^pos`` (char shifted left by a deletion). Both
+    _deletion_keys and _name_hashes derive from THIS kernel, so the
+    distance-0 pre-filter's hash is bit-identical to the join key's by
+    construction.
     """
     data, offs = byte_view(names)
-    n = len(offs) - 1
     lens = np.diff(offs)
     total = int(offs[-1])
-    # position within each string
     pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], lens)
     b = data.astype(np.uint64)
-    # powers of r per flat position: r^(pos+1) for the "kept before the
-    # deletion" weighting, r^pos for "shifted after the deletion"
-    max_len = int(lens.max()) if n else 0
+    max_len = int(lens.max()) if len(lens) else 0
     powers = np.empty(max_len + 2, dtype=np.uint64)
     powers[0] = np.uint64(1)
     with np.errstate(over="ignore"):  # uint64 wrap IS the mod-2^64 math
@@ -64,13 +65,23 @@ def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
             powers[i] = powers[i - 1] * _R
     w_hi = b * powers[pos + 1]  # weight r^(j+1) (char kept at its slot)
     w_lo = b * powers[pos]      # weight r^j (char shifted left by one)
-    # per-string sums via GLOBAL exclusive prefixes (cpre[x] = sum of
-    # w over flat indices < x) — empty strings fall out naturally as
-    # zero-width [offs[i], offs[i+1]) windows
+    # GLOBAL exclusive prefixes (cpre[x] = sum of w over flat indices
+    # < x) — empty strings fall out naturally as zero-width windows
     cpre_hi = np.concatenate(
         [np.zeros(1, np.uint64), np.cumsum(w_hi, dtype=np.uint64)])
     cpre_lo = np.concatenate(
         [np.zeros(1, np.uint64), np.cumsum(w_lo, dtype=np.uint64)])
+    return offs, lens, pos, cpre_hi, cpre_lo
+
+
+def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """All deletion-variant hashes + identity hashes for a batch.
+
+    Returns (keys, row_idx): for every string j with length L_j, its
+    L_j deletion hashes and 1 identity hash, each tagged with j.
+    """
+    offs, lens, pos, cpre_hi, cpre_lo = _hash_prefixes(names)
+    n = len(offs) - 1
     flat = pos + np.repeat(offs[:-1], lens)
     prefix = cpre_hi[flat] - np.repeat(cpre_hi[offs[:-1]], lens)
     suffix = np.repeat(cpre_lo[offs[1:]], lens) - cpre_lo[flat + 1]
@@ -87,20 +98,8 @@ def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
 
 def _name_hashes(names: pa.Array) -> np.ndarray:
     """Identity polynomial hash per string (the _deletion_keys id key)."""
-    data, offs = byte_view(names)
-    lens = np.diff(offs)
-    max_len = int(lens.max()) if len(lens) else 0
-    powers = np.empty(max_len + 2, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    with np.errstate(over="ignore"):
-        for i in range(1, max_len + 2):
-            powers[i] = powers[i - 1] * _R
-    pos = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
-        offs[:-1], lens)
-    w = data.astype(np.uint64) * powers[pos + 1]
-    cpre = np.concatenate([np.zeros(1, np.uint64),
-                           np.cumsum(w, dtype=np.uint64)])
-    return cpre[offs[1:]] - cpre[offs[:-1]] + lens.astype(np.uint64)
+    offs, lens, _, cpre_hi, _ = _hash_prefixes(names)
+    return cpre_hi[offs[1:]] - cpre_hi[offs[:-1]] + lens.astype(np.uint64)
 
 
 def _pad_matrix(names: list[bytes], width: int) -> np.ndarray:

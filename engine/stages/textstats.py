@@ -352,9 +352,6 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
                                 drop_empty=True).materialize()
     n_vocab = df_ds.count()
 
-    tf = ds.map_batches(
-        lambda b: _tf_partial(b, text_col, id_col), batch_format="pyarrow")
-
     if n_vocab <= max_broadcast:
         vocab = pa.concat_tables(
             [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
@@ -362,15 +359,23 @@ def tfidf_top_terms(ds, text_col: str = "text", id_col: str = "doc_id",
         ref = ray.put(vocab)
 
         def score_top(batch: pa.Table) -> pa.Table:
+            # tf + join + top-1 fused in ONE UDF over raw document
+            # batches: a doc's tf rows never cross a stage boundary,
+            # so Ray's re-batching/block-slicing between map stages
+            # can't split a doc and emit two half-doc "top" rows
+            tfb = _tf_partial(batch, text_col, id_col)
             v = ray.get(ref)  # zero-copy from the local object store
-            j = batch.join(v, keys="term")
+            j = tfb.join(v, keys="term")
             score = pc.divide(pc.multiply(j["tf"], 1_000_000), j["df"])
             j = j.append_column("score", pc.cast(score, pa.int64()))
             top = _top1_per_doc(j, id_col)
             return pa.table({id_col: top[id_col], "top_term": top["term"],
                              "score": top["score"]})
 
-        return tf.map_batches(score_top, batch_format="pyarrow")
+        return ds.map_batches(score_top, batch_format="pyarrow")
+
+    tf = ds.map_batches(
+        lambda b: _tf_partial(b, text_col, id_col), batch_format="pyarrow")
 
     nparts = join_partitions()
     j = compact(tf, nparts).join(

@@ -703,6 +703,9 @@ def test_fd_violations_planted(ray_session):
         + [{"k": 3, "v": "x"}, {"k": 3, "v": "y"},
            {"k": 3, "v": "z"}, {"k": 3, "v": "x"}]    # 3 deps
         + [{"k": 4, "v": "q"}]                        # consistent
+        + [{"k": 5, "v": None}, {"k": 5, "v": "a"}]   # NULL dep ignored
+        + [{"k": 6, "v": None}, {"k": 6, "v": "a"},
+           {"k": 6, "v": "b"}]                        # 2 deps + NULL
     )
 
     def run(nparts):
@@ -710,7 +713,8 @@ def test_fd_violations_planted(ray_session):
         out = fd_violations(ds, "k", "v", num_buckets=8)
         return sorted((r["det"], r["n_dep"]) for r in out.take_all())
 
-    expect = [(2, 2), (3, 3)]
+    # count(DISTINCT dep) excludes NULLs: k=5 stays consistent, k=6 is 2
+    expect = [(2, 2), (3, 3), (6, 2)]
     assert run(1) == expect
     # cross-batch: the same (det, dep) pair lands in several batches —
     # per-bucket re-distinct must collapse them
@@ -731,6 +735,8 @@ def test_asof_join_right_ties_max_value(ray_session):
         {"k": 1, "ts": 50, "id": 11},
         {"k": 2, "ts": 100, "id": 20},
         {"k": 3, "ts": 10, "id": 30},   # no right row at/below -> null
+        {"k": 4, "ts": 100, "id": 40},
+        {"k": 5, "ts": 100, "id": 50},
     ]).map_batches(lambda b: pa.table({
         "k": b["k"], "ts": pa.array(b["ts"].to_numpy(False),
                                     pa.timestamp("us")).cast(pa.timestamp("us")),
@@ -740,6 +746,10 @@ def test_asof_join_right_ties_max_value(ray_session):
         {"k": 1, "ts": 40, "v": 3}, {"k": 1, "ts": 40, "v": 1},    # earlier tie
         {"k": 2, "ts": 90, "v": 5}, {"k": 2, "ts": 90, "v": 6},
         {"k": 3, "ts": 500, "v": 8},                               # after left
+        # null among the tied values: max() ignores it (must not shadow 4)
+        {"k": 4, "ts": 100, "v": 4}, {"k": 4, "ts": 100, "v": None},
+        # ALL tied values null: max() of nulls is null
+        {"k": 5, "ts": 100, "v": None}, {"k": 5, "ts": 100, "v": None},
     ]
     right = rd.from_items(right_rows).map_batches(lambda b: pa.table({
         "k": b["k"], "ts": pa.array(b["ts"].to_numpy(False),
@@ -751,7 +761,7 @@ def test_asof_join_right_ties_max_value(ray_session):
                     left_id_type=pa.int64(), right_value_type=pa.int64(),
                     right_ties="max_value", num_buckets=4)
     got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
-    assert got == {10: 9, 11: 3, 20: 6, 30: None}
+    assert got == {10: 9, 11: 3, 20: 6, 30: None, 40: 4, 50: None}
 
 
 def test_rolling_window_sum_planted(ray_session):
@@ -1272,6 +1282,54 @@ def test_customers_without_orders_planted(ray_session, tmp_path):
     assert out["c_custkey"].to_pylist() == [2 * i + 1 for i in range(20)]
     assert out["c_mktsegment"].to_pylist() == [
         f"seg{(2 * i + 1) % 3}" for i in range(20)]
+
+
+def test_distinct_user_queries_null_users(ray_session, tmp_path):
+    """SQL COUNT(DISTINCT user_id) excludes NULLs and `=` never matches
+    NULL: plant null users across days and hold every user-distinct
+    query to its DuckDB oracle (the shipped testdata has no nulls, so
+    only this test exercises the divergence)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    rng = np.random.default_rng(7)
+    n = 600
+    day = 86_400_000_000
+    user = rng.integers(0, 40, n)
+    uid = pa.array([None if i % 9 == 0 else int(user[i]) for i in range(n)],
+                   pa.int64())  # ~11% null users, nulls on every day
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + int(rng.integers(0, 5)) * day
+                        + i * 1_000_000 for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": uid,
+        "event_type": pa.array([["view", "click", "purchase", "signup"][i % 4]
+                                for i in range(n)]),
+        "value": pa.array(rng.uniform(0, 100, n)),
+        "props": pa.array(['{"k": 1}'] * n),
+    })
+    d = tmp_path / "sfN"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
+                    d / f"{t}.parquet")
+    pq.write_table(events, d / "events.parquet", row_group_size=100)
+
+    con = duckdb_con(str(d))
+    for q in ["users_per_event_type", "daily_active_users_events",
+              "retention_next_day_events", "daily_rollup_events",
+              "cumulative_new_users_events"]:
+        problems = compare(QUERIES[q](str(d)),
+                           con.execute(ORACLE_SQL[q]).fetchdf())
+        assert not problems, (q, problems)
 
 
 def test_exact_quantiles_cont(ray_session):
