@@ -48,6 +48,7 @@ def entry() -> Any:
 # driver rows, and all oracle-SQL queries are additionally checked against
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    "ntile_deciles_events",
     "heavy_hitters_event_types",
     "weekly_rollup_events",
     "share_of_total_events_by_type",
@@ -81,7 +82,6 @@ _SWEEP_FIRST = (
     "tumbling_window_events",
     "session_window_events",
     "pricing_summary_lineitem",
-    "top_sources_documents",
     "value_percentiles_events",
     "hierarchy_cycle_supplier",
     "validation_summary_chain",
@@ -99,8 +99,9 @@ _SWEEP_FIRST = (
     "capped_sample_per_source",
     "grouped_percentiles_docs_by_lang",
     # entries past this line spill beyond a 50-query driver sweep
-    # window. First late-round oracle-SQL additions and two
-    # near-variant checks whose siblings are already driver-certified
+    # window. First late-round oracle-SQL additions and near-variant
+    # checks whose siblings are already driver-certified
+    "top_sources_documents",
     # (their DuckDB oracles still run every pytest sweep), then the
     # rows-only sketch/ANN/multimodal queries (weaker rows-only driver
     # evidence anyway; each parity/property-tested in the suite)

@@ -3440,3 +3440,52 @@ def fuzzy_name_pairs_customer(sf_dir: str) -> pa.Table:
         return pa.table({"id_a": pa.array([], pa.int64()),
                          "id_b": pa.array([], pa.int64())})
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# ===========================================================================
+# Global NTILE (positional window bucketing without a distributed sort)
+# ===========================================================================
+
+@query(
+    "ntile_deciles_events",
+    """
+    WITH r AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             NTILE(10) OVER (ORDER BY value, event_id) AS decile
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT decile, count(*) AS n,
+           min(cents) AS min_cents, max(cents) AS max_cents,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY decile ORDER BY decile
+    """,
+)
+def ntile_deciles_events(sf_dir: str) -> pa.Table:
+    """Global decile assignment — NTILE(10) OVER (ORDER BY value,
+    event_id) — via stages/selection.ntile_assign: boundary rows from
+    histogram-guided exact selection + one tie-accounting pass + a
+    broadcast assign, ZERO shuffle and no distributed sort (NTILE is
+    rank-positional, so with the unique id tie-break the 9 boundary
+    rows determine every row's bucket). Emitted as per-decile count /
+    min / max / sum in integer cents."""
+    from .stages.selection import ntile_assign
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+    tiled = ntile_assign(ds, "value", "event_id", 10)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"decile": batch["tile"],
+                      "cents": _cents(batch["value"])})
+        g = t.group_by(["decile"]).aggregate(
+            [([], "count_all"), ("cents", "min"),
+             ("cents", "max"), ("cents", "sum")])
+        return g.rename_columns(
+            ["decile", "n", "min_cents", "max_cents", "sum_cents"])
+
+    parts = _collect(tiled.map_batches(partial, batch_format="pyarrow"))
+    g = parts.group_by(["decile"]).aggregate(
+        [("n", "sum"), ("min_cents", "min"),
+         ("max_cents", "max"), ("sum_cents", "sum")])
+    g = g.rename_columns(
+        ["decile", "n", "min_cents", "max_cents", "sum_cents"])
+    return g.sort_by("decile")

@@ -184,3 +184,145 @@ def exact_quantiles_cont(ds, col: str, qs: list[float],
         hi = got[min(k + 2, n)]
         out.append(lo + (hi - lo) * (i - k))
     return out
+
+
+def ntile_assign(ds, col: str, id_col: str, n_tiles: int,
+                 num_bins: int = 4096, collect_cap: int = 4_000_000,
+                 max_tie_rows: int = 2_000_000):
+    """Global NTILE over ``ORDER BY (col, id_col)`` — the positional
+    bucketing window function, WITHOUT a distributed sort.
+
+    SQL's NTILE is rank-positional (first ``n % n_tiles`` buckets get
+    one extra row), so with a unique ``id_col`` tie-break the total
+    order is unambiguous and the bucket of a row is decided entirely by
+    the ``n_tiles - 1`` BOUNDARY rows. Scale shape:
+
+    1. boundary VALUES via `_exact_ranks` (histogram-guided selection —
+       cheap scans, zero shuffle; the value at composite rank k equals
+       the value at value-only rank k);
+    2. ONE pass computing, per distinct boundary value, the exact count
+       of rows strictly below it AND the id list of its tie group
+       (expected tiny for continuous data; guarded by
+       ``max_tie_rows`` — a column with corpus-sized duplicate mass
+       needs a genuine tie-group shuffle and raises instead of
+       silently materializing it);
+    3. the ``(value, id)`` composite boundaries broadcast to a final
+       assign pass: tile = 1 + #boundaries strictly below the row
+       (n_tiles - 1 vectorized comparisons per batch).
+
+    Returns a Dataset = non-null-``col`` rows of ``ds`` plus an int64
+    ``tile`` column in [1, n_tiles].
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    if n_tiles < 1:
+        raise ValueError("n_tiles must be >= 1")
+
+    def non_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch[col]))
+
+    rows = ds.map_batches(non_null, batch_format="pyarrow")
+    proj = _project_non_null(ds, col)
+    n = proj.aggregate(Count(col, alias_name="n"))["n"]
+    if n == 0:
+        raise ValueError(f"ntile_assign: no non-null {col!r} values")
+    if n_tiles == 1:
+        return rows.map_batches(
+            lambda b: b.append_column(
+                "tile", pa.array(np.ones(b.num_rows, np.int64))),
+            batch_format="pyarrow")
+
+    q, r = divmod(n, n_tiles)
+    sizes = np.full(n_tiles, q, dtype=np.int64)
+    sizes[:r] += 1
+    bounds = np.cumsum(sizes)[:-1]  # 1-based rank of each bucket's LAST row
+    bounds = bounds[bounds >= 1]    # n < n_tiles: trailing empty buckets
+    ranks = sorted({int(k) for k in bounds})
+    got = _exact_ranks(proj, col, ranks, num_bins, collect_cap, 0)
+    bvals = sorted({got[k] for k in ranks})
+    bidx = {v: i for i, v in enumerate(bvals)}
+
+    # one pass: per boundary value, #rows strictly below + tie-group ids
+    def tie_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False)
+        out_i, out_c, out_id = [], [], []
+        for bv in bvals:
+            j = bidx[bv]
+            out_i.append(j)
+            out_c.append(int((x < bv).sum()))
+            out_id.append(-1)
+            tie_ids = iv[x == bv]
+            if len(tie_ids) > max_tie_rows:
+                raise ValueError(
+                    "ntile_assign: a boundary tie group exceeds "
+                    f"max_tie_rows={max_tie_rows}; the order column has "
+                    "corpus-scale duplicate mass — pre-aggregate or use "
+                    "a composite order column")
+            out_i.extend([j] * len(tie_ids))
+            out_c.extend([-1] * len(tie_ids))
+            out_id.extend(tie_ids.tolist())
+        return pa.table({"j": pa.array(out_i, pa.int64()),
+                         "c": pa.array(out_c, pa.int64()),
+                         "tid": pa.array(out_id, pa.int64())})
+
+    # ONE consumption of the tiny partials (|bvals| x blocks + tie rows),
+    # zero-copy to the driver, then pure-numpy accounting
+    tabs = ray.get(
+        rows.map_batches(tie_partial, batch_format="pyarrow")
+            .materialize().to_arrow_refs())
+    t = pa.concat_tables([x for x in tabs if x.num_rows]).combine_chunks()
+    j_arr = t["j"].to_numpy(zero_copy_only=False)
+    c_arr = t["c"].to_numpy(zero_copy_only=False)
+    tid_arr = t["tid"].to_numpy(zero_copy_only=False)
+    is_cnt = c_arr >= 0
+    lt = np.zeros(len(bvals), np.int64)
+    np.add.at(lt, j_arr[is_cnt], c_arr[is_cnt])
+    tie_j, tie_id = j_arr[~is_cnt], tid_arr[~is_cnt]
+    if len(tie_j) > max_tie_rows:
+        raise ValueError("ntile_assign: total boundary tie rows "
+                         f"exceed max_tie_rows={max_tie_rows}")
+    order = np.lexsort((tie_id, tie_j))
+    tie_j, tie_id = tie_j[order], tie_id[order]
+    tie_start = np.searchsorted(tie_j, np.arange(len(bvals)))
+    tie_end = np.searchsorted(tie_j, np.arange(len(bvals)), side="right")
+
+    # composite boundary (value, id) per bucket edge
+    b_val = np.empty(len(bounds), np.float64)
+    b_id = np.empty(len(bounds), np.int64)
+    for i, k in enumerate(bounds):
+        bv = got[int(k)]
+        j = bidx[bv]
+        off = int(k) - int(lt[j])  # 1-based rank within the tie group
+        n_tie_j = int(tie_end[j] - tie_start[j])
+        if not 1 <= off <= n_tie_j:
+            raise RuntimeError("ntile_assign: internal rank accounting "
+                               f"error at boundary {k}")
+        b_val[i] = bv
+        b_id[i] = tie_id[tie_start[j] + off - 1]
+    bref = ray.put((b_val, b_id))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        bv, bi = ray.get(bref)
+        v = batch[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False)
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        iv = ids.to_numpy(zero_copy_only=False)
+        tile = np.ones(len(x), np.int64)
+        for i in range(len(bv)):  # n_tiles - 1 vectorized comparisons
+            above = (x > bv[i]) | ((x == bv[i]) & (iv > bi[i]))
+            tile += above
+        return batch.append_column("tile", pa.array(tile, pa.int64()))
+
+    return rows.map_batches(assign, batch_format="pyarrow")

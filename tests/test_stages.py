@@ -1393,3 +1393,35 @@ def test_fuzzy_join_dist1_brute_force(ray_session):
         out = fuzzy_join_dist1(ds, "id", "s", num_buckets=16)
         got = {(r["id_a"], r["id_b"]) for r in out.take_all()}
         assert got == expect, (nparts, got ^ expect)
+
+
+def test_ntile_assign_brute_force(ray_session):
+    """NTILE via boundary selection == positional bucketing of the
+    sorted (value, id) order — heavy duplicate ties across boundaries,
+    nulls excluded, n not divisible by n_tiles, partition-invariant."""
+    import ray.data as rd
+
+    from engine.stages.selection import ntile_assign
+
+    rng = np.random.default_rng(11)
+    n = 437
+    vals = np.round(rng.uniform(0, 10, n), 0)  # ~44 rows per distinct value
+    rows = [{"id": int(i), "v": (None if i % 13 == 0 else float(vals[i]))}
+            for i in range(n)]
+    live = [(r["v"], r["id"]) for r in rows if r["v"] is not None]
+    live.sort()
+    m, tiles = len(live), 10
+    q, r = divmod(m, tiles)
+    expect = {}
+    pos = 0
+    for t in range(tiles):
+        size = q + (1 if t < r else 0)
+        for _, i in live[pos:pos + size]:
+            expect[i] = t + 1
+        pos += size
+
+    for nparts in (1, 7, 32):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = ntile_assign(ds, "v", "id", tiles)
+        got = {rec["id"]: rec["tile"] for rec in out.take_all()}
+        assert got == expect, nparts
