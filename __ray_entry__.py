@@ -49,6 +49,7 @@ def entry() -> Any:
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
     "ntile_deciles_events",
+    "fuzzy_name_clusters_customer",
     "heavy_hitters_event_types",
     "weekly_rollup_events",
     "share_of_total_events_by_type",
@@ -72,7 +73,6 @@ _SWEEP_FIRST = (
     "rollup_events_grouping_sets",
     "range_window_sum_events",
     "rolling_sum_events",
-    "winsorize_clip_events",
     "tfidf_top_term_documents",
     "chunk_documents_tokens",
     "pivot_events_by_type",
@@ -102,6 +102,7 @@ _SWEEP_FIRST = (
     # window. First late-round oracle-SQL additions and near-variant
     # checks whose siblings are already driver-certified
     "top_sources_documents",
+    "winsorize_clip_events",
     # (their DuckDB oracles still run every pytest sweep), then the
     # rows-only sketch/ANN/multimodal queries (weaker rows-only driver
     # evidence anyway; each parity/property-tested in the suite)
@@ -117,6 +118,7 @@ _SWEEP_FIRST = (
     "kmeans_embeddings_clusters",
     "semdedup_embeddings",
     "ivf_knn_embeddings",
+    "pq_knn_embeddings",
     "approx_distinct_orderkeys",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",

@@ -3489,3 +3489,68 @@ def ntile_deciles_events(sf_dir: str) -> pa.Table:
     g = g.rename_columns(
         ["decile", "n", "min_cents", "max_cents", "sum_cents"])
     return g.sort_by("decile")
+
+
+@query(
+    "fuzzy_name_clusters_customer",
+    """
+    WITH RECURSIVE e AS (
+      SELECT a.c_custkey AS u, b.c_custkey AS v
+      FROM customer a JOIN customer b
+        ON a.c_custkey <> b.c_custkey
+       AND levenshtein(a.c_name, b.c_name) = 1
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM e
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+    )
+    SELECT u AS c_custkey, least(u, min(v)) AS cluster_label
+    FROM reach GROUP BY u ORDER BY c_custkey
+    """,
+)
+def fuzzy_name_clusters_customer(sf_dir: str) -> pa.Table:
+    """Connected components over the edit-distance-1 name graph: the
+    FastSS fuzzy self-join's edges fed through the SAME distributed
+    min-label propagation (stages/neardup.propagate_min_labels —
+    join+groupby-Min with pointer jumping, size-guarded local fast
+    path) that clusters MinHash near-dups — certified here against a
+    recursive-CTE transitive-closure oracle instead of rows-only
+    evidence. Output: every customer incident to an edge, labelled by
+    its component's minimum custkey."""
+    from .stages.fuzzy import fuzzy_join_dist1
+    from .stages.neardup import propagate_min_labels
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    edges = fuzzy_join_dist1(ds, "c_custkey", "c_name").map_batches(
+        lambda b: pa.table({"key_a": b["id_a"], "key_b": b["id_b"]}),
+        batch_format="pyarrow")
+    labels = propagate_min_labels(edges)
+    t = _collect(labels)
+    if t.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "cluster_label": pa.array([], pa.int64())})
+    return pa.table({
+        "c_custkey": t["key"], "cluster_label": t["label"],
+    }).sort_by("c_custkey")
+
+
+@query("pq_knn_embeddings")
+def pq_knn_embeddings(sf_dir: str) -> pa.Table:
+    """ANN top-10 via product quantization (stages/pq.py): codebooks fit
+    on a bounded sample, per-batch encode + asymmetric-distance (LUT)
+    scoring, driver merges partial top-k. The compressed-domain scale
+    path — 64 floats collapse to 8 bytes of codes; recall/parity/
+    determinism asserted in tests. ADC distance emitted as x1e6 int."""
+    from .stages.pq import pq_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = np.asarray(
+        ds.filter(expr="vec_id == 0").take_all()[0]["embedding"])
+    out = pq_topk(ds, qvec.reshape(1, -1), k=10, m=8, ks=16)
+    adc = pc.multiply(pc.negate(out["sim"]), 1_000_000.0)
+    return pa.table({
+        "rank": out["rank"],
+        "vec_id": out["key"],
+        "adc_x1e6": pc.cast(pc.floor(pc.add(adc, 0.5)), pa.int64()),
+    })

