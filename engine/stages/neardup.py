@@ -343,7 +343,14 @@ def minhash_lsh_edges(
         return _add_coarse_bucket(
             lsh_band_rows(keys, sigs, bands), num_coarse_buckets)
 
-    band_rows = ds.map_batches(sig_batch, batch_format="pyarrow")
+    # materialize the band rows BEFORE the groupby: its sort shuffle
+    # holds the full input at the barrier either way (all-to-all), but
+    # feeding it the lazy signature pipeline measured 86.5 s vs 48.6 s
+    # split at 600k docs (Ray 2.49 re-derives lazy inputs around the
+    # sort's sampling); band rows are metadata-thin (key + band ids +
+    # one signature slice per row), never the corpus text
+    band_rows = ds.map_batches(sig_batch,
+                               batch_format="pyarrow").materialize()
     return band_rows.groupby("_cb").map_groups(
         lambda g: _coarse_verify(g.drop_columns(["_cb"]), num_perm,
                                  jaccard_threshold, pair_limit_per_bucket),
