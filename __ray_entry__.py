@@ -49,10 +49,11 @@ def entry() -> Any:
 # DuckDB every test run in tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
     "ntile_deciles_events",
+    "value_drift_halves_events",
+    "rolling_7day_users_events",
     "fuzzy_name_clusters_customer",
     "heavy_hitters_event_types",
     "weekly_rollup_events",
-    "share_of_total_events_by_type",
     "doc_embedding_label_stats",
     "mode_event_type_per_user",
     "balance_langs_documents",
@@ -64,7 +65,6 @@ _SWEEP_FIRST = (
     "df_stopword_scrub_documents",
     "json_props_rollup_events",
     "outlier_mad_events",
-    "histogram_events_value",
     "revenue_by_nation",
     "corr_lineitem_qty_price",
     "users_per_event_type",
@@ -103,6 +103,10 @@ _SWEEP_FIRST = (
     # checks whose siblings are already driver-certified
     "top_sources_documents",
     "winsorize_clip_events",
+    "asof_forward_events_orders",
+    "weighted_sample_documents",
+    "histogram_events_value",
+    "share_of_total_events_by_type",
     # (their DuckDB oracles still run every pytest sweep), then the
     # rows-only sketch/ANN/multimodal queries (weaker rows-only driver
     # evidence anyway; each parity/property-tested in the suite)

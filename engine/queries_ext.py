@@ -3554,3 +3554,238 @@ def pq_knn_embeddings(sf_dir: str) -> pa.Table:
         "vec_id": out["key"],
         "adc_x1e6": pc.cast(pc.floor(pc.add(adc, 0.5)), pa.int64()),
     })
+
+
+@query(
+    "asof_forward_events_orders",
+    """
+    WITH o AS (SELECT o_custkey, o_orderdate,
+                      max(o_orderkey) AS o_orderkey
+               FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, o.o_orderkey AS next_orderkey
+    FROM events e ASOF LEFT JOIN o
+      ON e.user_id = o.o_custkey
+     AND e.ts <= CAST(o.o_orderdate AS TIMESTAMP)
+    ORDER BY e.event_id
+    """,
+)
+def asof_forward_events_orders(sf_dir: str) -> pa.Table:
+    """FORWARD as-of join — each event matched to its customer's NEXT
+    order at-or-after the event timestamp (direction="forward" on
+    stages/asof.py: backward's bucket/sort/forward-fill machinery on a
+    negated time axis; right_ties="max_value" keeps the oracle's
+    max-orderkey-per-(customer, date) tie semantics without a
+    pre-aggregation shuffle)."""
+    from .stages.asof import asof_join
+
+    events = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        lambda b: pa.table({
+            "user_id": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "o_orderkey": b["o_orderkey"],
+        }),
+        batch_format="pyarrow")
+    out = asof_join(events, orders, key_col="user_id",
+                    left_ts_col="ts", right_ts_col="o_orderdate",
+                    left_id_col="event_id", right_value_col="o_orderkey",
+                    left_id_type=pa.int64(), right_value_type=pa.int64(),
+                    right_ties="max_value", direction="forward")
+    t = _collect(out).sort_by("left_id")
+    return pa.table({
+        "event_id": t["left_id"],
+        "user_id": t["key"],
+        "next_orderkey": t["matched_value"],
+    })
+
+
+@query(
+    "weighted_sample_documents",
+    """
+    SELECT doc_id
+    FROM documents
+    WHERE text IS NOT NULL
+    ORDER BY ((doc_id * 2654435761) % 4294967296)
+             / CAST(strlen(text) + 1 AS DOUBLE), doc_id
+    LIMIT 64
+    """,
+)
+def weighted_sample_documents(sf_dir: str) -> pa.Table:
+    """Deterministic WEIGHT-BIASED sample (size-biased variant of
+    sample_hash_topk): race key = knuth_hash(doc_id) / weight with
+    weight = byte length + 1, global k smallest win — a heavier doc
+    beats a lighter one with probability monotone in the weight ratio
+    (the priority-sampling family; swap the key for -ln(u)/w to get
+    exact A-ExpJ proportional-to-size, at the cost of the bit-exact SQL
+    oracle, since the single IEEE division here is reproducible on both
+    engines while libm log is not guaranteed to be). Same local-top-k
+    combiner + driver merge as the uniform sampler — no global sort,
+    k-sized partials, identical at any parallelism."""
+    K = 64
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["text"]))
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        w = pc.add(pc.binary_length(batch["text"]), 1).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296)).astype(np.float64)
+        r = h / w  # exact: one correctly-rounded IEEE op on exact ints
+        order = np.lexsort((ids, r))[:K]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "r": pa.array(r[order], pa.float64())})
+
+    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow"))
+    order = np.lexsort((parts["doc_id"].to_numpy(zero_copy_only=False),
+                        parts["r"].to_numpy(zero_copy_only=False)))[:K]
+    return pa.table({"doc_id": pa.array(
+        parts["doc_id"].to_numpy(zero_copy_only=False)[order], pa.int64())})
+
+
+@query(
+    "value_drift_halves_events",
+    """
+    WITH s AS (SELECT CAST(min(ts) AS DATE) AS d0,
+                      CAST(max(ts) AS DATE) AS d1 FROM events),
+    h AS (
+      SELECT CAST(floor(value / 25) AS BIGINT) AS bin,
+             CASE WHEN CAST(ts AS DATE) <
+                       (SELECT d0 + CAST(floor((d1 - d0) / 2.0) AS INTEGER)
+                        FROM s)
+                  THEN 0 ELSE 1 END AS half
+      FROM events WHERE value IS NOT NULL
+    ),
+    c AS (
+      SELECT bin,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS early_n,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS late_n
+      FROM h GROUP BY bin
+    ),
+    t AS (SELECT sum(early_n) AS te, sum(late_n) AS tl FROM c)
+    SELECT bin, early_n, late_n,
+           CAST(floor(abs(early_n * t.tl - late_n * t.te) * 1000000.0
+                      / (t.te * t.tl)) AS BIGINT) AS l1_ppm
+    FROM c, t ORDER BY bin
+    """,
+)
+def value_drift_halves_events(sf_dir: str) -> pa.Table:
+    """Distribution-drift profile (data-quality monitoring): the value
+    histogram of the EARLY calendar half vs the LATE half, with the
+    per-bin share difference |e/E - l/L| in ppm — computed with integer
+    cross-multiplication so both engines floor the identical rational.
+    Scale shape: one (min, max) timestamp aggregate, then ONE pass of
+    per-batch (bin, half) count partials (bin-cardinality x blocks
+    rows), driver merge — the zero-shuffle calendar/bin-cardinality
+    pattern."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _t(sf_dir, "events", ["ts", "value"])
+    span = ds.map_batches(
+        lambda b: pa.table(
+            {"d": _ts_us(b["ts"]).cast(pa.date32()).cast(pa.int32())}),
+        batch_format="pyarrow").aggregate(Min("d", alias_name="d0"),
+                                          Max("d", alias_name="d1"))
+    d0, d1 = span["d0"], span["d1"]
+    pivot = d0 + int(np.floor((d1 - d0) / 2.0))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch["value"])
+        v = batch["value"].filter(keep)
+        days = _ts_us(batch["ts"]).cast(pa.date32()).cast(
+            pa.int32()).filter(keep)
+        b = pc.cast(pc.floor(pc.divide(v, 25.0)), pa.int64())
+        half = pc.cast(pc.greater_equal(days, pa.scalar(pivot, pa.int32())),
+                       pa.int64())
+        key = pc.add(pc.multiply(b, 2), half)  # (bin, half) packed
+        return _vc_partial(key, "k", "n")
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    g = (parts.group_by(["k"]).aggregate([("n", "sum")])
+              .rename_columns(["k", "n"]))
+    k = g["k"].to_numpy(zero_copy_only=False)
+    n = g["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bins = np.unique(k >> 1)
+    early = np.zeros(len(bins), np.int64)
+    late = np.zeros(len(bins), np.int64)
+    pos = np.searchsorted(bins, k >> 1)
+    np.add.at(early, pos[(k & 1) == 0], n[(k & 1) == 0])
+    np.add.at(late, pos[(k & 1) == 1], n[(k & 1) == 1])
+    te, tl = int(early.sum()), int(late.sum())
+    l1 = np.abs(early * tl - late * te) * 1_000_000 // (te * tl)
+    return pa.table({
+        "bin": pa.array(bins, pa.int64()),
+        "early_n": pa.array(early, pa.int64()),
+        "late_n": pa.array(late, pa.int64()),
+        "l1_ppm": pa.array(l1, pa.int64()),
+    })
+
+
+@query(
+    "rolling_7day_users_events",
+    """
+    WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id
+                FROM events WHERE user_id IS NOT NULL)
+    SELECT w.d AS event_date, count(DISTINCT u.user_id) AS wau
+    FROM (SELECT DISTINCT d FROM du) w
+    JOIN du u ON u.d BETWEEN w.d - 6 AND w.d
+    GROUP BY w.d ORDER BY w.d
+    """,
+)
+def rolling_7day_users_events(sf_dir: str) -> pa.Table:
+    """Rolling 7-day active users — a sliding-window COUNT(DISTINCT),
+    the aggregate windowed SQL engines famously can't push down. Shape:
+    the distinct (day, user) pair set (pair-dedup combiner + one
+    groupby, the DAU machinery) is EXPANDED x7 — each active day also
+    witnesses the next six window days — filtered to real calendar days
+    (broadcast day set), re-deduped by one pair-cardinality groupby,
+    and counted per day via calendar-sized driver-merged partials.
+    Shuffle volume: 7 x |distinct pairs|, independent of event count."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ds = _t(sf_dir, "events", ["ts", "user_id"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        ts = _ts_us(batch["ts"])
+        days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
+        t = pa.table({"d": days, "user_id": batch["user_id"]})
+        t = t.filter(pc.is_valid(t["user_id"]))  # COUNT(DISTINCT) nulls
+        g = t.group_by(["d", "user_id"]).aggregate([([], "count_all")])
+        return g.select(["d", "user_id"])
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["d", "user_id"])
+               .aggregate(Count("user_id", alias_name="_c"))).materialize()
+
+    # calendar-sized distinct-day set, driver-merged then broadcast
+    day_parts = _collect(pairs.map_batches(
+        lambda b: _vc_partial(b["d"], "d", "n"), batch_format="pyarrow"))
+    days = np.unique(day_parts["d"].to_numpy(zero_copy_only=False))
+    days_ref = ray.put(days)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        dset = ray.get(days_ref)
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        wd = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), len(d))
+        wu = np.repeat(u, 7)
+        keep = np.isin(wd, dset)  # only real calendar days have windows
+        return pa.table({"wd": pa.array(wd[keep], pa.int64()),
+                         "user_id": pa.array(wu[keep], pa.int64())})
+
+    uniq = (pairs.map_batches(expand, batch_format="pyarrow")
+                 .groupby(["wd", "user_id"])
+                 .aggregate(Count("user_id", alias_name="_c")))
+
+    parts = _collect(uniq.map_batches(
+        lambda b: _vc_partial(b["wd"], "wd", "n"), batch_format="pyarrow"))
+    g = (parts.group_by(["wd"]).aggregate([("n", "sum")])
+              .rename_columns(["wd", "wau"]).sort_by("wd"))
+    return pa.table({
+        "event_date": pc.cast(pc.cast(g["wd"], pa.int32()), pa.date32()),
+        "wau": g["wau"],
+    })

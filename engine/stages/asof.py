@@ -43,8 +43,17 @@ def asof_join(
     left_id_type: pa.DataType | None = None,
     right_value_type: pa.DataType | None = None,
     right_ties: str = "error",
+    direction: str = "backward",
 ):
     """Dataset -> Dataset (left_id, key, matched right_value or null).
+
+    ``direction``: ``"backward"`` (default) matches the LATEST right row
+    with ``right_ts <= left_ts``; ``"forward"`` matches the EARLIEST
+    right row with ``right_ts >= left_ts`` — implemented by negating the
+    microsecond axis on both sides, so forward inherits backward's
+    bucketing/sort/forward-fill machinery unchanged (with
+    ``right_ties="max_value"`` still resolving same-(key, ts) ties to
+    the greatest value).
 
     Timestamps are compared in microseconds; date/timestamp columns of
     any unit are normalized first. The left-id and right-value columns
@@ -65,6 +74,8 @@ def asof_join(
     shuffle. Requires an orderable value type."""
     if right_ties not in ("error", "max_value"):
         raise ValueError(right_ties)
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
     if left_id_type is None:
         left_id_type = dict(zip(left_ds.schema().names,
                                 left_ds.schema().types))[left_id_col]
@@ -80,7 +91,9 @@ def asof_join(
             col = col.cast(pa.timestamp("us"))
         elif not (pa.types.is_timestamp(col.type) and col.type.unit == "us"):
             col = col.cast(pa.timestamp("us"))
-        return col.cast(pa.int64())
+        us = col.cast(pa.int64())
+        # forward = backward on the negated time axis
+        return pc.negate_checked(us) if direction == "forward" else us
 
     def tag_left(batch: pa.Table) -> pa.Table:
         key = batch[key_col]

@@ -1480,3 +1480,42 @@ def test_pq_topk_recall_and_parity(ray_session):
     # recover it (tight clusters = the hard case for PQ fine ranking)
     assert recall(fine) >= 0.75, recall(fine)
     assert recall(outs[0]) <= recall(fine)
+
+
+def test_asof_join_forward(ray_session):
+    """direction="forward": earliest right row at-or-after each left ts,
+    brute-force cross-check with ties, nulls and missing keys."""
+    import ray.data as rd
+
+    from engine.stages.asof import asof_join
+
+    rng = np.random.default_rng(3)
+    right_rows = [{"k": int(rng.integers(0, 5)), "ts": int(rng.integers(0, 80)),
+                   "v": int(rng.integers(0, 50))} for _ in range(60)]
+    left_rows = [{"k": int(rng.integers(0, 6)), "ts": int(rng.integers(0, 99)),
+                  "id": i} for i in range(80)]
+
+    def to_us(rows, cols):
+        def conv(b):
+            d = {c: b[c] for c in b.column_names}
+            d["ts"] = pa.array(b["ts"].to_numpy(False), pa.timestamp("us"))
+            return pa.table(d)
+        return rd.from_items(rows).map_batches(conv, batch_format="pyarrow")
+
+    out = asof_join(to_us(left_rows, None), to_us(right_rows, None),
+                    key_col="k", left_ts_col="ts", right_ts_col="ts",
+                    left_id_col="id", right_value_col="v",
+                    left_id_type=pa.int64(), right_value_type=pa.int64(),
+                    right_ties="max_value", direction="forward",
+                    num_buckets=4)
+    got = {r["left_id"]: r["matched_value"] for r in out.take_all()}
+
+    for lr in left_rows:
+        cand = [r for r in right_rows if r["k"] == lr["k"]
+                and r["ts"] >= lr["ts"]]
+        if not cand:
+            expect = None
+        else:
+            ts_min = min(r["ts"] for r in cand)
+            expect = max(r["v"] for r in cand if r["ts"] == ts_min)
+        assert got[lr["id"]] == expect, (lr, got[lr["id"]], expect)
