@@ -106,6 +106,8 @@ _SWEEP_FIRST = (
     "asof_forward_events_orders",
     "weighted_sample_documents",
     "histogram_events_value",
+    "conversion_latency_percentiles_events",
+    "benford_first_digit_events",
     "share_of_total_events_by_type",
     # (their DuckDB oracles still run every pytest sweep), then the
     # rows-only sketch/ANN/multimodal queries (weaker rows-only driver

@@ -3789,3 +3789,106 @@ def rolling_7day_users_events(sf_dir: str) -> pa.Table:
         "event_date": pc.cast(pc.cast(g["wd"], pa.int32()), pa.date32()),
         "wau": g["wau"],
     })
+
+
+@query(
+    "conversion_latency_percentiles_events",
+    """
+    WITH u AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN ts END) AS s,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    ),
+    lat AS (
+      SELECT CAST(floor(epoch(p - s)) AS BIGINT) AS sec
+      FROM u WHERE s IS NOT NULL AND p IS NOT NULL AND p >= s
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(sec, 0.50) AS BIGINT) AS p50_sec,
+           CAST(quantile_disc(sec, 0.90) AS BIGINT) AS p90_sec
+    FROM lat
+    """,
+)
+def conversion_latency_percentiles_events(sf_dir: str) -> pa.Table:
+    """Signup-to-first-purchase latency percentiles — the funnel's
+    conditional-MIN collapse (mergeable per-batch masked mins, one
+    user-cardinality groupby) COMPOSED with the zero-shuffle exact
+    quantile selector over the derived latency column. Latencies are
+    integer whole seconds (micros diff // 1e6 == floor(epoch(p - s))),
+    so the quantile elements are hash-stable."""
+    from ray.data.aggregate import Min
+
+    from .stages.selection import exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        micros = _ts_us(batch["ts"]).cast(pa.int64())
+        su = pc.if_else(pc.equal(batch["event_type"], "signup"),
+                        micros, pa.scalar(None, pa.int64()))
+        pu = pc.if_else(pc.equal(batch["event_type"], "purchase"),
+                        micros, pa.scalar(None, pa.int64()))
+        t = pa.table({"user_id": batch["user_id"], "su": su, "pu": pu})
+        g = t.group_by(["user_id"]).aggregate([("su", "min"), ("pu", "min")])
+        return g.rename_columns(["user_id", "su", "pu"])
+
+    users = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(Min("su", alias_name="su"),
+                          Min("pu", alias_name="pu")))
+
+    def latency(batch: pa.Table) -> pa.Table:
+        conv = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(batch["su"]), pc.is_valid(batch["pu"])),
+            pc.greater_equal(batch["pu"], batch["su"]))
+        t = batch.filter(pc.fill_null(conv, False))
+        sec = pc.divide(pc.subtract(t["pu"], t["su"]),
+                        pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"sec": pc.cast(sec, pa.int64())})
+
+    # materialized: the count consumer + the selector's scans must not
+    # re-run the user-cardinality groupby (lazy Datasets re-execute)
+    lat = users.map_batches(latency, batch_format="pyarrow").materialize()
+    n = lat.count()
+    p50, p90 = exact_quantiles_disc(lat, "sec", [0.50, 0.90])
+    return _row(n_converted=n, p50_sec=int(p50), p90_sec=int(p90))
+
+
+@query(
+    "benford_first_digit_events",
+    """
+    WITH c AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+           count(*) AS n
+    FROM c WHERE cents >= 1
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def benford_first_digit_events(sf_dir: str) -> pa.Table:
+    """First-significant-digit profile (the Benford's-law screen used
+    in fraud/data-quality audits) of the value column in integer cents:
+    the leading digit comes from repeated exact integer division (no
+    float log10 — 10^k boundaries would mis-bin), counted via
+    digit-cardinality per-batch partials, zero shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = _cents(pc.drop_null(batch["value"])).to_numpy(
+            zero_copy_only=False)
+        d = cents[cents >= 1].copy()
+        for _ in range(18):  # int64 has <= 19 digits
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        return _vc_partial(pa.array(d, pa.int64()), "digit", "n")
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("digit").aggregate(Sum("n", alias_name="n")))
+    return _collect(out).sort_by("digit").select(["digit", "n"])
