@@ -2930,6 +2930,30 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
 # Deterministic uniform sample via hash rank (no global sort)
 # ===========================================================================
 
+def _knuth_hash(ids: np.ndarray) -> np.ndarray:
+    return ((ids.astype(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296)).astype(np.float64)
+
+
+def _race_topk(ds, k: int, rank_of) -> pa.Table:
+    """Shared race-key sampler: ``rank_of(batch) -> (ids, rank)`` per
+    batch, local (rank, id) top-k combiner (a global top-k is a subset
+    of the union of local top-ks), k-sized partials merged on the
+    driver with the SAME lexsort — no global sort, identical at any
+    parallelism. Returns a (doc_id) table of the k winners."""
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids, rank = rank_of(batch)
+        order = np.lexsort((ids, rank))[:k]
+        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
+                         "rank": pa.array(rank[order], pa.float64())})
+
+    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow"))
+    order = np.lexsort((parts["doc_id"].to_numpy(zero_copy_only=False),
+                        parts["rank"].to_numpy(zero_copy_only=False)))[:k]
+    return pa.table({"doc_id": pa.array(
+        parts["doc_id"].to_numpy(zero_copy_only=False)[order], pa.int64())})
+
+
 @query(
     "sample_hash_topk_documents",
     """
@@ -2942,26 +2966,16 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
 def sample_hash_topk_documents(sf_dir: str) -> pa.Table:
     """Deterministic uniform-ish sample of k documents WITHOUT a global
     sort: rank every row by a Knuth multiplicative hash of its id and
-    keep the global k smallest — per-batch local top-k combiner (a
-    group's global top-k is a subset of the union of local top-ks),
-    k-sized partials merged on the driver. Same result at any
-    parallelism; the oracle is the equivalent ORDER BY hash LIMIT k."""
-    K = 64
+    keep the global k smallest (`_race_topk` combiner + driver merge).
+    Same result at any parallelism; the oracle is the equivalent
+    ORDER BY hash LIMIT k."""
     ds = _t(sf_dir, "documents", ["doc_id"])
 
-    def local_topk(batch: pa.Table) -> pa.Table:
+    def rank_of(batch: pa.Table):
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        rank = (ids.astype(np.uint64) * np.uint64(2654435761)) \
-            % np.uint64(4294967296)
-        order = np.lexsort((ids, rank))[:K]
-        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
-                         "rank": pa.array(rank[order].astype(np.int64))})
+        return ids, _knuth_hash(ids)
 
-    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow"))
-    order = np.lexsort((parts["doc_id"].to_numpy(zero_copy_only=False),
-                        parts["rank"].to_numpy(zero_copy_only=False)))[:K]
-    return pa.table({"doc_id": pa.array(
-        parts["doc_id"].to_numpy(zero_copy_only=False)[order], pa.int64())})
+    return _race_topk(ds, 64, rank_of)
 
 
 # ===========================================================================
@@ -3622,26 +3636,17 @@ def weighted_sample_documents(sf_dir: str) -> pa.Table:
     engines while libm log is not guaranteed to be). Same local-top-k
     combiner + driver merge as the uniform sampler — no global sort,
     k-sized partials, identical at any parallelism."""
-    K = 64
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
 
-    def local_topk(batch: pa.Table) -> pa.Table:
+    def rank_of(batch: pa.Table):
         batch = batch.filter(pc.is_valid(batch["text"]))
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         w = pc.add(pc.binary_length(batch["text"]), 1).to_numpy(
             zero_copy_only=False).astype(np.float64)
-        h = ((ids.astype(np.uint64) * np.uint64(2654435761))
-             % np.uint64(4294967296)).astype(np.float64)
-        r = h / w  # exact: one correctly-rounded IEEE op on exact ints
-        order = np.lexsort((ids, r))[:K]
-        return pa.table({"doc_id": pa.array(ids[order], pa.int64()),
-                         "r": pa.array(r[order], pa.float64())})
+        # exact: one correctly-rounded IEEE division on exact ints
+        return ids, _knuth_hash(ids) / w
 
-    parts = _collect(ds.map_batches(local_topk, batch_format="pyarrow"))
-    order = np.lexsort((parts["doc_id"].to_numpy(zero_copy_only=False),
-                        parts["r"].to_numpy(zero_copy_only=False)))[:K]
-    return pa.table({"doc_id": pa.array(
-        parts["doc_id"].to_numpy(zero_copy_only=False)[order], pa.int64())})
+    return _race_topk(ds, 64, rank_of)
 
 
 @query(
@@ -3698,8 +3703,11 @@ def value_drift_halves_events(sf_dir: str) -> pa.Table:
         days = _ts_us(batch["ts"]).cast(pa.date32()).cast(
             pa.int32()).filter(keep)
         b = pc.cast(pc.floor(pc.divide(v, 25.0)), pa.int64())
-        half = pc.cast(pc.greater_equal(days, pa.scalar(pivot, pa.int32())),
-                       pa.int64())
+        # a NULL ts fails the oracle's `< pivot` CASE and lands in the
+        # ELSE branch: fill the null comparison as late (1)
+        half = pc.fill_null(
+            pc.cast(pc.greater_equal(days, pa.scalar(pivot, pa.int32())),
+                    pa.int64()), 1)
         key = pc.add(pc.multiply(b, 2), half)  # (bin, half) packed
         return _vc_partial(key, "k", "n")
 
@@ -3715,7 +3723,14 @@ def value_drift_halves_events(sf_dir: str) -> pa.Table:
     np.add.at(early, pos[(k & 1) == 0], n[(k & 1) == 0])
     np.add.at(late, pos[(k & 1) == 1], n[(k & 1) == 1])
     te, tl = int(early.sum()), int(late.sum())
-    l1 = np.abs(early * tl - late * te) * 1_000_000 // (te * tl)
+    # per-bin Python-int cross products (exact at any count — int64
+    # would wrap at ~3e9 counts), then the SAME double expression the
+    # SQL computes: float(|diff|) * 1e6 / float(te*tl), floored. The
+    # int->double conversions round-to-nearest identically on both
+    # engines, and the op order matches SQL's left-assoc * then /.
+    l1 = [int(np.floor(float(abs(int(e) * tl - int(l) * te))
+                       * 1_000_000.0 / float(te * tl)))
+          for e, l in zip(early, late)]  # bin-cardinality loop (tiny)
     return pa.table({
         "bin": pa.array(bins, pa.int64()),
         "early_n": pa.array(early, pa.int64()),
@@ -3851,6 +3866,10 @@ def conversion_latency_percentiles_events(sf_dir: str) -> pa.Table:
     # re-run the user-cardinality groupby (lazy Datasets re-execute)
     lat = users.map_batches(latency, batch_format="pyarrow").materialize()
     n = lat.count()
+    if n == 0:  # the SQL aggregate yields (0, NULL, NULL), not an error
+        return pa.table({"n_converted": pa.array([0], pa.int64()),
+                         "p50_sec": pa.array([None], pa.int64()),
+                         "p90_sec": pa.array([None], pa.int64())})
     p50, p90 = exact_quantiles_disc(lat, "sec", [0.50, 0.90])
     return _row(n_converted=n, p50_sec=int(p50), p90_sec=int(p90))
 

@@ -95,12 +95,21 @@ def asof_join(
         # forward = backward on the negated time axis
         return pc.negate_checked(us) if direction == "forward" else us
 
+    _NULL_TS = np.iinfo(np.int64).min + 1  # sorts before every real ts
+
     def tag_left(batch: pa.Table) -> pa.Table:
         key = batch[key_col]
         n = batch.num_rows
+        # SQL's inequality never holds for a NULL left timestamp, but
+        # the LEFT-join contract still emits the row: a -inf sentinel
+        # sorts it before every right row of its key (on the negated
+        # forward axis too), so the forward-fill finds nothing and the
+        # row comes out unmatched — no extra passthrough scan needed
+        ts = pc.fill_null(_micros(batch[left_ts_col]),
+                          pa.scalar(_NULL_TS, pa.int64()))
         return pa.table({
             "key": key,
-            "ts": _micros(batch[left_ts_col]),
+            "ts": ts,
             "side": pa.array(np.ones(n, np.int8)),   # left sorts after right
             "left_id": batch[left_id_col],
             "rval": pa.nulls(n, rval_type),
@@ -108,6 +117,10 @@ def asof_join(
         })
 
     def tag_right(batch: pa.Table) -> pa.Table:
+        # a null-ts right row can never satisfy the inequality: drop it
+        # (sorted at_end it would otherwise be forward-filled as the
+        # "latest" right row of its key)
+        batch = batch.filter(pc.is_valid(batch[right_ts_col]))
         key = batch[key_col]
         n = batch.num_rows
         return pa.table({

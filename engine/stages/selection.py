@@ -50,18 +50,26 @@ def _bin_of(v: np.ndarray, lo: float, hi: float, num_bins: int) -> np.ndarray:
     return np.clip(b, 0, num_bins - 1)
 
 
-def _exact_ranks(ds, col: str, ranks: list[int], num_bins: int,
-                 collect_cap: int, depth: int) -> dict[int, float]:
-    """``ds`` must already be the single-column non-null projection.
-    ``ranks`` are 1-based into the sorted column."""
+def _nonnull_stats(proj, col: str) -> tuple:
+    """(n, lo, hi) of the non-null projection in ONE aggregate pass.
+    Count needs an `on` column here: in Ray 2.49 a global
+    Dataset.aggregate(Count()) with on=None returns 0."""
     from ray.data.aggregate import Count, Max, Min
 
-    # Count needs an `on` column here: in Ray 2.49 a global
-    # Dataset.aggregate(Count()) with on=None returns 0
-    stats = ds.aggregate(Count(col, alias_name="n"),
-                         Min(col, alias_name="lo"),
-                         Max(col, alias_name="hi"))
-    n, lo, hi = stats["n"], stats["lo"], stats["hi"]
+    stats = proj.aggregate(Count(col, alias_name="n"),
+                           Min(col, alias_name="lo"),
+                           Max(col, alias_name="hi"))
+    return stats["n"], stats["lo"], stats["hi"]
+
+
+def _exact_ranks(ds, col: str, ranks: list[int], num_bins: int,
+                 collect_cap: int, depth: int,
+                 stats: tuple | None = None) -> dict[int, float]:
+    """``ds`` must already be the single-column non-null projection.
+    ``ranks`` are 1-based into the sorted column. ``stats`` (n, lo, hi)
+    skips the leading aggregate when the caller already scanned for it;
+    recursion levels always recompute over their narrowed input."""
+    n, lo, hi = _nonnull_stats(ds, col) if stats is None else stats
     if n == 0:
         raise ValueError(f"exact_quantiles_disc: no non-null {col!r} values")
     bad = [k for k in ranks if not 1 <= k <= n]
@@ -145,14 +153,13 @@ def exact_quantiles_disc(ds, col: str, qs: list[float],
     NULLs excluded — see the module docstring for the scale shape.
     Returns one dataset element per q, in input order."""
     proj = _project_non_null(ds, col)
-    from ray.data.aggregate import Count
-
-    n = proj.aggregate(Count(col, alias_name="n"))["n"]
+    stats = _nonnull_stats(proj, col)
+    n = stats[0]
     if n == 0:
         raise ValueError(f"exact_quantiles_disc: no non-null {col!r} values")
     ranks = [min(max(int(np.ceil(q * n)), 1), n) for q in qs]
     got = _exact_ranks(proj, col, sorted(set(ranks)), num_bins,
-                       collect_cap, 0)
+                       collect_cap, 0, stats=stats)
     return [got[k] for k in ranks]
 
 
@@ -167,16 +174,16 @@ def exact_quantiles_cont(ds, col: str, qs: list[float],
     interpolation is derived arithmetic, evaluated with the same double
     expression the SQL engine uses."""
     proj = _project_non_null(ds, col)
-    from ray.data.aggregate import Count
-
-    n = proj.aggregate(Count(col, alias_name="n"))["n"]
+    stats = _nonnull_stats(proj, col)
+    n = stats[0]
     if n == 0:
         raise ValueError(f"exact_quantiles_cont: no non-null {col!r} values")
     idxs = [min(max((n - 1) * q, 0.0), float(n - 1)) for q in qs]
     ranks = sorted({r for i in idxs
                     for r in (int(np.floor(i)) + 1,
                               min(int(np.floor(i)) + 2, n))})
-    got = _exact_ranks(proj, col, ranks, num_bins, collect_cap, 0)
+    got = _exact_ranks(proj, col, ranks, num_bins, collect_cap, 0,
+                       stats=stats)
     out = []
     for i in idxs:
         k = int(np.floor(i))
@@ -214,7 +221,6 @@ def ntile_assign(ds, col: str, id_col: str, n_tiles: int,
     ``tile`` column in [1, n_tiles].
     """
     import ray
-    from ray.data.aggregate import Count
 
     if n_tiles < 1:
         raise ValueError("n_tiles must be >= 1")
@@ -224,7 +230,8 @@ def ntile_assign(ds, col: str, id_col: str, n_tiles: int,
 
     rows = ds.map_batches(non_null, batch_format="pyarrow")
     proj = _project_non_null(ds, col)
-    n = proj.aggregate(Count(col, alias_name="n"))["n"]
+    stats = _nonnull_stats(proj, col)
+    n = stats[0]
     if n == 0:
         raise ValueError(f"ntile_assign: no non-null {col!r} values")
     if n_tiles == 1:
@@ -239,63 +246,83 @@ def ntile_assign(ds, col: str, id_col: str, n_tiles: int,
     bounds = np.cumsum(sizes)[:-1]  # 1-based rank of each bucket's LAST row
     bounds = bounds[bounds >= 1]    # n < n_tiles: trailing empty buckets
     ranks = sorted({int(k) for k in bounds})
-    got = _exact_ranks(proj, col, ranks, num_bins, collect_cap, 0)
+    got = _exact_ranks(proj, col, ranks, num_bins, collect_cap, 0,
+                       stats=stats)
     bvals = sorted({got[k] for k in ranks})
     bidx = {v: i for i, v in enumerate(bvals)}
 
-    # one pass: per boundary value, #rows strictly below + tie-group ids
-    def tie_partial(batch: pa.Table) -> pa.Table:
+    # thin (col, id) projection for the accounting passes — never
+    # re-scan payload columns
+    def thin_proj(batch: pa.Table) -> pa.Table:
+        t = pa.table({col: batch[col], id_col: batch[id_col]})
+        return t.filter(pc.is_valid(t[col]))
+
+    thin = ds.map_batches(thin_proj, batch_format="pyarrow")
+
+    def _cols_np(batch: pa.Table):
         v = batch[col]
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
-        x = v.to_numpy(zero_copy_only=False)
         ids = batch[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        iv = ids.to_numpy(zero_copy_only=False)
-        out_i, out_c, out_id = [], [], []
+        return (v.to_numpy(zero_copy_only=False),
+                ids.to_numpy(zero_copy_only=False))
+
+    # pass 1 — counts ONLY (fixed |bvals| rows per batch): #rows
+    # strictly below each boundary value and its tie-group size. The
+    # max_tie_rows guard is enforced on these aggregated counts BEFORE
+    # any tie id is materialized, so a corpus-scale duplicate mass
+    # raises instead of flooding the driver.
+    def count_partial(batch: pa.Table) -> pa.Table:
+        x, _ = _cols_np(batch)
+        lt_c = [int((x < bv).sum()) for bv in bvals]
+        tie_c = [int((x == bv).sum()) for bv in bvals]
+        return pa.table({"j": pa.array(range(len(bvals)), pa.int64()),
+                         "lt": pa.array(lt_c, pa.int64()),
+                         "tc": pa.array(tie_c, pa.int64())})
+
+    cnt = (thin.map_batches(count_partial, batch_format="pyarrow")
+               .groupby("j").sum(["lt", "tc"]).take_all())
+    lt = np.zeros(len(bvals), np.int64)
+    tie_n = np.zeros(len(bvals), np.int64)
+    for rec in cnt:
+        lt[rec["j"]] = rec["sum(lt)"]
+        tie_n[rec["j"]] = rec["sum(tc)"]
+    if int(tie_n.sum()) > max_tie_rows:
+        raise ValueError(
+            "ntile_assign: boundary tie groups hold "
+            f"{int(tie_n.sum())} rows > max_tie_rows={max_tie_rows}; "
+            "the order column has corpus-scale duplicate mass — "
+            "pre-aggregate or use a composite order column")
+
+    # pass 2 — tie ids only, total bounded by the guard above
+    def tie_partial(batch: pa.Table) -> pa.Table:
+        x, iv = _cols_np(batch)
+        out_j, out_id = [], []
         for bv in bvals:
-            j = bidx[bv]
-            out_i.append(j)
-            out_c.append(int((x < bv).sum()))
-            out_id.append(-1)
             tie_ids = iv[x == bv]
-            if len(tie_ids) > max_tie_rows:
-                raise ValueError(
-                    "ntile_assign: a boundary tie group exceeds "
-                    f"max_tie_rows={max_tie_rows}; the order column has "
-                    "corpus-scale duplicate mass — pre-aggregate or use "
-                    "a composite order column")
-            out_i.extend([j] * len(tie_ids))
-            out_c.extend([-1] * len(tie_ids))
+            out_j.extend([bidx[bv]] * len(tie_ids))
             out_id.extend(tie_ids.tolist())
-        return pa.table({"j": pa.array(out_i, pa.int64()),
-                         "c": pa.array(out_c, pa.int64()),
+        return pa.table({"j": pa.array(out_j, pa.int64()),
                          "tid": pa.array(out_id, pa.int64())})
 
-    # ONE consumption of the tiny partials (|bvals| x blocks + tie rows),
-    # zero-copy to the driver, then pure-numpy accounting
     tabs = ray.get(
-        rows.map_batches(tie_partial, batch_format="pyarrow")
+        thin.map_batches(tie_partial, batch_format="pyarrow")
             .materialize().to_arrow_refs())
     t = pa.concat_tables([x for x in tabs if x.num_rows]).combine_chunks()
-    j_arr = t["j"].to_numpy(zero_copy_only=False)
-    c_arr = t["c"].to_numpy(zero_copy_only=False)
-    tid_arr = t["tid"].to_numpy(zero_copy_only=False)
-    is_cnt = c_arr >= 0
-    lt = np.zeros(len(bvals), np.int64)
-    np.add.at(lt, j_arr[is_cnt], c_arr[is_cnt])
-    tie_j, tie_id = j_arr[~is_cnt], tid_arr[~is_cnt]
-    if len(tie_j) > max_tie_rows:
-        raise ValueError("ntile_assign: total boundary tie rows "
-                         f"exceed max_tie_rows={max_tie_rows}")
+    tie_j = t["j"].to_numpy(zero_copy_only=False)
+    tie_id = t["tid"].to_numpy(zero_copy_only=False)
     order = np.lexsort((tie_id, tie_j))
     tie_j, tie_id = tie_j[order], tie_id[order]
     tie_start = np.searchsorted(tie_j, np.arange(len(bvals)))
     tie_end = np.searchsorted(tie_j, np.arange(len(bvals)), side="right")
 
-    # composite boundary (value, id) per bucket edge
-    b_val = np.empty(len(bounds), np.float64)
+    # composite boundary (value, id) per bucket edge; boundary values
+    # keep the COLUMN's own type (a float64 coercion would collapse
+    # int64 values beyond 2^53 and desynchronize the == comparisons
+    # between the accounting and assign passes)
+    b_val_list = []
     b_id = np.empty(len(bounds), np.int64)
     for i, k in enumerate(bounds):
         bv = got[int(k)]
@@ -305,23 +332,16 @@ def ntile_assign(ds, col: str, id_col: str, n_tiles: int,
         if not 1 <= off <= n_tie_j:
             raise RuntimeError("ntile_assign: internal rank accounting "
                                f"error at boundary {k}")
-        b_val[i] = bv
+        b_val_list.append(bv)
         b_id[i] = tie_id[tie_start[j] + off - 1]
-    bref = ray.put((b_val, b_id))
+    bref = ray.put((b_val_list, b_id))
 
     def assign(batch: pa.Table) -> pa.Table:
-        bv, bi = ray.get(bref)
-        v = batch[col]
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        x = v.to_numpy(zero_copy_only=False)
-        ids = batch[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        iv = ids.to_numpy(zero_copy_only=False)
+        bvl, bi = ray.get(bref)
+        x, iv = _cols_np(batch)
         tile = np.ones(len(x), np.int64)
-        for i in range(len(bv)):  # n_tiles - 1 vectorized comparisons
-            above = (x > bv[i]) | ((x == bv[i]) & (iv > bi[i]))
+        for i in range(len(bvl)):  # n_tiles - 1 vectorized comparisons
+            above = (x > bvl[i]) | ((x == bvl[i]) & (iv > bi[i]))
             tile += above
         return batch.append_column("tile", pa.array(tile, pa.int64()))
 

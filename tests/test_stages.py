@@ -1426,6 +1426,15 @@ def test_ntile_assign_brute_force(ray_session):
         got = {rec["id"]: rec["tile"] for rec in out.take_all()}
         assert got == expect, nparts
 
+    # int64 beyond 2^53: a float64 boundary would collapse 2^53 and
+    # 2^53+1 into one "tie group" and mis-bucket — boundaries must keep
+    # the column's own dtype
+    big = 2 ** 53
+    rows_b = [{"id": i, "v": big + (i % 2)} for i in range(40)]
+    out = ntile_assign(rd.from_items(rows_b).repartition(5), "v", "id", 2)
+    got = {r["id"]: r["tile"] for r in out.take_all()}
+    assert got == {i: (1 if i % 2 == 0 else 2) for i in range(40)}
+
 
 def test_pq_topk_recall_and_parity(ray_session):
     """Product-quantization ANN: (a) identical output at any
@@ -1494,11 +1503,19 @@ def test_asof_join_forward(ray_session):
                    "v": int(rng.integers(0, 50))} for _ in range(60)]
     left_rows = [{"k": int(rng.integers(0, 6)), "ts": int(rng.integers(0, 99)),
                   "id": i} for i in range(80)]
+    # NULL timestamps: SQL's inequality never holds — a null-ts left row
+    # must come out unmatched, a null-ts right row must match nobody
+    left_rows += [{"k": 1, "ts": None, "id": 80},
+                  {"k": 2, "ts": None, "id": 81}]
+    right_rows += [{"k": 1, "ts": None, "v": 999},
+                   {"k": 5, "ts": None, "v": 999}]
 
     def to_us(rows, cols):
         def conv(b):
             d = {c: b[c] for c in b.column_names}
-            d["ts"] = pa.array(b["ts"].to_numpy(False), pa.timestamp("us"))
+            d["ts"] = pa.array(
+                [None if v is None else int(v)
+                 for v in b["ts"].to_pylist()], pa.timestamp("us"))
             return pa.table(d)
         return rd.from_items(rows).map_batches(conv, batch_format="pyarrow")
 
@@ -1512,6 +1529,7 @@ def test_asof_join_forward(ray_session):
 
     for lr in left_rows:
         cand = [r for r in right_rows if r["k"] == lr["k"]
+                and lr["ts"] is not None and r["ts"] is not None
                 and r["ts"] >= lr["ts"]]
         if not cand:
             expect = None
@@ -1519,3 +1537,21 @@ def test_asof_join_forward(ray_session):
             ts_min = min(r["ts"] for r in cand)
             expect = max(r["v"] for r in cand if r["ts"] == ts_min)
         assert got[lr["id"]] == expect, (lr, got[lr["id"]], expect)
+
+    # backward on the same null-bearing data: null-ts rows unmatched too
+    back = asof_join(to_us(left_rows, None), to_us(right_rows, None),
+                     key_col="k", left_ts_col="ts", right_ts_col="ts",
+                     left_id_col="id", right_value_col="v",
+                     left_id_type=pa.int64(), right_value_type=pa.int64(),
+                     right_ties="max_value", num_buckets=4)
+    gotb = {r["left_id"]: r["matched_value"] for r in back.take_all()}
+    for lr in left_rows:
+        cand = [r for r in right_rows if r["k"] == lr["k"]
+                and lr["ts"] is not None and r["ts"] is not None
+                and r["ts"] <= lr["ts"]]
+        if not cand:
+            expect = None
+        else:
+            ts_max = max(r["ts"] for r in cand)
+            expect = max(r["v"] for r in cand if r["ts"] == ts_max)
+        assert gotb[lr["id"]] == expect, (lr, gotb[lr["id"]], expect)
