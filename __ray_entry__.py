@@ -117,6 +117,7 @@ _SWEEP_FIRST = (
     "customers_without_orders",
     "value_percentiles_cont_events",
     "fuzzy_name_pairs_customer",
+    "fuzzy_name_pairs2_customer",
     "percentage_range_discount",
     "ssn_mask_format_customer_name",
     "multimodal_decode_features",

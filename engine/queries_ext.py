@@ -3911,3 +3911,32 @@ def benford_first_digit_events(sf_dir: str) -> pa.Table:
     out = (ds.map_batches(partial, batch_format="pyarrow")
              .groupby("digit").aggregate(Sum("n", alias_name="n")))
     return _collect(out).sort_by("digit").select(["digit", "n"])
+
+
+@query(
+    "fuzzy_name_pairs2_customer",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b
+      ON a.c_custkey < b.c_custkey
+     AND levenshtein(a.c_name, b.c_name) BETWEEN 1 AND 2
+    ORDER BY id_a, id_b
+    """,
+)
+def fuzzy_name_pairs2_customer(sf_dir: str) -> pa.Table:
+    """Approximate string self-join at edit distance <= 2
+    (stages/fuzzy.py fuzzy_join_dist2): <=2-deletion neighborhoods as
+    hashed keys (strings never ride the x L^2/2 key shuffle), candidate
+    pair dedup, then a banded-DP exact verifier vectorized across
+    pairs. Oracle: the quadratic levenshtein join."""
+    from .stages.fuzzy import fuzzy_join_dist2
+
+    ds = _t(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = fuzzy_join_dist2(ds, "c_custkey", "c_name")
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"id_a": pa.array([], pa.int64()),
+                         "id_b": pa.array([], pa.int64()),
+                         "dist": pa.array([], pa.int64())})
+    return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

@@ -220,3 +220,231 @@ def fuzzy_join_dist1(ds, id_col: str, s_col: str, num_buckets: int = 128):
     return (ds.map_batches(emit, batch_format="pyarrow")
               .groupby("_bucket")
               .map_groups(bucket_pairs, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Edit distance <= 2: 2-deletion neighborhoods + banded-DP verification
+# ---------------------------------------------------------------------------
+
+def _deletion2_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """All deletion-variant hashes for distance <= 2 (0, 1 and 2 chars
+    deleted) for a batch. Returns (keys, row_idx).
+
+    FastSS: ed(s, t) <= 2 iff the <=2-deletion neighborhoods intersect.
+    A variant with positions i < j deleted hashes as
+    ``prefix(i) + mid(i, j) + suffix(j) + (L - 2)`` where chars before
+    i keep weight r^(x+1), chars between shift to r^x and chars after j
+    shift to r^(x-1) — all three from global prefix sums, so EVERY
+    variant of every string in the batch comes out of three cumsums
+    plus per-length-class broadcasting (no per-variant Python). The
+    weighting makes a variant hash equal the IDENTITY hash of the
+    deleted string, so 0-, 1- and 2-deletion keys share one domain and
+    cross-length matches (|len(s)-len(t)| in {0,1,2}) meet in the same
+    groupby key space as `_deletion_keys`.
+    """
+    keys1, rows1 = _deletion_keys(names)  # 0- and 1-deletion variants
+
+    data, offs = byte_view(names)
+    lens = np.diff(offs)
+    max_len = int(lens.max()) if len(lens) else 0
+    powers = np.empty(max_len + 2, dtype=np.uint64)
+    powers[0] = np.uint64(1)
+    with np.errstate(over="ignore"):
+        for i in range(1, max_len + 2):
+            powers[i] = powers[i - 1] * _R
+    pos = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
+        offs[:-1], lens)
+    b = data.astype(np.uint64)
+    w1 = b * powers[pos + 1]
+    w2 = b * powers[pos]
+    w3 = b * powers[np.maximum(pos - 1, 0)]  # pos<2 never contributes:
+    # mid/suffix windows start at x > j >= 1, and prefix uses w1 only —
+    # the garbage at pos 0 cancels inside every cpre3 difference
+    cp1 = np.concatenate([np.zeros(1, np.uint64),
+                          np.cumsum(w1, dtype=np.uint64)])
+    cp2 = np.concatenate([np.zeros(1, np.uint64),
+                          np.cumsum(w2, dtype=np.uint64)])
+    cp3 = np.concatenate([np.zeros(1, np.uint64),
+                          np.cumsum(w3, dtype=np.uint64)])
+
+    out_keys = [keys1]
+    out_rows = [rows1]
+    for length in np.unique(lens):
+        ln = int(length)
+        if ln < 2:
+            continue
+        members = np.flatnonzero(lens == ln)
+        ii, jj = np.triu_indices(ln, k=1)  # deleted positions i < j
+        s0 = offs[members][:, None].astype(np.int64)  # (n_L, 1)
+        pre = cp1[s0 + ii[None, :]] - cp1[s0]
+        mid = cp2[s0 + jj[None, :]] - cp2[s0 + ii[None, :] + 1]
+        suf = cp3[s0 + ln] - cp3[s0 + jj[None, :] + 1]
+        k2 = pre + mid + suf + np.uint64(ln - 2)
+        out_keys.append(k2.ravel())
+        out_rows.append(np.repeat(members.astype(np.int64), len(ii)))
+    return np.concatenate(out_keys), np.concatenate(out_rows)
+
+
+def _edit_distance_capped(na: pa.Array, nb: pa.Array,
+                          cap: int = 2) -> np.ndarray:
+    """Exact Levenshtein distance per pair, saturated at ``cap + 1`` —
+    banded DP (band half-width ``cap``) vectorized ACROSS pairs: the
+    row loop runs max_len times and the 2*cap+1 in-band diagonal
+    offsets loop 5 times; everything else is whole-pair-set numpy."""
+    a_bytes = [x.encode() for x in na.to_pylist()]
+    b_bytes = [x.encode() for x in nb.to_pylist()]
+    la = np.array([len(x) for x in a_bytes], dtype=np.int64)
+    lb = np.array([len(x) for x in b_bytes], dtype=np.int64)
+    n = len(la)
+    big = cap + 1
+    out = np.full(n, big, dtype=np.int64)
+    empty_a = la == 0
+    out[empty_a] = np.minimum(lb[empty_a], big)
+    w = int(max(la.max(initial=1), lb.max(initial=1)))
+    A = _pad_matrix(a_bytes, w)
+    B = _pad_matrix(b_bytes, w)
+    width = 2 * cap + 1
+    BIG = np.full(n, big, dtype=np.int64)
+    # row[:, c] = D[i][i + c - cap], saturated at big; row 0: D[0][j] = j
+    row = np.stack([BIG if c < cap else np.minimum(
+        np.full(n, c - cap, dtype=np.int64), big)
+        for c in range(width)], axis=1)
+    max_la = int(la.max(initial=0))
+    for i in range(1, w + 1):
+        new = np.empty((n, width), dtype=np.int64)
+        ai = A[:, i - 1].astype(np.int64)  # i-th char of a (1-based)
+        for c in range(width):
+            j = i + c - cap  # scalar column index into b, this diagonal
+            if j < 0:
+                new[:, c] = BIG
+                continue
+            if j == 0:
+                new[:, c] = min(i, big)  # D[i][0] = i
+                continue
+            up = row[:, c + 1] + 1 if c + 1 < width else BIG
+            left = new[:, c - 1] + 1 if c >= 1 else BIG
+            bj = B[:, j - 1].astype(np.int64) if j <= w else \
+                np.zeros(n, dtype=np.int64)
+            diag = row[:, c] + (ai != bj).astype(np.int64)
+            cell = np.minimum(np.minimum(up, left), diag)
+            # out-of-b columns can never feed D[la][lb]; saturate them
+            new[:, c] = np.where(j <= lb, np.minimum(cell, big), big)
+        row = new
+        at_end = la == i
+        if at_end.any():
+            sel = np.flatnonzero(at_end & (np.abs(la - lb) <= cap))
+            c_fin = (lb[sel] - la[sel]) + cap  # offset of D[la][lb]
+            out[sel] = row[sel, c_fin]
+        if i >= max_la:
+            break
+    return np.minimum(out, big)
+
+
+def fuzzy_join_dist2(ds, id_col: str, s_col: str, num_buckets: int = 256,
+                     max_broadcast: int = 2_000_000):
+    """All id pairs (a < b) with Levenshtein distance 1 or 2.
+
+    Unlike :func:`fuzzy_join_dist1`, the <=2-deletion neighborhood is
+    ~L^2/2 keys per string, so STRINGS DO NOT RIDE THE SHUFFLE — only
+    (key_hash, id, identity_hash) rows do (24 B/key). Stages:
+
+    1. per batch: `_deletion2_keys` hashes (0/1/2 deletions), local
+       (key, id) dedup; ONE coarse-bucket groupby; per bucket the
+       key-sort + offset-sweep yields candidate id pairs, identical
+       names pre-filtered by identity hash; local pair dedup;
+    2. one pair-cardinality groupby dedups candidates that met under
+       several shared variants/buckets;
+    3. strings are re-attached from a size-guarded broadcast id->string
+       map (``max_broadcast``; the verify stage is per-batch and the
+       map is dimension-sized — this operator targets entity/name
+       tables, not corpora) and the banded DP emits exact distances.
+
+    Output: (id_a, id_b, dist) rows with dist in {1, 2}.
+    """
+    import ray
+    from ray.data.aggregate import Count
+
+    def emit(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[s_col]))
+        names = batch[s_col]
+        if isinstance(names, pa.ChunkedArray):
+            names = names.combine_chunks()
+        keys, rows = _deletion2_keys(names)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[rows]
+        nh = _name_hashes(names)[rows]
+        t = pa.table({
+            "k": pa.array(keys.astype(np.int64)),
+            "id": pa.array(ids),
+            "nh": pa.array(nh.astype(np.int64)),
+        })
+        t = t.group_by(["k", "id"], use_threads=False).aggregate(
+            [("nh", "first")]).rename_columns(["k", "id", "nh"])
+        bucket = (t["k"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                  % np.uint64(num_buckets)).astype(np.int64)
+        return t.append_column("_bucket", pa.array(bucket))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[("k", "ascending"),
+                                            ("id", "ascending")])
+        g = g.take(idx)
+        k = g["k"].to_numpy(zero_copy_only=False)
+        ids = g["id"].to_numpy(zero_copy_only=False)
+        nh = g["nh"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        ia_all, ib_all = [], []
+        d = 1
+        while d < n:
+            same = k[d:] == k[:-d]
+            if not same.any():
+                break
+            t0 = np.flatnonzero(same)
+            ia_all.append(t0)
+            ib_all.append(t0 + d)
+            d += 1
+        if not ia_all:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        differ = nh[ia] != nh[ib]  # identical strings are distance 0
+        ia, ib = ia[differ], ib[differ]
+        a = np.minimum(ids[ia], ids[ib])
+        b = np.maximum(ids[ia], ids[ib])
+        pairs = np.unique(np.stack([a, b], axis=1), axis=0)  # local dedup
+        return pa.table({"id_a": pa.array(pairs[:, 0], pa.int64()),
+                         "id_b": pa.array(pairs[:, 1], pa.int64())})
+
+    cand = (ds.map_batches(emit, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(bucket_pairs, batch_format="pyarrow"))
+    # global pair dedup: the same pair can surface under several shared
+    # variants that hashed into DIFFERENT buckets
+    cand = cand.groupby(["id_a", "id_b"]).aggregate(
+        Count("id_a", alias_name="_c"))
+
+    n_rows = ds.count()
+    if n_rows > max_broadcast:  # pragma: no cover - contract guard
+        raise ValueError(
+            f"fuzzy_join_dist2: {n_rows} rows > max_broadcast guard; "
+            "this operator targets dimension-sized name tables")
+    # id_col must be unique (entity-table PK): the map resolves each
+    # candidate id via first-match index_in
+    m = pa.concat_tables([t for t in ray.get(
+        ds.map_batches(lambda b: pa.table(
+            {"id": b[id_col], "s": b[s_col]}).filter(
+                pc.is_valid(b[s_col])),
+            batch_format="pyarrow").materialize().to_arrow_refs())
+        if t.num_rows]).combine_chunks()
+    map_ref = ray.put((m["id"].combine_chunks(), m["s"].combine_chunks()))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ids_m, strs_m = ray.get(map_ref)
+        sa = strs_m.take(pc.index_in(batch["id_a"], ids_m))
+        sb = strs_m.take(pc.index_in(batch["id_b"], ids_m))
+        dist = _edit_distance_capped(sa, sb, cap=2)
+        keep = (dist >= 1) & (dist <= 2)
+        t = batch.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return t.append_column("dist", pa.array(dist[keep], pa.int64()))
+
+    return cand.map_batches(verify, batch_format="pyarrow")

@@ -1555,3 +1555,51 @@ def test_asof_join_forward(ray_session):
             ts_max = max(r["ts"] for r in cand)
             expect = max(r["v"] for r in cand if r["ts"] == ts_max)
         assert gotb[lr["id"]] == expect, (lr, gotb[lr["id"]], expect)
+
+
+def test_fuzzy_join_dist2_brute_force(ray_session):
+    """Distance-<=2 deletion-neighborhood join == quadratic Levenshtein
+    scan: planted 1- and 2-edit mutations, duplicates, empties,
+    partition invariance."""
+    import ray.data as rd
+
+    from engine.stages.fuzzy import fuzzy_join_dist2
+
+    def lev(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                cur = d[j]
+                d[j] = min(d[j] + 1, d[j - 1] + 1,
+                           prev + (a[i - 1] != b[j - 1]))
+                prev = cur
+        return d[lb]
+
+    rng = np.random.default_rng(9)
+    alpha = "abc"
+    base = ["".join(rng.choice(list(alpha), size=rng.integers(2, 8)))
+            for _ in range(50)]
+    strs = list(base) + ["", "a", "ab", base[0]]  # dup + tiny strings
+    for s in base[:25]:  # planted 1- and 2-edit mutations
+        i = int(rng.integers(0, len(s)))
+        one = s[:i] + s[i + 1:]
+        strs.append(one)                                  # deletion
+        strs.append(s[:i] + "x" + s[i:])                  # insertion
+        if len(one) > 1:
+            k = int(rng.integers(0, len(one)))
+            strs.append(one[:k] + "y" + one[k + 1:])      # del+sub = 2
+
+    expect = set()
+    for i in range(len(strs)):
+        for j in range(i + 1, len(strs)):
+            if 1 <= lev(strs[i], strs[j]) <= 2:
+                expect.add((i, j, lev(strs[i], strs[j])))
+
+    rows = [{"id": i, "name": s} for i, s in enumerate(strs)]
+    for nparts in (1, 8):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = fuzzy_join_dist2(ds, "id", "name", num_buckets=16)
+        got = {(r["id_a"], r["id_b"], r["dist"]) for r in out.take_all()}
+        assert got == expect, (nparts, len(got), len(expect))
