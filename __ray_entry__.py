@@ -51,6 +51,7 @@ _SWEEP_FIRST = (
     "ntile_deciles_events",
     "value_drift_halves_events",
     "rolling_7day_users_events",
+    "ntile_quartiles_by_event_type",
     "fuzzy_name_clusters_customer",
     "heavy_hitters_event_types",
     "weekly_rollup_events",
@@ -75,7 +76,6 @@ _SWEEP_FIRST = (
     "rolling_sum_events",
     "tfidf_top_term_documents",
     "chunk_documents_tokens",
-    "pivot_events_by_type",
     "cumulative_new_users_events",
     "ngram_docfreq_documents",
     "fd_check_lineitem_returnflag",
@@ -118,6 +118,7 @@ _SWEEP_FIRST = (
     "value_percentiles_cont_events",
     "fuzzy_name_pairs_customer",
     "fuzzy_name_pairs2_customer",
+    "pivot_events_by_type",
     "percentage_range_discount",
     "ssn_mask_format_customer_name",
     "multimodal_decode_features",

@@ -3940,3 +3940,53 @@ def fuzzy_name_pairs2_customer(sf_dir: str) -> pa.Table:
                          "id_b": pa.array([], pa.int64()),
                          "dist": pa.array([], pa.int64())})
     return t.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+@query(
+    "ntile_quartiles_by_event_type",
+    """
+    WITH r AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             NTILE(4) OVER (PARTITION BY event_type
+                            ORDER BY value, event_id) AS quartile
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, quartile, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+    FROM r GROUP BY event_type, quartile ORDER BY event_type, quartile
+    """,
+)
+def ntile_quartiles_by_event_type(sf_dir: str) -> pa.Table:
+    """Grouped NTILE — NTILE(4) OVER (PARTITION BY event_type ORDER BY
+    value, event_id) via stages/windows.ntile_by_group (one bucket
+    shuffle, segment-rebased positional closed form — the grouped
+    complement of the boundary-selection global NTILE). Emitted as
+    per-(type, quartile) count and integer-cent sums."""
+    from .stages.windows import ntile_by_group
+
+    ds = _t(sf_dir, "events", ["event_type", "value", "event_id"])
+    # integer cents ride the one shuffle as a carry column — no
+    # corpus-sized id->value lookup downstream
+    proj = ds.map_batches(
+        lambda b: pa.table({"event_type": b["event_type"],
+                            "value": b["value"],
+                            "event_id": b["event_id"],
+                            "cents": _cents(b["value"])}),
+        batch_format="pyarrow")
+    tiled = ntile_by_group(proj, "event_type", "value", "event_id", 4,
+                           carry_cols=("cents",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"event_type": batch["event_type"],
+                      "quartile": batch["tile"], "cents": batch["cents"]})
+        g = t.group_by(["event_type", "quartile"]).aggregate(
+            [([], "count_all"), ("cents", "sum")])
+        return g.rename_columns(["event_type", "quartile", "n", "sum_cents"])
+
+    parts = _collect(tiled.map_batches(partial, batch_format="pyarrow"))
+    g = (parts.group_by(["event_type", "quartile"]).aggregate(
+            [("n", "sum"), ("sum_cents", "sum")])
+         .rename_columns(["event_type", "quartile", "n", "sum_cents"]))
+    return g.sort_by([("event_type", "ascending"),
+                      ("quartile", "ascending")])

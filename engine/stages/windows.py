@@ -369,3 +369,64 @@ def range_window_sum(ds, key_col: str, ts_col: str, id_col: str,
         .groupby("_bucket")
         .map_groups(bucket_range, batch_format="pyarrow")
     )
+
+
+def ntile_by_group(ds, group_col: str, order_col: str, id_col: str,
+                   n_tiles: int, num_buckets: int = 64,
+                   carry_cols: tuple[str, ...] = ()):
+    """Grouped NTILE — ``NTILE(n) OVER (PARTITION BY group ORDER BY
+    (order_col, id_col))`` with NULL order values excluded.
+
+    The grouped complement of ``selection.ntile_assign`` (which handles
+    ONE global ordering via boundary selection): a group lives wholly
+    in one hash bucket, so the bucket-then-vectorize idiom applies —
+    ONE (group, order, id) sort per bucket, segment-rebased positions,
+    and NTILE's positional closed form (first ``size % n`` tiles get
+    ``size // n + 1`` rows) evaluated with pure array arithmetic across
+    every group in the bucket. Output: (group, id, *carry_cols, tile);
+    ``carry_cols`` ride the one shuffle so downstream aggregates never
+    need a corpus-sized id->value lookup.
+    """
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        cols = {group_col: batch[group_col], order_col: batch[order_col],
+                id_col: batch[id_col]}
+        cols.update({c: batch[c] for c in carry_cols})
+        t = pa.table(cols)
+        t = t.filter(pc.is_valid(t[order_col]))
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of(t[group_col], num_buckets)))
+
+    def bucket_ntile(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (group_col, "ascending"), (order_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g[group_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        new_seg = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.flatnonzero(new_seg)
+        sizes_per_seg = np.diff(np.append(starts, n))
+        pos = np.arange(n) - starts[seg_id]          # 0-based within group
+        size = sizes_per_seg[seg_id]
+        q, r = size // n_tiles, size % n_tiles
+        head = r * (q + 1)                           # rows in the big tiles
+        in_head = pos < head
+        tile = np.where(
+            in_head,
+            pos // np.maximum(q + 1, 1),
+            r + (pos - head) // np.maximum(q, 1),
+        ) + 1
+        out = {group_col: keys, id_col: g[id_col]}
+        out.update({c: g[c] for c in carry_cols})
+        out["tile"] = pa.array(tile.astype(np.int64))
+        return pa.table(out)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(bucket_ntile, batch_format="pyarrow"))

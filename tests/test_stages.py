@@ -1603,3 +1603,35 @@ def test_fuzzy_join_dist2_brute_force(ray_session):
         out = fuzzy_join_dist2(ds, "id", "name", num_buckets=16)
         got = {(r["id_a"], r["id_b"], r["dist"]) for r in out.take_all()}
         assert got == expect, (nparts, len(got), len(expect))
+
+
+def test_ntile_by_group_brute_force(ray_session):
+    """Grouped NTILE == positional bucketing of each group's sorted
+    (value, id) order — uneven sizes, ties, groups smaller than n_tiles,
+    null order values excluded, partition invariance."""
+    import ray.data as rd
+
+    from engine.stages.windows import ntile_by_group
+
+    rng = np.random.default_rng(17)
+    rows = [{"grp": f"g{int(rng.integers(0, 7))}",
+             "v": (None if i % 17 == 0 else float(rng.integers(0, 6))),
+             "id": i} for i in range(300)]
+    expect = {}
+    for gname in {r["grp"] for r in rows}:
+        live = sorted((r["v"], r["id"]) for r in rows
+                      if r["grp"] == gname and r["v"] is not None)
+        m, tiles = len(live), 4
+        q, rr = divmod(m, tiles)
+        pos = 0
+        for t in range(tiles):
+            size = q + (1 if t < rr else 0)
+            for _, i in live[pos:pos + size]:
+                expect[i] = t + 1
+            pos += size
+
+    for nparts in (1, 9):
+        ds = rd.from_items(rows).repartition(nparts)
+        out = ntile_by_group(ds, "grp", "v", "id", 4, num_buckets=8)
+        got = {r["id"]: r["tile"] for r in out.take_all()}
+        assert got == expect, nparts
