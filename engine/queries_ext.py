@@ -3985,6 +3985,11 @@ def ntile_quartiles_by_event_type(sf_dir: str) -> pa.Table:
         return g.rename_columns(["event_type", "quartile", "n", "sum_cents"])
 
     parts = _collect(tiled.map_batches(partial, batch_format="pyarrow"))
+    if parts.num_rows == 0:  # all values NULL: the oracle yields 0 rows
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "quartile": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "sum_cents": pa.array([], pa.int64())})
     g = (parts.group_by(["event_type", "quartile"]).aggregate(
             [("n", "sum"), ("sum_cents", "sum")])
          .rename_columns(["event_type", "quartile", "n", "sum_cents"]))

@@ -41,16 +41,18 @@ from .textfeat import byte_view
 _R = np.uint64(1099511628211)  # FNV prime as the polynomial base
 
 
-def _hash_prefixes(names: pa.Array):
+def _hash_prefixes(names: pa.Array, levels: int = 2):
     """Shared polynomial-hash kernel: per-flat-byte weighted prefix sums.
 
-    Returns (offs, lens, pos, cpre_hi, cpre_lo): ``cpre_hi[x]`` is the
-    exclusive prefix sum of ``byte * r^(pos+1)`` (the "kept at its
-    slot" weighting that defines the identity hash), ``cpre_lo`` the
-    same with ``r^pos`` (char shifted left by a deletion). Both
-    _deletion_keys and _name_hashes derive from THIS kernel, so the
-    distance-0 pre-filter's hash is bit-identical to the join key's by
-    construction.
+    Returns (offs, lens, pos, cpre_hi, cpre_lo[, cpre_lo2]):
+    ``cpre_hi[x]`` is the exclusive prefix sum of ``byte * r^(pos+1)``
+    (the "kept at its slot" weighting that defines the identity hash),
+    ``cpre_lo`` the same with ``r^pos`` (char shifted left by ONE
+    deletion), and — with ``levels=3`` — ``cpre_lo2`` with ``r^(pos-1)``
+    (shifted by TWO deletions; pos<2 entries are garbage that cancels
+    inside every window difference taken at pos >= 2). Every deletion
+    key, identity hash and distance-0 pre-filter derives from THIS
+    kernel, so the whole key domain is bit-identical by construction.
     """
     data, offs = byte_view(names)
     lens = np.diff(offs)
@@ -71,7 +73,28 @@ def _hash_prefixes(names: pa.Array):
         [np.zeros(1, np.uint64), np.cumsum(w_hi, dtype=np.uint64)])
     cpre_lo = np.concatenate(
         [np.zeros(1, np.uint64), np.cumsum(w_lo, dtype=np.uint64)])
-    return offs, lens, pos, cpre_hi, cpre_lo
+    if levels == 2:
+        return offs, lens, pos, cpre_hi, cpre_lo
+    w_lo2 = b * powers[np.maximum(pos - 1, 0)]
+    cpre_lo2 = np.concatenate(
+        [np.zeros(1, np.uint64), np.cumsum(w_lo2, dtype=np.uint64)])
+    return offs, lens, pos, cpre_hi, cpre_lo, cpre_lo2
+
+
+def _del1_and_id(offs, lens, pos, cpre_hi, cpre_lo):
+    """(del1_keys, del1_rows, id_keys) from precomputed prefixes —
+    shared by the distance-1 and distance-2 key generators."""
+    n = len(offs) - 1
+    flat = pos + np.repeat(offs[:-1], lens)
+    prefix = cpre_hi[flat] - np.repeat(cpre_hi[offs[:-1]], lens)
+    suffix = np.repeat(cpre_lo[offs[1:]], lens) - cpre_lo[flat + 1]
+    del_keys = prefix + suffix + np.repeat(
+        (lens - 1).astype(np.uint64), lens)
+    # identity hash of each full string (0 for empty strings)
+    full = cpre_hi[offs[1:]] - cpre_hi[offs[:-1]]
+    id_keys = full + lens.astype(np.uint64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return del_keys, rows, id_keys
 
 
 def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
@@ -82,17 +105,10 @@ def _deletion_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     """
     offs, lens, pos, cpre_hi, cpre_lo = _hash_prefixes(names)
     n = len(offs) - 1
-    flat = pos + np.repeat(offs[:-1], lens)
-    prefix = cpre_hi[flat] - np.repeat(cpre_hi[offs[:-1]], lens)
-    suffix = np.repeat(cpre_lo[offs[1:]], lens) - cpre_lo[flat + 1]
-    del_keys = prefix + suffix + np.repeat(
-        (lens - 1).astype(np.uint64), lens)
-    # identity hash of each full string (0 for empty strings)
-    full = cpre_hi[offs[1:]] - cpre_hi[offs[:-1]]
-    id_keys = full + lens.astype(np.uint64)
+    del_keys, del_rows, id_keys = _del1_and_id(offs, lens, pos,
+                                               cpre_hi, cpre_lo)
     keys = np.concatenate([del_keys, id_keys])
-    rows = np.concatenate([np.repeat(np.arange(n, dtype=np.int64), lens),
-                           np.arange(n, dtype=np.int64)])
+    rows = np.concatenate([del_rows, np.arange(n, dtype=np.int64)])
     return keys, rows
 
 
@@ -226,49 +242,30 @@ def fuzzy_join_dist1(ds, id_col: str, s_col: str, num_buckets: int = 128):
 # Edit distance <= 2: 2-deletion neighborhoods + banded-DP verification
 # ---------------------------------------------------------------------------
 
-def _deletion2_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+def _deletion2_keys(
+        names: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """All deletion-variant hashes for distance <= 2 (0, 1 and 2 chars
-    deleted) for a batch. Returns (keys, row_idx).
+    deleted) for a batch. Returns (keys, row_idx, id_hashes) — the
+    per-string identity hashes come for free from the shared kernel
+    (they ARE the 0-deletion keys) and feed the distance-0 pre-filter.
 
     FastSS: ed(s, t) <= 2 iff the <=2-deletion neighborhoods intersect.
     A variant with positions i < j deleted hashes as
     ``prefix(i) + mid(i, j) + suffix(j) + (L - 2)`` where chars before
     i keep weight r^(x+1), chars between shift to r^x and chars after j
-    shift to r^(x-1) — all three from global prefix sums, so EVERY
-    variant of every string in the batch comes out of three cumsums
-    plus per-length-class broadcasting (no per-variant Python). The
+    shift to r^(x-1) — ONE `_hash_prefixes(levels=3)` kernel call plus
+    per-length-class broadcasting (no per-variant Python). The
     weighting makes a variant hash equal the IDENTITY hash of the
     deleted string, so 0-, 1- and 2-deletion keys share one domain and
     cross-length matches (|len(s)-len(t)| in {0,1,2}) meet in the same
     groupby key space as `_deletion_keys`.
     """
-    keys1, rows1 = _deletion_keys(names)  # 0- and 1-deletion variants
+    offs, lens, pos, cp1, cp2, cp3 = _hash_prefixes(names, levels=3)
+    n = len(offs) - 1
+    del1_keys, del1_rows, id_keys = _del1_and_id(offs, lens, pos, cp1, cp2)
 
-    data, offs = byte_view(names)
-    lens = np.diff(offs)
-    max_len = int(lens.max()) if len(lens) else 0
-    powers = np.empty(max_len + 2, dtype=np.uint64)
-    powers[0] = np.uint64(1)
-    with np.errstate(over="ignore"):
-        for i in range(1, max_len + 2):
-            powers[i] = powers[i - 1] * _R
-    pos = np.arange(int(offs[-1]), dtype=np.int64) - np.repeat(
-        offs[:-1], lens)
-    b = data.astype(np.uint64)
-    w1 = b * powers[pos + 1]
-    w2 = b * powers[pos]
-    w3 = b * powers[np.maximum(pos - 1, 0)]  # pos<2 never contributes:
-    # mid/suffix windows start at x > j >= 1, and prefix uses w1 only —
-    # the garbage at pos 0 cancels inside every cpre3 difference
-    cp1 = np.concatenate([np.zeros(1, np.uint64),
-                          np.cumsum(w1, dtype=np.uint64)])
-    cp2 = np.concatenate([np.zeros(1, np.uint64),
-                          np.cumsum(w2, dtype=np.uint64)])
-    cp3 = np.concatenate([np.zeros(1, np.uint64),
-                          np.cumsum(w3, dtype=np.uint64)])
-
-    out_keys = [keys1]
-    out_rows = [rows1]
+    out_keys = [del1_keys, id_keys]
+    out_rows = [del1_rows, np.arange(n, dtype=np.int64)]
     for length in np.unique(lens):
         ln = int(length)
         if ln < 2:
@@ -282,7 +279,7 @@ def _deletion2_keys(names: pa.Array) -> tuple[np.ndarray, np.ndarray]:
         k2 = pre + mid + suf + np.uint64(ln - 2)
         out_keys.append(k2.ravel())
         out_rows.append(np.repeat(members.astype(np.int64), len(ii)))
-    return np.concatenate(out_keys), np.concatenate(out_rows)
+    return np.concatenate(out_keys), np.concatenate(out_rows), id_keys
 
 
 def _edit_distance_capped(na: pa.Array, nb: pa.Array,
@@ -341,37 +338,54 @@ def _edit_distance_capped(na: pa.Array, nb: pa.Array,
 
 
 def fuzzy_join_dist2(ds, id_col: str, s_col: str, num_buckets: int = 256,
-                     max_broadcast: int = 2_000_000):
+                     max_broadcast: int = 2_000_000,
+                     max_str_len: int = 512):
     """All id pairs (a < b) with Levenshtein distance 1 or 2.
 
     Unlike :func:`fuzzy_join_dist1`, the <=2-deletion neighborhood is
     ~L^2/2 keys per string, so STRINGS DO NOT RIDE THE SHUFFLE — only
     (key_hash, id, identity_hash) rows do (24 B/key). Stages:
 
-    1. per batch: `_deletion2_keys` hashes (0/1/2 deletions), local
+    1. the (id, string) projection is materialized ONCE and feeds
+       everything (the row-count guard, the key pipeline and the
+       broadcast verify map — a lazy input re-executes per consumer);
+    2. per batch: `_deletion2_keys` hashes (0/1/2 deletions), local
        (key, id) dedup; ONE coarse-bucket groupby; per bucket the
        key-sort + offset-sweep yields candidate id pairs, identical
-       names pre-filtered by identity hash; local pair dedup;
-    2. one pair-cardinality groupby dedups candidates that met under
+       names pre-filtered by identity hash; local pair dedup; then one
+       pair-cardinality groupby dedups candidates that met under
        several shared variants/buckets;
-    3. strings are re-attached from a size-guarded broadcast id->string
-       map (``max_broadcast``; the verify stage is per-batch and the
-       map is dimension-sized — this operator targets entity/name
-       tables, not corpora) and the banded DP emits exact distances.
+    3. strings are re-attached from the broadcast id->string map and
+       the banded DP emits exact distances.
+
+    Guards: ``max_broadcast`` rows (the verify map is driver/worker
+    resident — this operator targets entity/name tables, not corpora)
+    and ``max_str_len`` bytes per string (the L^2/2 key fan-out and the
+    (n_L, L^2/2) hashing intermediates are quadratic in string length;
+    one 10k-char outlier would alone emit ~50M keys).
 
     Output: (id_a, id_b, dist) rows with dist in {1, 2}.
     """
     import ray
     from ray.data.aggregate import Count
 
+    proj = ds.map_batches(
+        lambda b: pa.table({"id": b[id_col], "s": b[s_col]}).filter(
+            pc.is_valid(b[s_col])), batch_format="pyarrow").materialize()
+
     def emit(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(pc.is_valid(batch[s_col]))
-        names = batch[s_col]
+        names = batch["s"]
         if isinstance(names, pa.ChunkedArray):
             names = names.combine_chunks()
-        keys, rows = _deletion2_keys(names)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[rows]
-        nh = _name_hashes(names)[rows]
+        max_len = int(pc.max(pc.binary_length(names)).as_py() or 0)
+        if max_len > max_str_len:
+            raise ValueError(
+                f"fuzzy_join_dist2: a string of {max_len} bytes exceeds "
+                f"max_str_len={max_str_len}; the 2-deletion key fan-out "
+                "is quadratic in string length — truncate or pre-filter")
+        keys, rows, id_hashes = _deletion2_keys(names)
+        ids = batch["id"].to_numpy(zero_copy_only=False)[rows]
+        nh = id_hashes[rows]
         t = pa.table({
             "k": pa.array(keys.astype(np.int64)),
             "id": pa.array(ids),
@@ -415,27 +429,25 @@ def fuzzy_join_dist2(ds, id_col: str, s_col: str, num_buckets: int = 256,
         return pa.table({"id_a": pa.array(pairs[:, 0], pa.int64()),
                          "id_b": pa.array(pairs[:, 1], pa.int64())})
 
-    cand = (ds.map_batches(emit, batch_format="pyarrow")
-              .groupby("_bucket")
-              .map_groups(bucket_pairs, batch_format="pyarrow"))
+    n_rows = proj.count()  # materialized: metadata-cheap
+    if n_rows > max_broadcast:  # pragma: no cover - contract guard
+        raise ValueError(
+            f"fuzzy_join_dist2: {n_rows} rows > max_broadcast guard; "
+            "this operator targets dimension-sized name tables")
+
+    cand = (proj.map_batches(emit, batch_format="pyarrow")
+                .groupby("_bucket")
+                .map_groups(bucket_pairs, batch_format="pyarrow"))
     # global pair dedup: the same pair can surface under several shared
     # variants that hashed into DIFFERENT buckets
     cand = cand.groupby(["id_a", "id_b"]).aggregate(
         Count("id_a", alias_name="_c"))
 
-    n_rows = ds.count()
-    if n_rows > max_broadcast:  # pragma: no cover - contract guard
-        raise ValueError(
-            f"fuzzy_join_dist2: {n_rows} rows > max_broadcast guard; "
-            "this operator targets dimension-sized name tables")
     # id_col must be unique (entity-table PK): the map resolves each
     # candidate id via first-match index_in
-    m = pa.concat_tables([t for t in ray.get(
-        ds.map_batches(lambda b: pa.table(
-            {"id": b[id_col], "s": b[s_col]}).filter(
-                pc.is_valid(b[s_col])),
-            batch_format="pyarrow").materialize().to_arrow_refs())
-        if t.num_rows]).combine_chunks()
+    m = pa.concat_tables(
+        [t for t in ray.get(proj.to_arrow_refs()) if t.num_rows]
+    ).combine_chunks()
     map_ref = ray.put((m["id"].combine_chunks(), m["s"].combine_chunks()))
 
     def verify(batch: pa.Table) -> pa.Table:

@@ -406,9 +406,16 @@ def ntile_by_group(ds, group_col: str, order_col: str, id_col: str,
         keys = g[group_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
+        # NULL group keys form their OWN partition (SQL PARTITION BY):
+        # null-aware adjacency — nulls equal each other, differ from
+        # every value (pc.not_equal alone yields null there, which
+        # astype(bool) would silently turn into "same segment")
+        a, b = keys.slice(1, n - 1), keys.slice(0, n - 1)
+        same = pc.or_kleene(
+            pc.fill_null(pc.equal(a, b), False),
+            pc.and_(pc.is_null(a), pc.is_null(b)))
         new_seg = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+            [[True], ~same.to_numpy(zero_copy_only=False).astype(bool)])
         seg_id = np.cumsum(new_seg) - 1
         starts = np.flatnonzero(new_seg)
         sizes_per_seg = np.diff(np.append(starts, n))

@@ -1614,7 +1614,8 @@ def test_ntile_by_group_brute_force(ray_session):
     from engine.stages.windows import ntile_by_group
 
     rng = np.random.default_rng(17)
-    rows = [{"grp": f"g{int(rng.integers(0, 7))}",
+    # grp None: SQL PARTITION BY makes NULL its own partition
+    rows = [{"grp": (None if i % 11 == 0 else f"g{int(rng.integers(0, 7))}"),
              "v": (None if i % 17 == 0 else float(rng.integers(0, 6))),
              "id": i} for i in range(300)]
     expect = {}
