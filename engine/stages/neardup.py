@@ -744,9 +744,22 @@ def mark_near_duplicates(
     jaccard_threshold: float = 0.8,
     num_partitions: int | None = None,
     max_broadcast_losers: int | None = None,
+    keep: str = "min_key",
+    quality_col: str | None = None,
 ):
     """Corpus-level near-dedup: append ``near_dup_flag`` (True = drop, the
     row is a non-representative member of a near-dup cluster).
+
+    ``keep`` selects the cluster representative: ``"min_key"`` (default,
+    deterministic, unbounded scale) keeps the minimum-key member;
+    ``"max_quality"`` keeps the member with the greatest ``quality_col``
+    (ties -> min key; NULL quality never wins unless the whole cluster
+    is NULL) — the curation policy that retains the BEST near-duplicate
+    instead of an arbitrary one. Quality selection materializes the
+    cluster-member (key, label, quality) rows driver-side — near-dup-
+    SET-sized, bounded by ``max_broadcast_losers`` (raises beyond it;
+    fall back to ``min_key`` for corpora whose near-dup set itself
+    outgrows memory).
 
     Composition of the distributed primitives: a deterministic string key
     is derived from ``id_cols``, clusters come from
@@ -785,9 +798,81 @@ def mark_near_duplicates(
         num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold,
         num_coarse_buckets=coarse_buckets_for(n_docs, bands))
 
+    def _all_false():
+        return keyed.map_batches(
+            lambda b: b.append_column(
+                "near_dup_flag",
+                pa.array(np.zeros(b.num_rows, bool))).drop_columns(
+                    ["_nd_key"]),
+            batch_format="pyarrow")
+
+    def _flag_from_broadcast(loser_arr: pa.Array):
+        import ray
+
+        loser_ref = ray.put(loser_arr)
+
+        def flag(batch: pa.Table) -> pa.Table:
+            vals = ray.get(loser_ref)
+            f = pc.is_in(batch["_nd_key"], value_set=vals)
+            return batch.drop_columns(["_nd_key"]).append_column(
+                "near_dup_flag", pc.fill_null(f, False))
+
+        return keyed.map_batches(flag, batch_format="pyarrow")
+
+    if keep not in ("min_key", "max_quality"):
+        raise ValueError(f"keep={keep!r}")
+    if keep == "max_quality":
+        import ray
+
+        if quality_col is None:
+            raise ValueError("keep='max_quality' requires quality_col")
+        lab_tabs = [t for t in ray.get(
+            labels.materialize().to_arrow_refs()) if t.num_rows]
+        if not lab_tabs:
+            return _all_false()
+        lab = pa.concat_tables(lab_tabs).combine_chunks()
+        if lab.num_rows > max_broadcast_losers:
+            raise ValueError(
+                f"max_quality selection needs the {lab.num_rows}-row "
+                "cluster-member set driver-side, above "
+                f"max_broadcast_losers={max_broadcast_losers}; use "
+                "keep='min_key' at this near-dup-set scale")
+        member_ref = ray.put(lab["key"].combine_chunks().cast(pa.string()))
+
+        def member_quality(batch: pa.Table) -> pa.Table:
+            t = pa.table({"_nd_key": batch["_nd_key"],
+                          "_q": batch[quality_col]})
+            hit = pc.is_in(t["_nd_key"], value_set=ray.get(member_ref))
+            return t.filter(pc.fill_null(hit, False))
+
+        q = pa.concat_tables([t for t in ray.get(
+            keyed.map_batches(member_quality, batch_format="pyarrow")
+                 .materialize().to_arrow_refs()) if t.num_rows]
+        ).combine_chunks()
+        qual = pc.take(q["_q"].combine_chunks(), pc.index_in(
+            lab["key"].combine_chunks().cast(pa.string()),
+            q["_nd_key"].combine_chunks().cast(pa.string())))
+        t = pa.table({"label": lab["label"], "key": lab["key"], "q": qual})
+        # winner per cluster: greatest quality, tie -> min key; NULL
+        # quality sorts last (never wins unless the cluster is all-NULL)
+        idx = pc.sort_indices(t, sort_keys=[
+            ("label", "ascending"), ("q", "descending"),
+            ("key", "ascending")])
+        t = t.take(idx)
+        labs = t["label"].combine_chunks()
+        n = len(labs)
+        neq = pc.not_equal(labs.slice(1, n - 1), labs.slice(0, n - 1))
+        first = np.concatenate(
+            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        loser_arr = t["key"].combine_chunks().cast(pa.string()).filter(
+            pa.array(~first))
+        if len(loser_arr) == 0:
+            return _all_false()
+        return _flag_from_broadcast(loser_arr)
+
     def losers_only(batch: pa.Table) -> pa.Table:
-        keep = pc.not_equal(batch["key"], batch["label"])
-        t = batch.filter(keep)
+        mask = pc.not_equal(batch["key"], batch["label"])
+        t = batch.filter(mask)
         n = t.num_rows
         return pa.table({"_nd_key": t["key"],
                          "_nd_loser": pa.array(np.ones(n, np.int8))})
@@ -797,31 +882,17 @@ def mark_near_duplicates(
 
     n_losers = losers.count()
     if not n_losers:
-        return keyed.map_batches(
-            lambda b: b.append_column(
-                "near_dup_flag",
-                pa.array(np.zeros(b.num_rows, bool))).drop_columns(["_nd_key"]),
-            batch_format="pyarrow")
+        return _all_false()
 
     if n_losers <= max_broadcast_losers:
-        import ray
-
         parts = []
         for b in losers.iter_batches(batch_size=1 << 16,
                                      batch_format="pyarrow"):
             col = b["_nd_key"]
             parts.append(col.combine_chunks()
                          if isinstance(col, pa.ChunkedArray) else col)
-        loser_ref = ray.put(pa.concat_arrays(
+        return _flag_from_broadcast(pa.concat_arrays(
             [p.cast(pa.string()) for p in parts]))
-
-        def flag_broadcast(batch: pa.Table) -> pa.Table:
-            vals = ray.get(loser_ref)
-            flag = pc.is_in(batch["_nd_key"], value_set=vals)
-            return batch.drop_columns(["_nd_key"]).append_column(
-                "near_dup_flag", pc.fill_null(flag, False))
-
-        return keyed.map_batches(flag_broadcast, batch_format="pyarrow")
 
     # rare fallback (loser set too large to broadcast): the corpus must
     # ride the join exchange, and a filtered/derived input can carry empty

@@ -637,3 +637,40 @@ def test_mark_near_duplicates_broadcast_equals_join(ray_session):
                                         max_broadcast_losers=0))
     assert bcast == joined
     assert any(f for _, _, f in bcast)  # some near-dups planted
+
+
+def test_mark_near_duplicates_max_quality(ray_session):
+    """keep="max_quality": the cluster representative is the member with
+    the greatest quality (ties -> min key), flag COUNT matches min_key,
+    and a NULL-quality member never wins over a scored one."""
+    import ray.data as rd
+
+    from engine.stages.neardup import mark_near_duplicates
+
+    rows = []
+    for i in range(6):  # one 6-member cluster; best quality at i=4
+        rows.append({"repo": "r1", "path": f"a/{i}.py", "commit": f"c{i}",
+                     "content": BASE + f" tiny-suffix-{i}",
+                     "score": [0.1, 0.5, 0.3, None, 0.9, 0.2][i]})
+    for i in range(8):  # distinct docs, never flagged
+        rows.append({"repo": "r2", "path": f"b/{i}.py", "commit": f"d{i}",
+                     "content": f"wholly different program number {i} " * 10
+                     + str(i * 104729), "score": 0.01})
+    ds = rd.from_items(rows).repartition(4)
+    out = mark_near_duplicates(ds, jaccard_threshold=0.6,
+                               keep="max_quality", quality_col="score")
+    flags = {(r["repo"], r["path"]): r["near_dup_flag"]
+             for r in out.take_all()}
+    assert len(flags) == 14
+    dropped = {k for k, v in flags.items() if v}
+    assert len(dropped) == 5 and all(k[0] == "r1" for k in dropped)
+    assert ("r1", "a/4.py") not in dropped    # max-quality member kept
+    assert ("r1", "a/0.py") in dropped        # min-key member now drops
+    assert ("r1", "a/3.py") in dropped        # NULL quality never wins
+
+    # same clusters, min_key policy: identical flag count, different rep
+    base = mark_near_duplicates(ds, jaccard_threshold=0.6)
+    bflags = {(r["repo"], r["path"]): r["near_dup_flag"]
+              for r in base.take_all()}
+    assert sum(bflags.values()) == 5
+    assert not bflags[("r1", "a/0.py")]
