@@ -41,6 +41,32 @@ def compact(ds, num_partitions: int = 16):
 DEFAULT_KEY_BUCKETS = 256  # coarse shuffle keys for bucketed groupbys
 
 
+def new_segment_mask(keys, n: int):
+    """Per-row "starts a new key segment" boolean mask over a SORTED key
+    column — NULL-aware: NULL keys form their OWN single partition
+    (matching SQL ``PARTITION BY`` / ``GROUP BY``, where NULLs group with
+    each other and with nothing else). Plain ``pc.not_equal`` yields null
+    at every null boundary, and ``astype(bool)`` silently turns that into
+    "same segment" — merging null-key rows into the preceding key's frame
+    AND merging the first real key after a null run (verified: a second
+    comparison against a null is null too). ``pc.sort_indices`` places
+    nulls contiguously (at_end), so one adjacent compare suffices."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if n <= 1:
+        return np.ones(n, dtype=bool)
+    a, b = keys.slice(1, n - 1), keys.slice(0, n - 1)
+    same = pc.or_kleene(
+        pc.fill_null(pc.equal(a, b), False),
+        pc.and_(pc.is_null(a), pc.is_null(b)))
+    return np.concatenate(
+        [[True], ~same.to_numpy(zero_copy_only=False).astype(bool)])
+
+
 def key_bucket(t, columns, num_buckets: int):
     """Deterministic coarse bucket of a multi-column key: per-column
     64-bit hashes (ints direct, strings via the vectorized FNV kernel,

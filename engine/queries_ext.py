@@ -33,6 +33,7 @@ def _ts_us(col):
 # broadcast-side row guard for cross-table probes (tests shrink it to
 # exercise the distributed-join fallback); one shared knob in dsutil
 from .dsutil import DEFAULT_MAX_BROADCAST_KEYS as MAX_BROADCAST_ROWS  # noqa: E402
+from .dsutil import new_segment_mask  # noqa: E402
 
 
 # ===========================================================================
@@ -1046,9 +1047,7 @@ def top_docs_per_lang(sf_dir: str) -> pa.Table:
         n = t.num_rows
         if n == 0:
             return t
-        neq = pc.not_equal(langs.slice(1, n - 1), langs.slice(0, n - 1))
-        new_key = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        new_key = new_segment_mask(langs, n)
         grp_start = np.maximum.accumulate(
             np.where(new_key, np.arange(n), 0))
         rank_in_key = np.arange(n) - grp_start
@@ -1062,9 +1061,7 @@ def top_docs_per_lang(sf_dir: str) -> pa.Table:
     t = t.take(idx)
     langs = t["lang"]
     n = t.num_rows
-    neq = pc.not_equal(langs.slice(1, n - 1), langs.slice(0, n - 1))
-    new_key = np.concatenate(
-        [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+    new_key = new_segment_mask(langs, n)
     grp_start = np.maximum.accumulate(np.where(new_key, np.arange(n), 0))
     rank = np.arange(n) - grp_start
     t = t.append_column("rn", pa.array(rank + 1, pa.int64()))
@@ -1555,32 +1552,28 @@ def capped_sample_per_source(sf_dir: str) -> pa.Table:
 )
 def grouped_percentiles_docs_by_lang(sf_dir: str) -> pa.Table:
     """Per-group EXACT discrete percentiles (the grouped complement of
-    the global value_percentiles_events): one groupby, per-group sorted
-    selection at index ceil(q*n)-1 — DuckDB quantile_disc semantics,
-    integer-exact for binary-representable q. Partitioning assumption
-    (documented, same as session windows): one group's rows fit in one
-    worker — groups are languages here."""
+    the global value_percentiles_events) via the scale-safe grouped
+    selection (stages/selection.py grouped_exact_quantiles_disc):
+    per-(lang, bin) histogram partials summed driver-side, then boundary
+    selection per group — NO one-group-per-worker assumption (a dominant
+    language that is most of the corpus streams through histogram
+    passes; a group-sized sort would ship it to one worker). DuckDB
+    quantile_disc semantics, integer-exact."""
+    from .stages.selection import grouped_exact_quantiles_disc
+
     ds = _t(sf_dir, "documents", ["lang", "n_chars"])
-
-    def qdisc(group: pa.Table) -> pa.Table:
-        v = group["n_chars"]
-        if isinstance(v, pa.ChunkedArray):
-            v = v.combine_chunks()
-        vals = np.sort(v.to_numpy(zero_copy_only=False))
-        n = len(vals)
-        pick = lambda q: int(vals[int(np.ceil(q * n)) - 1])  # noqa: E731
-        lang = group["lang"][0].as_py()
-        return pa.table({
-            "lang": pa.array([lang]),
-            "n_docs": pa.array([n], pa.int64()),
-            "p25_chars": pa.array([pick(0.25)], pa.int64()),
-            "p50_chars": pa.array([pick(0.50)], pa.int64()),
-            "p75_chars": pa.array([pick(0.75)], pa.int64()),
-        })
-
-    out = ds.groupby("lang").map_groups(qdisc, batch_format="pyarrow")
-    t = pa.Table.from_pylist(out.sort("lang").take_all())
-    return t.select(["lang", "n_docs", "p25_chars", "p50_chars", "p75_chars"])
+    got = grouped_exact_quantiles_disc(ds, "lang", "n_chars",
+                                       [0.25, 0.50, 0.75])
+    langs = sorted(k for k in got if k is not None)
+    if None in got:
+        langs.append(None)  # NULL group last (DuckDB ORDER BY default)
+    return pa.table({
+        "lang": pa.array(langs),
+        "n_docs": pa.array([got[g][0] for g in langs], pa.int64()),
+        "p25_chars": pa.array([int(got[g][1][0]) for g in langs], pa.int64()),
+        "p50_chars": pa.array([int(got[g][1][1]) for g in langs], pa.int64()),
+        "p75_chars": pa.array([int(got[g][1][2]) for g in langs], pa.int64()),
+    })
 
 
 @query(
@@ -1942,8 +1935,12 @@ def fd_check_lineitem_returnflag(sf_dir: str) -> pa.Table:
 
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
     out = fd_violations(ds, "l_orderkey", "l_returnflag")
-    t = _collect(out).sort_by("det")  # violation-sized: local sort
-    return t.select(["det", "n_dep"])
+    t = _collect(out)
+    if t.num_rows == 0:  # zero violations IS the expected outcome on
+        # consistent data; _collect's zero-column table has no 'det'
+        return pa.table({"det": pa.array([], pa.int64()),
+                         "n_dep": pa.array([], pa.int64())})
+    return t.sort_by("det").select(["det", "n_dep"])
 
 
 # ===========================================================================
@@ -1979,7 +1976,14 @@ def max_gap_events_per_user(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts"])
     out = lag_gap_stats(ds, key_col="user_id", ts_col="ts",
                         id_col="event_id")
-    t = _collect(out).sort_by("user_id")  # key-cardinality result
+    t = _collect(out)
+    if t.num_rows == 0:  # every user single-event -> zero gap rows; the
+        # zero-column _collect table would KeyError on sort_by
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_gaps": pa.array([], pa.int64()),
+                         "max_gap_us": pa.array([], pa.int64()),
+                         "sum_gap_us": pa.array([], pa.int64())})
+    t = t.sort_by("user_id")  # key-cardinality result
     return t.select(["user_id", "n_gaps", "max_gap_us", "sum_gap_us"])
 
 
@@ -2705,7 +2709,8 @@ def range_window_sum_events(sf_dir: str) -> pa.Table:
                FROM events GROUP BY 1, 2),
          m AS (SELECT user_id, max(n) AS mx FROM c GROUP BY 1)
     SELECT c.user_id, min(c.event_type) AS mode_type, m.mx AS n_events
-    FROM c JOIN m USING (user_id) WHERE c.n = m.mx
+    FROM c JOIN m ON c.user_id IS NOT DISTINCT FROM m.user_id
+    WHERE c.n = m.mx
     GROUP BY c.user_id, m.mx ORDER BY c.user_id
     """,
 )
@@ -2746,9 +2751,9 @@ def mode_event_type_per_user(sf_dir: str) -> pa.Table:
         if isinstance(users, pa.ChunkedArray):
             users = users.combine_chunks()
         n = g.num_rows
-        neq = pc.not_equal(users.slice(1, n - 1), users.slice(0, n - 1))
-        first = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        # null-aware: a NULL user is its own GROUP BY group (plain
+        # not_equal -> null -> False would silently drop its mode row)
+        first = new_segment_mask(users, n)
         t = g.filter(pa.array(first))
         return pa.table({"user_id": t["user_id"],
                          "mode_type": t["event_type"],
@@ -3021,22 +3026,25 @@ def event_sequence_signature_events(sf_dir: str) -> pa.Table:
         users = g["user_id"]
         if isinstance(users, pa.ChunkedArray):
             users = users.combine_chunks()
-        u = users.to_numpy(zero_copy_only=False)
-        new_key = np.concatenate([[True], u[1:] != u[:-1]])
+        # keys stay in Arrow end-to-end: a numpy round-trip would convert
+        # a null-bearing int64 column to float64 (NaN != NaN makes every
+        # null row its own segment; ids >= 2^53 round) — the
+        # dsutil.key_bucket hazard. new_segment_mask is null-aware.
+        new_key = new_segment_mask(users, n)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
-        keep = (pos - seg_start) < CAP
+        keep = pa.array((pos - seg_start) < CAP)
         types = g["event_type"]
         if isinstance(types, pa.ChunkedArray):
             types = types.combine_chunks()
-        kept_types = types.filter(pa.array(keep))
-        ku = u[keep]
-        starts = np.flatnonzero(
-            np.concatenate([[True], ku[1:] != ku[:-1]]))
-        offsets = np.append(starts, len(ku)).astype(np.int32)
+        kept_types = types.filter(keep)
+        kept_users = users.filter(keep)
+        nk = len(kept_users)
+        starts = np.flatnonzero(new_segment_mask(kept_users, nk))
+        offsets = np.append(starts, nk).astype(np.int32)
         lst = pa.ListArray.from_arrays(pa.array(offsets), kept_types)
         return pa.table({
-            "user_id": pa.array(ku[starts], pa.int64()),
+            "user_id": kept_users.take(pa.array(starts, pa.int64())),
             "sig": pc.binary_join(lst, ">"),
         })
 

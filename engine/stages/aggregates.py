@@ -170,15 +170,13 @@ def _first_k_per_group(t: pa.Table, group_cols, sort_keys, k: int) -> pa.Table:
         return t
     idx = pc.sort_indices(t, sort_keys=sort_keys)
     t = t.take(idx)
+    from ..dsutil import new_segment_mask
+
+    # null-aware per-column boundaries: NULL keys group together (SQL
+    # GROUP BY), so a run of nulls is ONE group, not one group per row
     new = np.zeros(n, dtype=bool)
-    new[0] = True
     for c in group_cols:
-        col = t[c]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        neq = pc.fill_null(
-            pc.not_equal(col.slice(1, n - 1), col.slice(0, n - 1)), True)
-        new[1:] |= neq.to_numpy(zero_copy_only=False).astype(bool)
+        new |= new_segment_mask(t[c], n)
     grp_start = np.maximum.accumulate(np.where(new, np.arange(n), 0))
     rank = np.arange(n) - grp_start
     return t.filter(pa.array(rank < k))

@@ -28,7 +28,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .windows import _bucket_of
+from .windows import _bucket_of, _new_key_mask
 
 
 def asof_join(
@@ -119,8 +119,12 @@ def asof_join(
     def tag_right(batch: pa.Table) -> pa.Table:
         # a null-ts right row can never satisfy the inequality: drop it
         # (sorted at_end it would otherwise be forward-filled as the
-        # "latest" right row of its key)
-        batch = batch.filter(pc.is_valid(batch[right_ts_col]))
+        # "latest" right row of its key); a null-KEY right row can never
+        # satisfy the equality (SQL NULL = NULL is not true) — drop it
+        # too, so null-key LEFT rows (their own segment below) stay
+        # unmatched rather than pairing with null-key right rows
+        batch = batch.filter(pc.and_(pc.is_valid(batch[right_ts_col]),
+                                     pc.is_valid(batch[key_col])))
         key = batch[key_col]
         n = batch.num_rows
         return pa.table({
@@ -157,9 +161,11 @@ def asof_join(
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         side = g["side"].to_numpy(zero_copy_only=False)
-        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
-        new_key = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        # null-aware boundaries: null-key left rows form their own
+        # segment (all right rows with null keys were dropped at tag
+        # time), so they forward-fill nothing and emit unmatched — the
+        # SQL LEFT-join result for a key that equals nothing
+        new_key = _new_key_mask(keys, n)
         pos = np.arange(n)
         # forward-fill the most recent RIGHT row position within each key:
         # right rows carry their own position, key starts reset to a

@@ -28,6 +28,16 @@ Everything is vectorized:
 
 Partitioning: one ``groupby`` on ``hash(key) % num_buckets``; bucket
 rows are (key, id, string) — strings ride the shuffle once.
+
+**Edit-distance unit contract: BYTES, not Unicode code points.** The
+deletion neighborhoods, padding matrices and banded DP all operate on
+UTF-8 bytes, so for non-ASCII input one code-point substitution counts
+as 2–4 byte edits and results diverge from a character-based oracle
+(DuckDB ``levenshtein`` is char-based). On ASCII input (the TPC-H name
+columns these joins target) byte and char distances coincide exactly —
+the same ASCII-equivalence assumption stages/decontam.py documents for
+its shingles. Callers with non-ASCII keys should normalize/transliterate
+first or treat distances as byte-level.
 """
 
 from __future__ import annotations

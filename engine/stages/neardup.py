@@ -669,6 +669,7 @@ def embedding_neardup_edges(
     n_tables: int = 8,
     n_planes: int = 8,
     seed: int = 42,
+    pair_limit_per_bucket: int = 1000,
 ):
     """Distributed embedding near-dup: the whole-set O(n^2) matmul becomes
     a per-bucket kernel behind a sign-random-projection LSH partitioner.
@@ -677,7 +678,16 @@ def embedding_neardup_edges(
     pair collides in at least one of 8 8-plane tables w.p. ~0.99); ONE
     groupby on (table, sig) co-locates each bucket; duplicate pair hits
     across tables are deduplicated with a second (pair-sized) groupby.
-    Returns a Dataset (key_a, key_b)."""
+    Returns a Dataset (key_a, key_b).
+
+    Hot buckets are bounded by the same semantics as the MinHash path's
+    ``_bucket_verify``: star edges from the (key-sorted) bucket head are
+    ALWAYS checked — linear in bucket size, so a degenerate bucket of
+    thousands of identical embeddings (exactly what a near-dup corpus
+    contains) stays fully connected through the head and still collapses
+    to one cluster — while the remaining i>=1 pair comparisons are capped
+    at ``pair_limit_per_bucket`` per bucket, keeping the worst-case
+    per-bucket work O(n + pair_limit) instead of O(n^2)."""
     from .similarity import LSHIndex, _normalize, _vecs_np
 
     dim = len(ds.take(1)[0][vec_col])
@@ -706,15 +716,35 @@ def embedding_neardup_edges(
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         empty = pa.table({"key_a": keys.slice(0, 0), "key_b": keys.slice(0, 0)})
-        if group.num_rows < 2:
+        n = group.num_rows
+        if n < 2:
             return empty
-        pairs = embedding_neardup_pairs(
-            keys.to_pylist(), _vecs_np(group[vec_col]), threshold)
-        if not pairs:
+        # deterministic: key-sort the bucket so the star center and the
+        # cap's scan order never depend on shuffle arrival order; with
+        # sorted keys and i<j every emitted pair is already canonical
+        # (key_a <= key_b) for the cross-table dedup groupby
+        order = pc.sort_indices(keys)
+        keys = keys.take(order)
+        v = _normalize(_vecs_np(group[vec_col]))[order.to_numpy()]
+        ia: list[int] = []
+        ib: list[int] = []
+        # star phase (always, linear): one matvec against the head row
+        hit0 = np.flatnonzero(v[1:] @ v[0] >= threshold) + 1
+        ia.extend([0] * len(hit0))
+        ib.extend(hit0.tolist())
+        checked = 0
+        for i in range(1, n - 1):
+            if checked >= pair_limit_per_bucket:
+                break
+            hits = np.flatnonzero(v[i + 1:] @ v[i] >= threshold) + i + 1
+            ia.extend([i] * len(hits))
+            ib.extend(hits.tolist())
+            checked += n - 1 - i
+        if not ia:
             return empty
         return pa.table({
-            "key_a": pa.array([p[0] for p in pairs], keys.type),
-            "key_b": pa.array([p[1] for p in pairs], keys.type),
+            "key_a": keys.take(pa.array(ia, pa.int64())),
+            "key_b": keys.take(pa.array(ib, pa.int64())),
         })
 
     edges = (

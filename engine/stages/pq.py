@@ -51,19 +51,24 @@ def _lloyd(x: np.ndarray, ks: int, iters: int) -> np.ndarray:
 
 
 def pq_fit_sample(ds, vec_col: str = "embedding", m: int = 8, ks: int = 16,
-                  sample_size: int = 65536, iters: int = 8) -> np.ndarray:
-    """Fit PQ codebooks on a bounded deterministic sample.
+                  sample_size: int = 65536, iters: int = 8,
+                  key_col: str = "vec_id") -> np.ndarray:
+    """Fit PQ codebooks on a bounded deterministic sample (seeded
+    hash-threshold row sample — uniform across the corpus, unlike a
+    ``limit(n)`` that sees only the first files; identical at any
+    parallelism).
 
     Returns (m, ks, d/m) float64 codebooks. ``d`` must divide by ``m``;
     ``ks <= 256`` (codes are uint8).
     """
+    from .similarity import hash_sample_vectors
+
     if ks > 256:
         raise ValueError("ks > 256 does not fit uint8 codes")
-    sample = ds.limit(sample_size).take_all()
-    if len(sample) < ks:
-        raise ValueError(f"sample has {len(sample)} rows < ks={ks}")
-    vecs = _normalize(np.asarray([r[vec_col] for r in sample],
-                                 dtype=np.float64))
+    raw = hash_sample_vectors(ds, vec_col, key_col, sample_size)
+    if len(raw) < ks:
+        raise ValueError(f"sample has {len(raw)} rows < ks={ks}")
+    vecs = _normalize(raw)
     d = vecs.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")

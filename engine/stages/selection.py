@@ -346,3 +346,201 @@ def ntile_assign(ds, col: str, id_col: str, n_tiles: int,
         return batch.append_column("tile", pa.array(tile, pa.int64()))
 
     return rows.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_exact_quantiles_disc(
+    ds,
+    group_col: str,
+    col: str,
+    qs: list[float],
+    num_bins: int = 1024,
+    collect_cap: int = 4_000_000,
+) -> dict:
+    """Per-GROUP exact discrete quantiles WITHOUT the one-group-per-worker
+    assumption — the grouped complement of :func:`exact_quantiles_disc`.
+
+    A ``groupby(group).map_groups(sort)`` plan ships every group to one
+    worker; when groups are languages/domains, the biggest group is a
+    large fraction of the corpus at scale. This keeps the selection shape
+    instead — every pass streams, nothing group-sized ever lands in one
+    place:
+
+    1. one pass of per-batch ``group_by`` partials -> driver-merged
+       (group, n_rows, n_vals, lo, hi) — group-cardinality-sized;
+    2. one pass of per-(group, bin) histogram partials — each batch
+       returns ONE ``G * num_bins`` int64 row (G = #groups; e.g. 30
+       langs x 1024 bins = 240 KB), summed driver-side into the G x B
+       matrix that locates every group's rank bin;
+    3. one filtered collect of ONLY rank-holding (group, bin) cells
+       (expected ``n_g / num_bins`` rows each) -> tiny local sorts;
+       cells heavier than ``collect_cap`` recurse through
+       :func:`_exact_ranks` on a (group, value-range)-filtered
+       projection instead of being materialized.
+
+    Integer partials are associative -> identical at any parallelism.
+    NULL ``col`` values are excluded per SQL quantile semantics; a NULL
+    group key is its own group. Returns ``{group_value: (n_rows,
+    [value per q])}`` with ``None`` values for all-null groups.
+    """
+    gsel = [group_col, col]
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col], col: batch[col]})
+        g = t.group_by([group_col]).aggregate(
+            [([], "count_all"), (col, "count"), (col, "min"), (col, "max")])
+        return g.rename_columns([group_col, "nr", "nv", "lo", "hi"])
+
+    def _mn(a, b):
+        return a if b is None else b if a is None else min(a, b)
+
+    def _mx(a, b):
+        return a if b is None else b if a is None else max(a, b)
+
+    groups: dict = {}
+    for row in ds.select_columns(gsel).map_batches(
+            stats_partial, batch_format="pyarrow").take_all():
+        k = row[group_col]
+        nr, nv, lo, hi = row["nr"], row["nv"], row["lo"], row["hi"]
+        if k in groups:
+            onr, onv, olo, ohi = groups[k]
+            groups[k] = (onr + nr, onv + nv, _mn(olo, lo), _mx(ohi, hi))
+        else:
+            groups[k] = (nr, nv, lo, hi)
+
+    keys = list(groups)
+    G = len(keys)
+    out: dict = {}
+    # groups needing a histogram: >0 non-null values and lo < hi
+    active = [k for k in keys
+              if groups[k][1] > 0 and groups[k][2] != groups[k][3]]
+    for k in keys:
+        nr, nv, lo, hi = groups[k]
+        if nv == 0:
+            out[k] = (nr, [None] * len(qs))
+        elif lo == hi:
+            out[k] = (nr, [lo] * len(qs))
+    if not active:
+        return out
+
+    gi_of = {k: i for i, k in enumerate(active)}
+    ga = len(active)
+    akeys = pa.array(active)  # None entries stay null; index_in maps them
+    lo_a = np.array([float(groups[k][2]) for k in active])
+    hi_a = np.array([float(groups[k][3]) for k in active])
+    scale = num_bins / (hi_a - lo_a)
+
+    def _codes(gcol):
+        if isinstance(gcol, pa.ChunkedArray):
+            gcol = gcol.combine_chunks()
+        c = pc.index_in(gcol, value_set=akeys)
+        # a null group key maps to its own slot iff it is active (Arrow
+        # index_in yields null for null inputs regardless of value_set)
+        if None in gi_of:
+            c = pc.fill_null(c, gi_of[None])
+        return c.to_numpy(zero_copy_only=False)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch[col]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        gi = _codes(batch[group_col])
+        vv = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        mask = ~np.isnan(gi) & ~pc.is_null(v).to_numpy(zero_copy_only=False)
+        gi = gi[mask].astype(np.int64)
+        vv = vv[mask]
+        b = np.clip(np.floor((vv - lo_a[gi]) * scale[gi]).astype(np.int64),
+                    0, num_bins - 1)
+        counts = np.bincount(gi * num_bins + b, minlength=ga * num_bins)
+        return pa.table({"h": pa.array([counts.astype(np.int64).tolist()],
+                                       pa.list_(pa.int64()))})
+
+    mat = np.zeros(ga * num_bins, dtype=np.int64)
+    for row in ds.select_columns(gsel).map_batches(
+            hist_partial, batch_format="pyarrow").take_all():
+        mat += np.asarray(row["h"], dtype=np.int64)
+    mat = mat.reshape(ga, num_bins)
+    cum = np.cumsum(mat, axis=1)
+
+    # locate every (group, q) rank's bin; split into light cells
+    # (collect) and heavy cells (recurse through _exact_ranks)
+    need: dict[tuple[int, int], list[int]] = {}
+    for k in active:
+        gi = gi_of[k]
+        nv = groups[k][1]
+        for q in qs:
+            r = min(max(int(np.ceil(q * nv)), 1), nv)
+            j = int(np.searchsorted(cum[gi], r, side="left"))
+            need.setdefault((gi, j), []).append(r)
+
+    light = {cell for cell in need if mat[cell[0], cell[1]] <= collect_cap}
+    flat_light = np.array(sorted(c[0] * num_bins + c[1] for c in light),
+                          dtype=np.int64)
+
+    picked: dict[tuple[int, int], dict[int, float]] = {}
+    if len(flat_light):
+        def cand(batch: pa.Table) -> pa.Table:
+            v = batch[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            gi = _codes(batch[group_col])
+            vv = v.to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = ~np.isnan(gi) & ~pc.is_null(v).to_numpy(
+                zero_copy_only=False)
+            gi = gi[mask].astype(np.int64)
+            vk = v.filter(pa.array(mask))
+            vv = vv[mask]
+            b = np.clip(np.floor((vv - lo_a[gi]) * scale[gi])
+                        .astype(np.int64), 0, num_bins - 1)
+            flat = gi * num_bins + b
+            sel = np.isin(flat, flat_light)
+            return pa.table({col: vk.filter(pa.array(sel)),
+                             "_cell": pa.array(flat[sel], pa.int64())})
+
+        rows = ds.select_columns(gsel).map_batches(
+            cand, batch_format="pyarrow").take_all()
+        vals = np.asarray([r[col] for r in rows])
+        cells = np.asarray([r["_cell"] for r in rows], dtype=np.int64)
+        for (gi, j) in light:
+            inbin = np.sort(vals[cells == gi * num_bins + j])
+            assert len(inbin) == mat[gi, j], (gi, j)
+            below = int(cum[gi, j - 1]) if j > 0 else 0
+            picked[(gi, j)] = {r: inbin[r - below - 1].item()
+                               for r in need[(gi, j)]}
+
+    for (gi, j) in sorted(set(need) - light):  # heavy cells: recurse
+        below = int(cum[gi, j - 1]) if j > 0 else 0
+
+        def keep(batch: pa.Table, _gi=gi, _j=j) -> pa.Table:
+            v = batch[col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            gc = _codes(batch[group_col])
+            vv = v.to_numpy(zero_copy_only=False).astype(np.float64)
+            mask = ~np.isnan(gc) & ~pc.is_null(v).to_numpy(
+                zero_copy_only=False)
+            b = np.full(len(vv), -1, np.int64)
+            mm = np.flatnonzero(mask)
+            gim = gc[mm].astype(np.int64)
+            b[mm] = np.clip(np.floor((vv[mm] - lo_a[gim]) * scale[gim])
+                            .astype(np.int64), 0, num_bins - 1)
+            sel = mask.copy()
+            sel[mm] &= (gim == _gi) & (b[mm] == _j)
+            return pa.table({col: v.filter(pa.array(sel))})
+
+        sub = _exact_ranks(
+            ds.select_columns(gsel).map_batches(keep,
+                                                batch_format="pyarrow"),
+            col, sorted({r - below for r in need[(gi, j)]}),
+            num_bins, collect_cap, 1)
+        picked[(gi, j)] = {r: sub[r - below] for r in need[(gi, j)]}
+
+    for k in active:
+        gi = gi_of[k]
+        nr, nv = groups[k][0], groups[k][1]
+        vals_q = []
+        for q in qs:
+            r = min(max(int(np.ceil(q * nv)), 1), nv)
+            j = int(np.searchsorted(cum[gi], r, side="left"))
+            vals_q.append(picked[(gi, j)][r])
+        out[k] = (nr, vals_q)
+    return out

@@ -332,14 +332,82 @@ def _vecs_np(col) -> np.ndarray:
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
+def hash_sample_vectors(ds, vec_col: str = "embedding",
+                        key_col: str = "vec_id",
+                        sample_size: int = 65536,
+                        oversample: float = 4.0) -> np.ndarray:
+    """Deterministic UNIFORM sample of <= ``sample_size`` vectors —
+    the codebook/quantizer-fit sampler.
+
+    ``ds.limit(n)`` is deterministic but takes the FIRST files of the
+    corpus — at 100 TB that is one crawl slice / one domain, a biased
+    sample to fit a quantizer on. This ranks every row by a Knuth
+    multiplicative hash of its key instead (the `sample_hash_topk`
+    machinery): one count, one scan keeping only rows whose hash clears
+    an ``oversample * sample_size / n`` threshold (so ~oversample *
+    sample_size rows reach the driver, never the corpus), then the
+    global ``sample_size`` smallest (hash, key) win. Hash ranks are a
+    property of the ROW, not the partitioning — identical at any
+    parallelism."""
+    from .sketches import _hash64_ints, _hash64_strings
+
+    n = ds.count()
+    thin = ds.select_columns([key_col, vec_col])
+    if n <= sample_size:
+        rows = thin.take_all()
+        rows.sort(key=lambda r: r[key_col])
+        return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    tau = np.uint64(min(2**64 - 1,
+                        int(2**64 * oversample * sample_size / n)))
+
+    def pick(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        if pa.types.is_string(keys.type) or pa.types.is_large_string(keys.type):
+            h = _hash64_strings(keys)
+        else:
+            h = _hash64_ints(keys.cast(pa.int64())
+                             .to_numpy(zero_copy_only=False))
+        mask = pa.array(h < tau)
+        return pa.table({
+            "_h": pa.array(h[h < tau].astype(np.int64)),  # shifted cmp-safe:
+            # uint64 < tau implies high bit rarely set at real sampling
+            # rates (tau << 2^63); keep int64 for Arrow friendliness
+            key_col: keys.filter(mask),
+            vec_col: batch[vec_col].filter(mask) if not isinstance(
+                batch[vec_col], pa.ChunkedArray)
+            else batch[vec_col].combine_chunks().filter(mask),
+        })
+
+    import ray
+
+    parts = [t for t in ray.get(
+        thin.map_batches(pick, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not parts:  # pathological tiny-tau rounding: fall back to first-n
+        rows = thin.limit(sample_size).take_all()
+        return np.asarray([r[vec_col] for r in rows], dtype=np.float64)
+    t = pa.concat_tables(parts).combine_chunks()
+    h = t["_h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    keys = t[key_col]
+    kn = (keys.to_numpy(zero_copy_only=False)
+          if not (pa.types.is_string(keys.type)
+                  or pa.types.is_large_string(keys.type))
+          else np.asarray(keys.to_pylist()))
+    order = np.lexsort((kn, h))[:sample_size]
+    return _vecs_np(t[vec_col])[order]
+
+
 def fit_centroids_sample(ds, vec_col: str = "embedding", n_lists: int = 16,
-                         sample_size: int = 65536, seed: int = 42) -> np.ndarray:
-    """Fit the IVF coarse quantizer on a BOUNDED sample (first
-    ``sample_size`` rows in dataset order — deterministic), never the whole
-    dataset: at 100 TB the quantizer sees a fixed-size sample while cell
-    assignment streams over everything."""
-    sample = ds.limit(sample_size).take_all()
-    vecs = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+                         sample_size: int = 65536, seed: int = 42,
+                         key_col: str = "vec_id") -> np.ndarray:
+    """Fit the IVF coarse quantizer on a BOUNDED deterministic sample
+    (seeded hash-threshold row sample — uniform across the corpus, not
+    the first files), never the whole dataset: at 100 TB the quantizer
+    sees a fixed-size unbiased sample while cell assignment streams
+    over everything."""
+    vecs = hash_sample_vectors(ds, vec_col, key_col, sample_size)
     index = IVFIndex(n_lists=n_lists, seed=seed)
     index.fit(vecs)
     return index.centroids

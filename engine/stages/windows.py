@@ -43,7 +43,8 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str,
     from .aggregates import bucketed_groupby
 
     def project(batch: pa.Table) -> pa.Table:
-        b = add_tumbling_window(batch, ts_col, window_sec)
+        b = add_tumbling_window(_drop_null_ts(batch, ts_col), ts_col,
+                                window_sec)
         cents = pc.cast(
             pc.floor(pc.add(pc.multiply(b[value_col], 100.0), 0.5)), pa.int64())
         return pa.table({key_col: b[key_col], "window_id": b["window_id"],
@@ -58,18 +59,47 @@ def tumbling_window_agg(ds, key_col: str, ts_col: str, value_col: str,
 
 
 def _bucket_of(col, num_buckets: int) -> np.ndarray:
-    """Deterministic hash bucket per key (vectorized; int or string keys)."""
+    """Deterministic hash bucket per key (vectorized; int or string keys).
+
+    NULL keys are filled with a sentinel (0 / "") BEFORE hashing: buckets
+    only need equal keys co-located, so colliding with the sentinel's
+    bucket is harmless — but letting nulls flow into ``to_numpy`` would
+    round-trip through float64 NaN, giving the null rows a
+    platform-dependent bucket (the dsutil.key_bucket hazard)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
         from .sketches import _hash64_strings
 
-        h = _hash64_strings(col)
+        h = _hash64_strings(pc.fill_null(col, ""))
     else:
         from .sketches import _hash64_ints
 
-        h = _hash64_ints(col.cast(pa.int64()).to_numpy(zero_copy_only=False))
+        h = _hash64_ints(pc.fill_null(col.cast(pa.int64()), 0)
+                         .to_numpy(zero_copy_only=False))
     return (h % np.uint64(num_buckets)).astype(np.int64)
+
+
+def _new_key_mask(keys, n: int) -> np.ndarray:
+    """NULL-aware segment-boundary mask (see dsutil.new_segment_mask):
+    NULL keys are their own partition, never merged into a neighbor's."""
+    from ..dsutil import new_segment_mask
+
+    return new_segment_mask(keys, n)
+
+
+def _drop_null_ts(batch: pa.Table, ts_col: str) -> pa.Table:
+    """Window kernels order by epoch microseconds via numpy; a null ts
+    would round-trip through float64 NaN (garbage frames, or a raise in
+    the int64 re-cast). NULL timestamps satisfy no window predicate in
+    the SQL oracles, so they are excluded up front — the same contract
+    as asof_join's NULL-ts sentinel."""
+    ts = batch[ts_col]
+    if isinstance(ts, pa.ChunkedArray):
+        ts = ts.combine_chunks()
+    if ts.null_count:
+        batch = batch.filter(pc.is_valid(ts))
+    return batch
 
 
 def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
@@ -82,6 +112,7 @@ def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
     starts when the gap from the previous event exceeds ``gap_sec``.
     """
     def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         return batch.append_column(
             "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
 
@@ -101,9 +132,7 @@ def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
         if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
             ts = ts.cast(pa.timestamp("us"))
         micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
-        new_key = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        new_key = _new_key_mask(keys, n)
         gaps = np.diff(micros, prepend=micros[:1])
         new_sess = new_key | (gaps > gap_sec * 1_000_000)
         starts = np.flatnonzero(new_sess)
@@ -148,6 +177,7 @@ def rolling_window_sum(ds, key_col: str, ts_col: str, id_col: str,
     Output rows: (id_col, key_col, roll_sum), one per input row.
     """
     def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         return batch.append_column(
             "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
 
@@ -165,9 +195,7 @@ def rolling_window_sum(ds, key_col: str, ts_col: str, id_col: str,
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         v = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
-        new_key = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        new_key = _new_key_mask(keys, n)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
         cs0 = np.concatenate([[0], np.cumsum(v)])  # int64: exact prefix
@@ -204,6 +232,7 @@ def hopping_window_agg(ds, ts_col: str, value_col: str,
     from ray.data.aggregate import Count, Sum
 
     def project(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         ts = batch[ts_col]
         if isinstance(ts, pa.ChunkedArray):
             ts = ts.combine_chunks()
@@ -248,6 +277,7 @@ def lag_gap_stats(ds, key_col: str, ts_col: str, id_col: str,
     key-cardinality-sized: (key, n_gaps, max_gap_us, sum_gap_us).
     """
     def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         return batch.append_column(
             "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
 
@@ -267,9 +297,7 @@ def lag_gap_stats(ds, key_col: str, ts_col: str, id_col: str,
         if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
             ts = ts.cast(pa.timestamp("us"))
         micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
-        same_key = ~np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        same_key = ~_new_key_mask(keys, n)
         gaps = np.diff(micros, prepend=micros[:1])
         t = pa.table({
             key_col: keys.filter(pa.array(same_key)),
@@ -303,6 +331,7 @@ def range_window_sum(ds, key_col: str, ts_col: str, id_col: str,
     single ``np.searchsorted`` calls over the whole bucket (no per-key
     Python). ``value_col`` must be int64 (integer sums are exact)."""
     def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
         return batch.append_column(
             "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
 
@@ -326,9 +355,7 @@ def range_window_sum(ds, key_col: str, ts_col: str, id_col: str,
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         v = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        neq = pc.not_equal(keys.slice(1, n - 1), keys.slice(0, n - 1))
-        new_key = np.concatenate(
-            [[True], neq.to_numpy(zero_copy_only=False).astype(bool)])
+        new_key = _new_key_mask(keys, n)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
         seg_id = np.cumsum(new_key) - 1
@@ -407,15 +434,9 @@ def ntile_by_group(ds, group_col: str, order_col: str, id_col: str,
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         # NULL group keys form their OWN partition (SQL PARTITION BY):
-        # null-aware adjacency — nulls equal each other, differ from
-        # every value (pc.not_equal alone yields null there, which
-        # astype(bool) would silently turn into "same segment")
-        a, b = keys.slice(1, n - 1), keys.slice(0, n - 1)
-        same = pc.or_kleene(
-            pc.fill_null(pc.equal(a, b), False),
-            pc.and_(pc.is_null(a), pc.is_null(b)))
-        new_seg = np.concatenate(
-            [[True], ~same.to_numpy(zero_copy_only=False).astype(bool)])
+        # null-aware adjacency via the shared mask (nulls equal each
+        # other, differ from every value)
+        new_seg = _new_key_mask(keys, n)
         seg_id = np.cumsum(new_seg) - 1
         starts = np.flatnonzero(new_seg)
         sizes_per_seg = np.diff(np.append(starts, n))

@@ -403,6 +403,42 @@ def test_embedding_neardup_distributed(ray_session):
     assert all(a % 100 == b % 100 for a, b in pairs)
 
 
+def test_embedding_neardup_hot_bucket_capped(ray_session):
+    """A degenerate bucket (thousands of IDENTICAL embeddings — exactly
+    what a near-dup corpus contains) completes in bounded time under the
+    per-bucket pair cap, and the always-checked star edges keep the
+    bucket fully connected through its head: every member still reaches
+    the minimum key, so the cluster survives the cap intact."""
+    import time
+
+    import ray.data as rd
+
+    from engine.stages.neardup import (embedding_neardup_edges,
+                                       propagate_min_labels)
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    v = rng.standard_normal(16)
+    n = 3000  # uncapped would be ~4.5M pairs per table x 8 tables
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i in range(n)]
+    ds = rd.from_items(rows).repartition(4)
+    t0 = time.time()
+    edges = embedding_neardup_edges(ds, threshold=0.95,
+                                    pair_limit_per_bucket=500)
+    pairs = [(r["key_a"], r["key_b"]) for r in edges.take_all()]
+    elapsed = time.time() - t0
+    # star edges from the head (key 0) survive: every member connects
+    star = {(0, j) for j in range(1, n)}
+    assert star <= set(pairs)
+    # capped: far below the ~4.5M all-pairs blowup
+    assert len(pairs) < n + 8 * 500 + 8
+    labels = propagate_min_labels(
+        rd.from_items([{"key_a": a, "key_b": b} for a, b in pairs])
+        .repartition(4), num_partitions=4)
+    lab = {r["key"]: r["label"] for r in labels.take_all()}
+    assert set(lab.values()) == {0}  # one cluster, rep = min key
+    assert elapsed < 120, elapsed
+
+
 def test_minhash_lsh_no_duplicates_empty_result(ray_session):
     """Zero verified edges (all-distinct corpus) must yield ([], {}) —
     not a crash in label propagation over empty-block datasets."""
