@@ -373,7 +373,7 @@ def topk_dup_customer_segment(sf_dir: str) -> pa.Table:
         .sort(["cnt", "c_mktsegment"], descending=[True, False])
         .limit(3)
     )
-    t = pa.Table.from_pylist(grouped.take_all())
+    t = _collect(grouped)
     return t.select(["c_mktsegment", "cnt"])
 
 
@@ -745,7 +745,7 @@ def sha256_documents(sf_dir: str) -> pa.Table:
         lambda b: add_metrics(b, content_col="text").select(["doc_id", "content_sha256_pre"]),
         batch_format="pyarrow",
     ).sort("doc_id")
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     return t.rename_columns(["doc_id", "content_sha256"])
 
 
@@ -795,7 +795,7 @@ def scrub_emails_documents(sf_dir: str) -> pa.Table:
                          "text_scrubbed": repl})
 
     out = ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "email_redactions", "text_scrubbed"])
 
 
@@ -821,7 +821,7 @@ def token_count_documents(sf_dir: str) -> pa.Table:
         }),
         batch_format="pyarrow",
     ).sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "token_count"])
+    return _collect(out).select(["doc_id", "token_count"])
 
 
 @query(
@@ -850,7 +850,7 @@ def quality_stats_documents(sf_dir: str) -> pa.Table:
                          "alpha_ratio_ppm": ppm})
 
     out = ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "n_chars", "n_lines", "max_line_len", "alpha_ratio_ppm"])
 
 
@@ -881,7 +881,7 @@ def quality_filter_documents(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": m["doc_id"], "keep": pa.array(keep)})
 
     out = ds.map_batches(verdict, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "keep"])
+    return _collect(out).select(["doc_id", "keep"])
 
 
 @query(
@@ -911,7 +911,7 @@ def exact_dedup_documents(sf_dir: str) -> pa.Table:
     )
     marked = mark_duplicates(hashed, key="content_sha256_pre", tiebreak=("doc_id",))
     kept = marked.filter(expr="dup_flag == False").select_columns(["doc_id"]).sort("doc_id")
-    return pa.Table.from_pylist(kept.take_all()).select(["doc_id"])
+    return _collect(kept).select(["doc_id"])
 
 
 # ===========================================================================

@@ -171,7 +171,7 @@ def token_count_bpe_documents(sf_dir: str) -> pa.Table:
             ["doc_id", "bpe_token_count", "ws_token_count"]),
         batch_format="pyarrow",
     ).sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "bpe_token_count", "ws_token_count"])
 
 
@@ -207,7 +207,7 @@ def quality_score_documents_composite(sf_dir: str) -> pa.Table:
                          "quality_score_x10k": _x10k(t["quality_score"])})
 
     out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "quality_score_x10k"])
 
 
@@ -232,7 +232,7 @@ def lang_rollup_documents(sf_dir: str) -> pa.Table:
     g = proj.groupby("lang").aggregate(
         Count(alias_name="doc_count"), Sum("n", alias_name="total_chars")
     ).sort("lang")
-    t = pa.Table.from_pylist(g.take_all())
+    t = _collect(g)
     avg = pc.divide(pc.cast(t["total_chars"], pa.float64()),
                     pc.cast(t["doc_count"], pa.float64()))
     return pa.table({
@@ -286,7 +286,7 @@ def langid_documents(sf_dir: str) -> pa.Table:
     fn = scorer_task(ray.put(langid), ray.put(lm), content_col="text")
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     return pa.table({
         "doc_id": t["doc_id"],
         "lang_pred": t["lang_pred"],
@@ -305,7 +305,7 @@ def heuristic_langid_documents(sf_dir: str) -> pa.Table:
                             "lang_guess": pa.array(heuristic_langid(b["text"]))}),
         batch_format="pyarrow",
     ).sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "lang_guess"])
+    return _collect(out).select(["doc_id", "lang_guess"])
 
 
 @query("minhash_signatures_documents")
@@ -324,7 +324,7 @@ def minhash_signatures_documents(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "sig0", "sig1", "sig2", "sig3"])
 
 
@@ -353,7 +353,7 @@ def simhash_documents(sf_dir: str) -> pa.Table:
                          "simhash_hex": pa.array([f"{v:016x}" for v in fp])})
 
     out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "simhash_hex"])
+    return _collect(out).select(["doc_id", "simhash_hex"])
 
 
 @query("embedding_neardup_pairs")
@@ -403,7 +403,7 @@ def fingerprint_documents(sf_dir: str) -> pa.Table:
         })
 
     out = ds.map_batches(fn, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "n_fingerprints", "min_fingerprint"])
 
 
@@ -629,7 +629,7 @@ def tumbling_window_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["user_id", "ts", "value"])
     out = tumbling_window_agg(ds, "user_id", "ts", "value").sort(
         ["user_id", "window_id"])
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     return t.select(["user_id", "window_id", "n_events", "total_value_cents"])
 
 
@@ -656,7 +656,7 @@ def hopping_window_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["ts", "value"])
     out = hopping_window_agg(ds, "ts", "value",
                              window_sec=21600, hop_sec=10800)
-    t = pa.Table.from_pylist(out.sort("window_idx").take_all())
+    t = _collect(out.sort("window_idx"))
     return t.select(["window_idx", "n_events", "total_value_cents"])
 
 
@@ -688,7 +688,7 @@ def session_window_events(sf_dir: str) -> pa.Table:
     ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
     out = session_window_agg(ds, "user_id", "ts", "event_id").sort(
         ["user_id", "session_id"])
-    t = pa.Table.from_pylist(out.take_all())
+    t = _collect(out)
     return t.select(["user_id", "session_id", "n_events",
                      "session_start", "session_end"])
 
@@ -745,7 +745,7 @@ def pricing_summary_lineitem(sf_dir: str) -> pa.Table:
         )
         .sort(["l_returnflag", "l_linestatus"])
     )
-    return pa.Table.from_pylist(g.take_all()).select(
+    return _collect(g).select(
         ["l_returnflag", "l_linestatus", "sum_qty_cents",
          "sum_base_price_cents", "sum_disc_price_cents", "count_order"])
 
@@ -783,7 +783,7 @@ def top_sources_documents(sf_dir: str) -> pa.Table:
         .sort(["doc_count", "source"], descending=[True, False])
         .limit(5)
     )
-    return pa.Table.from_pylist(g.take_all()).select(["source", "doc_count"])
+    return _collect(g).select(["source", "doc_count"])
 
 
 @query("approx_distinct_orderkeys")
@@ -1009,7 +1009,7 @@ def explode_paragraphs_documents(sf_dir: str) -> pa.Table:
 
     out = ds.map_batches(explode, batch_format="pyarrow").sort(
         ["doc_id", "para_idx"])
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "para_idx", "para_text"])
 
 
@@ -1053,8 +1053,7 @@ def top_docs_per_lang(sf_dir: str) -> pa.Table:
         rank_in_key = np.arange(n) - grp_start
         return t.filter(pa.array(rank_in_key < K))
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    t = pa.Table.from_pylist(parts)
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow"))
     idx = pc.sort_indices(t, sort_keys=[
         ("lang", "ascending"), ("n_chars", "descending"),
         ("doc_id", "ascending")])
@@ -1091,7 +1090,7 @@ def normalize_text_documents(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"], "norm_text": t})
 
     out = ds.map_batches(norm, batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(["doc_id", "norm_text"])
+    return _collect(out).select(["doc_id", "norm_text"])
 
 
 @query(
@@ -1161,7 +1160,7 @@ def pack_documents_token_budget(sf_dir: str) -> pa.Table:
         })
 
     out = toks.groupby("_bucket").map_groups(pack, batch_format="pyarrow")
-    return pa.Table.from_pylist(out.sort("doc_id").take_all()).select(
+    return _collect(out.sort("doc_id")).select(
         ["doc_id", "token_count", "pack_id"])
 
 
@@ -1186,7 +1185,7 @@ def multimodal_decode_features(sf_dir: str) -> pa.Table:
         }),
         batch_format="pyarrow",
     ).sort("media_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
 
 
@@ -1210,7 +1209,7 @@ def multimodal_audio_features(sf_dir: str) -> pa.Table:
         }),
         batch_format="pyarrow",
     ).sort("media_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["media_id", "payload_sha256", "rms_x10k", "zcr_x10k"])
 
 
@@ -1388,7 +1387,7 @@ def train_val_split_documents(sf_dir: str) -> pa.Table:
                    Sum("n", alias_name="total_chars"))
         .sort("split")
     )
-    return pa.Table.from_pylist(g.take_all()).select(
+    return _collect(g).select(
         ["split", "n_docs", "total_chars"])
 
 
@@ -1467,7 +1466,7 @@ def vocab_top_terms_documents(sf_dir: str) -> pa.Table:
         .sort(["freq", "term"], descending=[True, False])
         .limit(50)
     )
-    t = pa.Table.from_pylist(top.take_all())
+    t = _collect(top)
     return t.select(["term", "freq"])
 
 
@@ -1492,7 +1491,7 @@ def repetition_stats_documents(sf_dir: str) -> pa.Table:
     out = ds.map_batches(
         lambda b: add_repetition_stats(b).drop_columns(["text"]),
         batch_format="pyarrow").sort("doc_id")
-    return pa.Table.from_pylist(out.take_all()).select(
+    return _collect(out).select(
         ["doc_id", "n_words", "n_distinct_words"])
 
 
@@ -1533,7 +1532,7 @@ def capped_sample_per_source(sf_dir: str) -> pa.Table:
          ("doc_id", "ascending")],
         5,
     )
-    t = pa.Table.from_pylist(capped.sort(["source", "doc_id"]).take_all())
+    t = _collect(capped.sort(["source", "doc_id"]))
     return t.select(["source", "doc_id"])
 
 
@@ -1609,7 +1608,7 @@ def ngram_docfreq_documents(sf_dir: str) -> pa.Table:
         .sort(["doc_freq", "gram"], descending=[True, False])
         .limit(50)
     )
-    return pa.Table.from_pylist(top.take_all()).select(["gram", "doc_freq"])
+    return _collect(top).select(["gram", "doc_freq"])
 
 
 @query(
