@@ -72,6 +72,7 @@ _SWEEP_FIRST = (
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",
+    "multimodal_png_decode_features",
     "multimodal_audio_features",
     "kmeans_embeddings_clusters",
     "semdedup_embeddings",

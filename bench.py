@@ -74,6 +74,33 @@ def _flag_count(b):
     return pa.table({"d": pc.cast(b["near_dup_flag"], pa.int64())})
 
 
+def probe() -> dict:
+    """Self-contained contention probe recorded next to every bench
+    number (round-3 verdict item 4): 1-minute load average BEFORE this
+    process adds its own load, plus a fixed single-core calibration
+    microbench (the uint64 multiply-mod kernel the MinHash stage runs).
+    Healthy reference on this box: calib_sec ~= 0.55-0.75 s (recorded in
+    BASELINE.md); a calib_sec of 2x the reference means wall-clock
+    numbers in this window are ~2x inflated by co-tenant load."""
+    import numpy as np
+
+    load1, load5, load15 = os.getloadavg()
+    rng = np.random.default_rng(12345)
+    a = rng.integers(1, 2**61 - 1, size=128, dtype=np.uint64)
+    h = rng.integers(0, 2**64, size=1 << 20, dtype=np.uint64)
+    buf = np.empty((2048, 128), np.uint64)
+    M = np.uint64((1 << 61) - 1)
+    t0 = time.time()
+    for lo in range(0, len(h), 2048):
+        hv = buf[: min(2048, len(h) - lo)]
+        np.multiply(h[lo: lo + len(hv), None], a[None, :], out=hv)
+        hv += a
+        hv %= M
+    calib = time.time() - t0
+    return {"load_1m": round(load1, 2), "load_5m": round(load5, 2),
+            "calib_sec": round(calib, 3)}
+
+
 def _sf_from_dir(path: str) -> float:
     m = re.search(r"sf([0-9.]+)", path)
     return float(m.group(1)) if m else 0.1
@@ -125,6 +152,7 @@ def run_headline(path: str, out_dir: str) -> float:
 def main() -> None:
     import ray
 
+    probe_start = probe()  # before our own load lands on the box
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -217,6 +245,8 @@ def main() -> None:
         "validate_checks": vsummary["total_checks"],
         "near_dedup_sec": near_dedup_sec,
         "near_dup_rows": near_dups,
+        "probe_start": probe_start,
+        "probe_end": probe(),
     }
     ray.shutdown()
     print(json.dumps(result))
@@ -281,8 +311,86 @@ def scaling() -> None:
     }))
 
 
+def resume_sim() -> None:
+    """Checkpoint-resume at bench scale (round-3 verdict item 9): full
+    checkpointed run over the sf corpus (16 partitions), then a
+    kill-after-k simulation — wipe half the committed partitions, resume,
+    and verify the re-run (a) skipped every surviving partition and (b)
+    reproduced BYTE-IDENTICAL output (content hash over all parts).
+    Prints ONE JSON line."""
+    import hashlib
+    import shutil
+
+    import ray
+
+    probe_start = probe()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from engine.checkpoint import run_checkpointed
+    from engine.stages.models import build_models
+
+    sf = _sf_from_dir(SF_DIR)
+    path, n_rows = ensure_corpus(sf)
+    build_models()
+    out_dir = f"/tmp/graft_resume_out/sf{sf}_cpus{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def _output_hash() -> str:
+        import duckdb
+
+        con = duckdb.connect()
+        rows = con.execute(
+            "SELECT path, keep, content_sha256 FROM "
+            f"read_parquet('{out_dir}/part-*/*.parquet') ORDER BY path"
+        ).fetchall()
+        h = hashlib.sha256()
+        for r in rows:
+            h.update(repr(r).encode())
+        return h.hexdigest()
+
+    n_parts = 16
+    t0 = time.time()
+    s1 = run_checkpointed(path, out_dir, n_parts=n_parts)
+    full_sec = time.time() - t0
+    h1 = _output_hash()
+
+    kill = list(range(0, n_parts, 2))  # wipe half the partitions
+    for pid in kill:
+        os.remove(f"{out_dir}/_manifest/part-{pid:05d}.json")
+        shutil.rmtree(f"{out_dir}/part-{pid:05d}")
+    t0 = time.time()
+    s2 = run_checkpointed(path, out_dir, n_parts=n_parts)
+    resume_sec = time.time() - t0
+    h2 = _output_hash()
+
+    result = {
+        "metric": "checkpoint_resume_sim",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "n_parts": n_parts,
+        "full_run_sec": round(full_sec, 3),
+        "rows": s1["rows"],
+        "killed_parts": len(kill),
+        "resume_sec": round(resume_sec, 3),
+        "resume_recomputed": sorted(s2["computed"]),
+        "resume_skipped": len(s2["skipped_committed"]),
+        "output_identical": h1 == h2,
+        "probe_start": probe_start,
+        "probe_end": probe(),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--resume-sim" in sys.argv:
+        resume_sim()
     else:
         main()

@@ -1189,6 +1189,34 @@ def multimodal_decode_features(sf_dir: str) -> pa.Table:
         ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
 
 
+@query("multimodal_png_decode_features")
+def multimodal_png_decode_features(sf_dir: str) -> pa.Table:
+    """REAL COMPRESSED image decode, driver-visible (rows-only): synthetic
+    zlib-compressed PNG payloads (all five scanline filters in rotation)
+    -> actor-pool ImageDecoder (pure zlib+NumPy decode_png,
+    stages/multimodal.py) -> luminance features from the decoded pixels +
+    payload sha256. Same pixel generator as multimodal_decode_features,
+    so the feature columns must MATCH that query row for row (the PNG
+    round-trip is lossless) — asserted in tests. Deterministic at any
+    parallelism."""
+    import ray.data as rd
+
+    from .stages.multimodal import ImageDecoder, decode_stage, synth_png_table
+
+    ds = rd.from_arrow(synth_png_table(256)).repartition(4)
+    out = decode_stage(ds, decoder_cls=ImageDecoder).map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "payload_sha256": b["payload_sha256"],
+            "feat_mean_x10k": _x10k(pc.list_element(b["features"], 0)),
+            "feat_std_x10k": _x10k(pc.list_element(b["features"], 1)),
+        }),
+        batch_format="pyarrow",
+    ).sort("media_id")
+    return _collect(out).select(
+        ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
+
+
 @query("multimodal_audio_features")
 def multimodal_audio_features(sf_dir: str) -> pa.Table:
     """REAL audio decode (rows-only): deterministic synthetic PCM16 WAV

@@ -1,19 +1,20 @@
 """Multimodal (image/audio/video) columns — real Ray-side pipeline with
-REAL uncompressed codecs (pure NumPy) plus a stub for compressed formats.
+REAL codecs (pure NumPy/stdlib), compressed PNG included.
 
 Media travel as opaque ``binary`` columns with typed metadata
 (``media_type``, ``width``/``height``/``sample_rate``/``duration_ms``).
 The decode / resize / feature-extract / frame-sample operators are
 actor-pool ``map_batches`` stages:
 
-- ``ImageDecoder`` / ``AudioDecoder`` decode REAL byte formats — binary
-  PPM (P6) images and PCM16 RIFF/WAVE audio — parsed in pure NumPy
-  (``decode_ppm`` / ``decode_wav``), with vectorized nearest-neighbor
-  resize (``resize_nearest``) and 16-dim feature extraction from the
-  actual pixels/samples;
-- ``DecodeStub`` raises ``NotImplementedError`` when asked for a
-  *compressed* codec (JPEG/MP3/H.264 need external libraries absent from
-  this environment), exactly marking that integration point;
+- ``ImageDecoder`` / ``AudioDecoder`` decode REAL byte formats —
+  zlib-COMPRESSED PNG (8-bit RGB, all five scanline filters:
+  ``encode_png`` / ``decode_png``), binary PPM (P6) images and PCM16
+  RIFF/WAVE audio — parsed in pure NumPy + stdlib zlib, with vectorized
+  nearest-neighbor resize (``resize_nearest``) and 16-dim feature
+  extraction from the actual pixels/samples;
+- ``DecodeStub`` raises ``NotImplementedError`` when asked for a codec
+  beyond these (JPEG/MP3/H.264 need external libraries absent from this
+  environment), exactly marking that integration point;
 - ``FakeDecoder`` is the deterministic stand-in used by the plumbing
   tests (schema handling, batching, actor reuse) independent of any
   format.
@@ -193,6 +194,136 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, int(sample_rate)
 
 
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG filter 4) over int16 arrays."""
+    p = a + b - c
+    pa_ = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc_ = np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc_), a, np.where(pb <= pc_, b, c))
+
+
+def encode_png(arr: np.ndarray, level: int = 6) -> bytes:
+    """(h, w, 3) uint8 -> COMPRESSED PNG bytes (8-bit RGB, color type 2)
+    in pure stdlib zlib + NumPy — the compressed-codec integration the
+    DecodeStub marked. Scanline filters rotate through all five PNG
+    filter types (y % 5) so a round-trip exercises every un-filter path
+    of :func:`decode_png`; filtering itself is fully vectorized."""
+    import struct
+    import zlib
+
+    if arr.ndim != 3 or arr.shape[2] != 3 or arr.dtype != np.uint8:
+        raise ValueError("encode_png expects (h, w, 3) uint8")
+    h, w = arr.shape[:2]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body \
+            + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    lines = []
+    prev = np.zeros(w * 3, dtype=np.int16)
+    z = np.zeros(3, dtype=np.int16)
+    for y in range(h):
+        raw = arr[y].reshape(-1).astype(np.int16)
+        left = np.concatenate([z, raw[:-3]])
+        upleft = np.concatenate([z, prev[:-3]])
+        f = y % 5
+        if f == 0:
+            filt = raw
+        elif f == 1:
+            filt = raw - left
+        elif f == 2:
+            filt = raw - prev
+        elif f == 3:
+            filt = raw - ((left + prev) >> 1)
+        else:
+            filt = raw - _paeth_vec(left, prev, upleft)
+        lines.append(bytes([f]) + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = raw
+    idat = zlib.compress(b"".join(lines), level)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """COMPRESSED PNG bytes -> (h, w, 3) uint8, pure stdlib zlib + NumPy.
+
+    Supports the encoder's profile (8-bit RGB, color type 2, no
+    interlace) with ALL five scanline filters: None/Sub/Up vectorize per
+    row (Sub is a per-lane prefix sum — cumsum mod 256); Average/Paeth
+    carry an in-row pixel dependency and reconstruct with a bounded
+    per-pixel loop (media rows are KB-sized by contract, see module
+    docstring). Chunk CRCs are verified."""
+    import struct
+    import zlib
+
+    if not payload.startswith(b"\x89PNG\r\n\x1a\n"):
+        raise ValueError("not a PNG payload")
+    pos, w = 8, None
+    idat = []
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", payload[pos: pos + 4])
+        tag = payload[pos + 4: pos + 8]
+        if pos + 12 + length > len(payload):
+            raise ValueError(f"truncated PNG chunk {tag!r}")
+        body = payload[pos + 8: pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length: pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", body)
+            if (depth, ctype, comp, filt, inter) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    "unsupported PNG profile (need 8-bit RGB, "
+                    f"got depth={depth} color={ctype} interlace={inter})")
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if w is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    data = zlib.decompress(b"".join(idat))
+    stride = w * 3
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        f = data[y * (stride + 1)]
+        row = np.frombuffer(data, np.uint8, count=stride,
+                            offset=y * (stride + 1) + 1).astype(np.int64)
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: per-lane prefix sum mod 256
+            rec = row.reshape(-1, 3).cumsum(axis=0) & 0xFF
+            rec = rec.reshape(-1)
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f in (3, 4):  # in-row pixel dependency: bounded loop
+            rec = np.zeros(stride, dtype=np.int64)
+            left = np.zeros(3, dtype=np.int64)
+            upleft = np.zeros(3, dtype=np.int64)
+            for x in range(0, stride, 3):
+                up = prev[x: x + 3]
+                pred = ((left + up) >> 1) if f == 3 \
+                    else _paeth_vec(left, up, upleft)
+                rec[x: x + 3] = (row[x: x + 3] + pred) & 0xFF
+                left = rec[x: x + 3]
+                upleft = up
+        else:
+            raise ValueError(f"unknown PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(h, w, 3)
+
+
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor image resize, fully vectorized (fancy indexing)."""
     h, w = arr.shape[:2]
@@ -218,6 +349,33 @@ def synth_ppm_table(n: int, width: int = 32, height: int = 32) -> pa.Table:
         rows["sample_rate"].append(0)
         rows["duration_ms"].append(0)
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def synth_png_table(n: int, width: int = 32, height: int = 32) -> pa.Table:
+    """Deterministic synthetic REAL-PNG media rows: each payload is a
+    valid zlib-COMPRESSED PNG of seeded pseudo-random pixels (same pixel
+    generator as :func:`synth_ppm_table`, so PPM/PNG feature parity is
+    directly testable)."""
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+    for i in range(n):
+        rng = np.random.Generator(np.random.PCG64(0xBEEF ^ i))
+        img = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        rows["media_id"].append(i)
+        rows["media_type"].append("image")
+        rows["payload"].append(encode_png(img))
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Signature-dispatching image decode: PNG (compressed) or P6 PPM."""
+    if payload.startswith(b"\x89PNG"):
+        return decode_png(payload)
+    return decode_ppm(payload)
 
 
 def synth_wav_table(n: int, sample_rate: int = 16000,
@@ -260,7 +418,7 @@ class ImageDecoder:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, hashes = [], []
         for payload in batch["payload"].to_pylist():
-            img = decode_ppm(payload)
+            img = decode_image(payload)
             if self.resize_to is not None:
                 img = resize_nearest(img, *self.resize_to)
             f = img.astype(np.float64)

@@ -106,12 +106,22 @@ def minhash_signatures(
     # bench corpus; bigger chunks go DRAM-bound and lose 25-45%
     chunk = 1 << 11
     buf = np.empty((min(chunk, total), num_perm), dtype=np.uint64)
+    qbuf = np.empty_like(buf)
+    M = np.uint64(_MERSENNE)
     for lo in range(0, total, chunk):
         hi = min(lo + chunk, total)
         hv = buf[: hi - lo]
         np.multiply(hashes[lo:hi, None], a[None, :], out=hv)
         hv += b
-        hv %= np.uint64(_MERSENNE)
+        # y % M for M = 2^61 - 1 via the Mersenne fold (exact for every
+        # uint64 y, verified: y = q*2^61 + r => y ≡ q + r (mod M) with
+        # q <= 7, so one conditional subtract suffices) — measured ~15%
+        # faster than the uint64 division
+        q = qbuf[: hi - lo]
+        np.right_shift(hv, np.uint64(61), out=q)
+        hv &= M
+        hv += q
+        np.subtract(hv, M, out=hv, where=hv >= M)
         d0 = int(np.searchsorted(nz_starts, lo, "right")) - 1
         d1 = int(np.searchsorted(nz_starts, hi, "left"))
         seg = np.maximum(nz_starts[d0:d1], lo) - lo
@@ -245,23 +255,95 @@ def coarse_buckets_for(n_docs: int, bands: int = 16) -> int:
     return max(4096, min(1 << 26, (n_docs * bands) // 128))
 
 
+def _verify_sorted(
+    keys, sigs: np.ndarray, band: np.ndarray, bh: np.ndarray,
+    threshold: float, pair_limit: int
+) -> pa.Table:
+    """The shared verify KERNEL: rows must already be sorted by
+    (band, band_hash, key). Semantics identical per logical bucket to
+    :func:`_bucket_verify` (star edges from the bucket head always
+    checked; i>=1 pairs capped at ``pair_limit``); the star phase is ONE
+    (rows, num_perm) compare across all buckets and Python only touches
+    the rare buckets of size >= 3. Both the distributed coarse-groupby
+    path and the size-guarded broadcast path call THIS, so their edges
+    are identical by construction."""
+    n = len(keys)
+    empty = pa.table({"key_a": keys.slice(0, 0), "key_b": keys.slice(0, 0)})
+    if n < 2:
+        return empty
+    new_b = np.concatenate(
+        [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+    pos = np.arange(n, dtype=np.int64)
+    head = np.maximum.accumulate(np.where(new_b, pos, 0))
+    # star phase, all buckets at once
+    frac0 = (sigs == sigs[head]).mean(axis=1)
+    star = (frac0 >= threshold) & (pos != head)
+    out_a = [head[star]]
+    out_b = [pos[star]]
+    # i >= 1 pair phase, only buckets with >= 3 members — fully
+    # vectorized segmented pair enumeration (semantics identical to the
+    # sequential "for i: break when checked >= pair_limit" loop: row i
+    # is processed iff the pairs its bucket's earlier i's checked,
+    # C(i) = sum_{k=s+1}^{i-1} (e-1-k) = T(e-s-2) - T(e-i-1) with
+    # T(x) = x(x+1)/2, stay under the cap; a processed i checks ALL its
+    # j's). Replaces the per-bucket Python loop that dominated hot
+    # exact-dup corpora.
+    seg_starts = np.flatnonzero(new_b)
+    seg_ends = np.append(seg_starts[1:], n)
+    big = seg_ends - seg_starts >= 3
+    if big.any():
+        bs = seg_starts[big]
+        be = seg_ends[big]
+        n_i = be - bs - 2  # candidate i's per bucket: [s+1, e-2]
+        off = np.concatenate([[0], np.cumsum(n_i)])
+        I = (np.arange(off[-1], dtype=np.int64)
+             - np.repeat(off[:-1], n_i) + np.repeat(bs + 1, n_i))
+        Ee = np.repeat(be, n_i)
+        Ss = np.repeat(bs, n_i)
+
+        def _tri(x):
+            return x * (x + 1) // 2
+
+        checked_before = _tri(Ee - Ss - 2) - _tri(Ee - I - 1)
+        keep_i = checked_before < pair_limit
+        I, Ee = I[keep_i], Ee[keep_i]
+        cnt_j = Ee - 1 - I
+        joff = np.concatenate([[0], np.cumsum(cnt_j)])
+        P = int(joff[-1])
+        ia_all = np.repeat(I, cnt_j)
+        ib_all = (np.arange(P, dtype=np.int64)
+                  - np.repeat(joff[:-1], cnt_j) + ia_all + 1)
+        # chunked compares bound the (rows, num_perm) gather temp
+        ch = max(1, (1 << 22) // max(sigs.shape[1], 1))
+        for lo in range(0, P, ch):
+            a_idx = ia_all[lo: lo + ch]
+            b_idx = ib_all[lo: lo + ch]
+            frac = (sigs[a_idx] == sigs[b_idx]).mean(axis=1)
+            hit = frac >= threshold
+            out_a.append(a_idx[hit])
+            out_b.append(b_idx[hit])
+    ia = np.concatenate(out_a)
+    if not len(ia):
+        return empty
+    ib = np.concatenate(out_b)
+    return pa.table({
+        "key_a": keys.take(pa.array(ia, pa.int64())),
+        "key_b": keys.take(pa.array(ib, pa.int64())),
+    })
+
+
 def _coarse_verify(
     group: pa.Table, num_perm: int, threshold: float, pair_limit: int
 ) -> pa.Table:
-    """Verify MANY logical (band, band_hash) buckets in one vectorized
-    pass — semantics identical per bucket to :func:`_bucket_verify`
-    (star edges from the bucket head always checked; i>=1 pairs capped at
-    ``pair_limit``), but the star phase runs as ONE (rows, num_perm)
-    compare across the whole coarse group and Python only touches the
-    rare buckets of size >= 3."""
+    """Distributed-path wrapper: sort the coarse group by (band,
+    band_hash, key) and run :func:`_verify_sorted`."""
     n = group.num_rows
     key_arr = group["key"]
     if isinstance(key_arr, pa.ChunkedArray):
         key_arr = key_arr.combine_chunks()
-    empty = pa.table({"key_a": key_arr.slice(0, 0),
-                      "key_b": key_arr.slice(0, 0)})
     if n < 2:
-        return empty
+        return pa.table({"key_a": key_arr.slice(0, 0),
+                         "key_b": key_arr.slice(0, 0)})
     idx = pc.sort_indices(group, sort_keys=[
         ("band", "ascending"), ("band_hash", "ascending"),
         ("key", "ascending")])
@@ -272,37 +354,116 @@ def _coarse_verify(
     sigs = _sigs_np(g["sig"], num_perm)
     band = g["band"].to_numpy(zero_copy_only=False)
     bh = g["band_hash"].to_numpy(zero_copy_only=False)
-    new_b = np.concatenate(
-        [[True], (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
-    pos = np.arange(n, dtype=np.int64)
-    head = np.maximum.accumulate(np.where(new_b, pos, 0))
-    # star phase, all buckets at once
-    frac0 = (sigs == sigs[head]).mean(axis=1)
-    star = (frac0 >= threshold) & (pos != head)
-    out_a = [head[star]]
-    out_b = [pos[star]]
-    # i >= 1 pair phase, only buckets with >= 3 members
-    seg_starts = np.flatnonzero(new_b)
-    seg_ends = np.append(seg_starts[1:], n)
-    big = seg_ends - seg_starts >= 3
-    for s, e in zip(seg_starts[big], seg_ends[big]):
-        checked = 0
-        for i in range(s + 1, e - 1):
-            if checked >= pair_limit:
-                break
-            frac = (sigs[i + 1: e] == sigs[i]).mean(axis=1)
-            hits = np.flatnonzero(frac >= threshold) + i + 1
-            out_a.append(np.full(len(hits), i, np.int64))
-            out_b.append(hits)
-            checked += e - 1 - i
-    ia = np.concatenate(out_a)
-    if not len(ia):
-        return empty
-    ib = np.concatenate(out_b)
-    return pa.table({
-        "key_a": keys.take(pa.array(ia, pa.int64())),
-        "key_b": keys.take(pa.array(ib, pa.int64())),
-    })
+    return _verify_sorted(keys, sigs, band, bh, threshold, pair_limit)
+
+
+def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
+    """(n, bands) uint64 band hashes — the exact mix
+    :func:`lsh_band_rows` uses (single source of truth for both the
+    distributed band rows and the broadcast fast path)."""
+    n, p = sigs.shape
+    r = p // bands
+    view = sigs.reshape(n, bands, r)
+    mixed = np.zeros((n, bands), dtype=np.uint64)
+    for j in range(r):
+        mixed = mixed * np.uint64(1000003) + view[:, :, j]
+    return mixed
+
+
+def _edges_broadcast(
+    ds, text_col: str, key_col: str, num_perm: int, bands: int,
+    threshold: float, pair_limit: int,
+):
+    """Size-guarded broadcast verify: the shuffle-free edges path.
+
+    The distributed path explodes every doc into ``bands`` rows EACH
+    carrying the full ``num_perm * 8``-byte signature — a 16x-duplicated
+    payload that dominates the verify groupby (measured 10.8 GB shuffled
+    for 600k docs / 0.6 GB of signatures). When the signature table fits
+    the broadcast guard, skip the shuffle entirely:
+
+    1. ONE streaming pass -> (key, sig) table, collected zero-copy
+       (signature-table-sized: n_docs * (num_perm*8 + key) bytes —
+       that this fits is exactly what the guard checked);
+    2. band hashes + the (band, band_hash, key-rank) sort run driver-side
+       in numpy (9.6M-row lexsort, seconds);
+    3. verification fans out as Ray tasks over CONTIGUOUS bucket ranges
+       of the sorted order, each gathering its rows from the ray.put
+       signature matrix (plasma zero-copy) and running the same
+       :func:`_verify_sorted` kernel as the distributed path — edges are
+       identical by construction (tested).
+    """
+    import ray
+    import ray.data as rd
+
+    def sig_tbl(batch: pa.Table) -> pa.Table:
+        sigs = minhash_signatures(batch[text_col], num_perm)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        sig_arr = pa.Array.from_buffers(
+            pa.binary(num_perm * 8), len(keys),
+            [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
+        return pa.table({"key": keys, "sig": sig_arr})
+
+    blocks = [t for t in ray.get(
+        ds.map_batches(sig_tbl, batch_format="pyarrow").to_arrow_refs())
+        if t.num_rows]
+    if not blocks:
+        return rd.from_arrow(pa.table({"key_a": pa.array([], pa.string()),
+                                       "key_b": pa.array([], pa.string())}))
+    # assemble the matrix from per-block buffer views (ONE memcpy into
+    # the concat target, no combine_chunks round-trip of the sig column)
+    sigs = np.concatenate(
+        [_sigs_np(b["sig"].combine_chunks()
+                  if isinstance(b["sig"], pa.ChunkedArray) else b["sig"],
+                  num_perm) for b in blocks])
+    keys = pa.concat_arrays(
+        [b["key"].combine_chunks()
+         if isinstance(b["key"], pa.ChunkedArray) else b["key"]
+         for b in blocks])
+    del blocks
+    n = len(keys)
+    mixed = _band_hashes(sigs, bands)
+    # key order via ranks (equal keys share a rank — their edges are
+    # equal strings either way, matching the distributed per-group sort)
+    rank = np.empty(n, dtype=np.int64)
+    order_keys = pc.sort_indices(keys).to_numpy(zero_copy_only=False)
+    rank[order_keys] = np.arange(n, dtype=np.int64)
+    # partition rows into (band, bh-top-bits) chunks with a COUNTING
+    # sort (argsort of a small uint16 key — no 9.6M-row 3-key lexsort on
+    # the driver); a logical (band, band_hash) bucket never splits
+    # across chunks because the chunk key is a prefix of (band, bh).
+    # Each verify task lexsorts only ITS slice — parallel, off-driver.
+    cpus = int(ray.cluster_resources().get("CPU", 8)) \
+        if ray.is_initialized() else 8
+    sub_bits = max(1, int(np.ceil(np.log2(max(cpus * 4 // bands, 2)))))
+    band_flat = np.repeat(np.arange(bands, dtype=np.int32), n)
+    bh_flat = mixed.T.reshape(-1)  # band-major, matches band_flat
+    doc_flat = np.tile(np.arange(n, dtype=np.int64), bands)
+    chunk_id = (band_flat.astype(np.uint16) << sub_bits) \
+        | (bh_flat >> np.uint64(64 - sub_bits)).astype(np.uint16)
+    order = np.argsort(chunk_id, kind="stable")
+    band_s, bh_s, doc_s = band_flat[order], bh_flat[order], doc_flat[order]
+    counts = np.bincount(chunk_id, minlength=bands << sub_bits)
+    bounds = np.concatenate([[0], np.cumsum(counts)])
+
+    keys_ref = ray.put(keys)
+    sigs_ref = ray.put(sigs)
+
+    @ray.remote(num_cpus=1)
+    def verify_chunk(ks, sg, band_c, bh_c, doc_c, rank_c):
+        srt = np.lexsort((rank_c, bh_c, band_c))
+        doc_c = doc_c[srt]
+        return _verify_sorted(ks.take(pa.array(doc_c, pa.int64())),
+                              sg[doc_c], band_c[srt], bh_c[srt],
+                              threshold, pair_limit)
+
+    refs = [verify_chunk.remote(keys_ref, sigs_ref,
+                                band_s[lo:hi], bh_s[lo:hi], doc_s[lo:hi],
+                                rank[doc_s[lo:hi]])
+            for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+    return rd.from_arrow_refs(refs)
 
 
 def minhash_lsh_edges(
@@ -314,26 +475,49 @@ def minhash_lsh_edges(
     jaccard_threshold: float = 0.8,
     pair_limit_per_bucket: int = 1000,
     num_coarse_buckets: int | None = None,
+    max_broadcast_docs: int | None = None,
+    n_docs: int | None = None,
 ):
     """Dataset -> Dataset of verified near-dup edges (key_a, key_b).
 
-    One streaming signature pass, ONE shuffle (the coarse-bucket
-    groupby — (band, band_hash) folded into ``num_coarse_buckets``
-    shuffle keys so each group vectorizes many logical buckets instead
-    of paying per-group Python on millions of tiny ones), and
-    verification inside each bucket — nothing corpus-sized ever reaches
-    the driver. Edges may repeat across bands (harmless for the
-    min-label clustering, which is idempotent).
+    One streaming signature pass, then ONE of two verify plans behind
+    the usual size guard (the FK-join broadcast/distributed split):
+
+    - **broadcast fast path** (corpus <= ``max_broadcast_docs``, default
+      ``DEFAULT_MAX_BROADCAST_KEYS``): signature table collected once,
+      thin band rows sorted driver-side, verification fanned out as
+      tasks against the broadcast signature matrix — no shuffle at all
+      (see :func:`_edges_broadcast`);
+    - **distributed path** (any scale): band rows carrying their
+      signatures through ONE coarse-bucket groupby — (band, band_hash)
+      folded into ``num_coarse_buckets`` shuffle keys so each group
+      vectorizes many logical buckets instead of paying per-group Python
+      on millions of tiny ones — and verification inside each bucket;
+      nothing corpus-sized ever reaches the driver.
+
+    Both run the same :func:`_verify_sorted` kernel per logical bucket,
+    so edges are identical (tested); they may repeat across bands
+    (harmless for the min-label clustering, which is idempotent).
 
     ``num_coarse_buckets`` defaults to ~128 band rows per bucket
     (clamped) — measured fastest at the bench scale; too few buckets
     degrade Ray's range-partition sort badly (massive key ties: 256
     buckets over 9.6M rows measured 2.5x slower than 64k) and unbound
-    the per-group memory at corpus scale. The default calls
-    ``ds.count()`` — cheap for parquet reads; pass the value explicitly
-    when ``ds`` is a derived pipeline (count() would execute it once)."""
+    the per-group memory at corpus scale. Sizing needs ``n_docs`` —
+    derived from ``ds.count()`` when not given, which is cheap for
+    parquet reads; pass it explicitly when ``ds`` is a derived pipeline
+    (count() would execute it once)."""
+    from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS
+
+    if n_docs is None:
+        n_docs = ds.count()
+    if max_broadcast_docs is None:
+        max_broadcast_docs = DEFAULT_MAX_BROADCAST_KEYS
+    if max_broadcast_docs and n_docs <= max_broadcast_docs:
+        return _edges_broadcast(ds, text_col, key_col, num_perm, bands,
+                                jaccard_threshold, pair_limit_per_bucket)
     if num_coarse_buckets is None:
-        num_coarse_buckets = coarse_buckets_for(ds.count(), bands)
+        num_coarse_buckets = coarse_buckets_for(n_docs, bands)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
         sigs = minhash_signatures(batch[text_col], num_perm)
@@ -517,6 +701,8 @@ def minhash_lsh_labels(
     jaccard_threshold: float = 0.8,
     pair_limit_per_bucket: int = 1000,
     num_coarse_buckets: int | None = None,
+    max_broadcast_docs: int | None = None,
+    n_docs: int | None = None,
 ):
     """Scale API: Dataset -> Dataset (key, label) of near-dup cluster
     labels (label = cluster-minimum key). Keys with no near-dup are absent.
@@ -524,6 +710,7 @@ def minhash_lsh_labels(
     edges = minhash_lsh_edges(
         ds, text_col, key_col, num_perm, bands,
         jaccard_threshold, pair_limit_per_bucket, num_coarse_buckets,
+        max_broadcast_docs=max_broadcast_docs, n_docs=n_docs,
     ).materialize()
     return propagate_min_labels(edges)
 
@@ -826,7 +1013,8 @@ def mark_near_duplicates(
     labels = minhash_lsh_labels(
         keyed, text_col=text_col, key_col="_nd_key",
         num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold,
-        num_coarse_buckets=coarse_buckets_for(n_docs, bands))
+        num_coarse_buckets=coarse_buckets_for(n_docs, bands),
+        n_docs=n_docs)
 
     def _all_false():
         return keyed.map_batches(

@@ -403,6 +403,40 @@ def test_embedding_neardup_distributed(ray_session):
     assert all(a % 100 == b % 100 for a, b in pairs)
 
 
+def test_minhash_edges_broadcast_equals_distributed(ray_session):
+    """The size-guarded broadcast verify (shuffle-free) and the
+    distributed coarse-groupby path share the _verify_sorted kernel and
+    must emit IDENTICAL edge sets on the same corpus — including planted
+    near-dup pairs and a hot exact-dup group that exercises the star+cap
+    structure."""
+    import ray.data as rd
+
+    from engine.stages.neardup import minhash_lsh_edges
+
+    rows = []
+    for i in range(120):
+        rows.append({"doc_id": i,
+                     "text": f"totally distinct document body {i} " * 6
+                     + str(i * 104729)})
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for j in range(6):  # planted near-dups of each other
+        rows.append({"doc_id": 1000 + j, "text": base * 8 + f"tail{j}"})
+    for j in range(25):  # hot exact-dup group (star edges + cap)
+        rows.append({"doc_id": 2000 + j, "text": "identical payload " * 20})
+    ds = rd.from_items(rows).repartition(5)
+    e_bc = minhash_lsh_edges(ds, jaccard_threshold=0.8,
+                             pair_limit_per_bucket=10)
+    e_dist = minhash_lsh_edges(ds, jaccard_threshold=0.8,
+                               pair_limit_per_bucket=10,
+                               max_broadcast_docs=0)
+    pb = {(r["key_a"], r["key_b"]) for r in e_bc.take_all()}
+    pd_ = {(r["key_a"], r["key_b"]) for r in e_dist.take_all()}
+    assert pb == pd_
+    # the planted cluster is connected in both
+    assert any(a >= 2000 and b >= 2000 for a, b in pb)
+    assert any(1000 <= a < 2000 and 1000 <= b < 2000 for a, b in pb)
+
+
 def test_embedding_neardup_hot_bucket_capped(ray_session):
     """A degenerate bucket (thousands of IDENTICAL embeddings — exactly
     what a near-dup corpus contains) completes in bounded time under the
@@ -579,6 +613,62 @@ def test_ppm_codec_roundtrip():
         decode_ppm(b"P5\n1 1\n255\n\x00")
     with pytest.raises(ValueError):
         decode_ppm(b"P6\n5 7\n255\n" + img.tobytes()[:-1])  # truncated
+
+
+def test_png_codec_roundtrip_all_filters():
+    """encode_png/decode_png are exact inverses on odd shapes whose row
+    count covers ALL FIVE scanline filters (the encoder rotates y % 5);
+    CRC corruption and non-RGB profiles raise."""
+    import zlib
+
+    import pytest
+
+    from engine.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    for h, w in [(7, 5), (5, 1), (1, 3), (11, 4), (32, 32)]:
+        img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = encode_png(img)
+        assert payload.startswith(b"\x89PNG")
+        assert np.array_equal(decode_png(payload), img), (h, w)
+        # compression is real: gradient images shrink well below raw
+    flat = np.zeros((64, 64, 3), np.uint8)
+    assert len(encode_png(flat)) < 64 * 64 * 3 // 10
+    img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    payload = bytearray(encode_png(img))
+    payload[50] ^= 0xFF  # corrupt inside IDAT body
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\njunk")
+    # unsupported profile (grayscale) rejected loudly, not mis-decoded
+    import struct
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    gray = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR"
+            + ihdr + struct.pack(">I", crc))
+    with pytest.raises(ValueError, match="profile"):
+        decode_png(gray)
+
+
+def test_png_ppm_feature_parity(ray_session):
+    """The PNG round-trip is lossless, so the ImageDecoder features over
+    synth_png_table (compressed payloads) match synth_ppm_table's exactly
+    — same pixels, different container. Also certifies the dispatching
+    decoder path end-to-end through the actor-pool stage."""
+    import ray.data as rd
+
+    from engine.stages.multimodal import (ImageDecoder, decode_stage,
+                                          synth_png_table, synth_ppm_table)
+
+    def feats(t):
+        ds = rd.from_arrow(t).repartition(3)
+        out = decode_stage(ds, decoder_cls=ImageDecoder).take_all()
+        return {r["media_id"]: list(r["features"]) for r in out}
+
+    f_png = feats(synth_png_table(24))
+    f_ppm = feats(synth_ppm_table(24))
+    assert f_png == f_ppm
 
 
 def test_wav_codec_roundtrip():
