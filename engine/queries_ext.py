@@ -1597,9 +1597,13 @@ def grouped_percentiles_docs_by_lang(sf_dir: str) -> pa.Table:
     return pa.table({
         "lang": pa.array(langs),
         "n_docs": pa.array([got[g][0] for g in langs], pa.int64()),
-        "p25_chars": pa.array([int(got[g][1][0]) for g in langs], pa.int64()),
-        "p50_chars": pa.array([int(got[g][1][1]) for g in langs], pa.int64()),
-        "p75_chars": pa.array([int(got[g][1][2]) for g in langs], pa.int64()),
+        # an all-NULL-n_chars group yields None quantiles (SQL emits NULL)
+        "p25_chars": pa.array([None if got[g][1][0] is None else
+                               int(got[g][1][0]) for g in langs], pa.int64()),
+        "p50_chars": pa.array([None if got[g][1][1] is None else
+                               int(got[g][1][1]) for g in langs], pa.int64()),
+        "p75_chars": pa.array([None if got[g][1][2] is None else
+                               int(got[g][1][2]) for g in langs], pa.int64()),
     })
 
 

@@ -28,7 +28,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .windows import _bucket_of, _new_key_mask
+from ..dsutil import new_segment_mask
+from .windows import _bucket_of
 
 
 def asof_join(
@@ -165,7 +166,7 @@ def asof_join(
         # segment (all right rows with null keys were dropped at tag
         # time), so they forward-fill nothing and emit unmatched — the
         # SQL LEFT-join result for a key that equals nothing
-        new_key = _new_key_mask(keys, n)
+        new_key = new_segment_mask(keys, n)
         pos = np.arange(n)
         # forward-fill the most recent RIGHT row position within each key:
         # right rows carry their own position, key starts reset to a

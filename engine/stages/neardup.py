@@ -45,6 +45,9 @@ from .textfeat import byte_view
 
 _MERSENNE = (1 << 61) - 1
 _SHINGLE_K = 8  # byte shingle width
+# driver-memory budget for the shuffle-free broadcast verify (sig matrix
+# x2 + band/hash/rank arrays + sort temps); ~1.5M docs at num_perm=128
+_BROADCAST_VERIFY_BUDGET_BYTES = 4 << 30
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -512,7 +515,17 @@ def minhash_lsh_edges(
     if n_docs is None:
         n_docs = ds.count()
     if max_broadcast_docs is None:
-        max_broadcast_docs = DEFAULT_MAX_BROADCAST_KEYS
+        # BYTE-based guard, not the thin-key knob: the broadcast path
+        # holds the signature matrix on the driver twice (collected +
+        # ray.put copy, num_perm * 8 B/doc each) plus (band, hash, rank)
+        # arrays and their lexsort temps (~bands * 32 B/doc). The 2M
+        # DEFAULT_MAX_BROADCAST_KEYS is calibrated for ~8-B key sets —
+        # ~20x lighter per row than a signature — so cap by a driver
+        # memory budget scaled to the actual per-doc payload.
+        per_doc_bytes = 2 * num_perm * 8 + bands * 32
+        max_broadcast_docs = min(
+            DEFAULT_MAX_BROADCAST_KEYS,
+            _BROADCAST_VERIFY_BUDGET_BYTES // per_doc_bytes)
     if max_broadcast_docs and n_docs <= max_broadcast_docs:
         return _edges_broadcast(ds, text_col, key_col, num_perm, bands,
                                 jaccard_threshold, pair_limit_per_bucket)

@@ -163,7 +163,8 @@ def pq_topk(ds, query_vectors: np.ndarray, k: int = 10,
     import ray
 
     if codebooks is None:
-        codebooks = pq_fit_sample(ds, vec_col, m, ks, sample_size)
+        codebooks = pq_fit_sample(ds, vec_col, m, ks, sample_size,
+                                  key_col=key_col)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     ref = ray.put((codebooks, _lut(q, codebooks)))
 

@@ -424,7 +424,12 @@ def grouped_exact_quantiles_disc(
 
     gi_of = {k: i for i, k in enumerate(active)}
     ga = len(active)
-    akeys = pa.array(active)  # None entries stay null; index_in maps them
+    # index_in yields null BOTH for null inputs and for values absent
+    # from the value_set (inactive groups), so the null-key slot must be
+    # assigned from an explicit is_null mask — never by fill_null, which
+    # would fold inactive groups' rows into the NULL group's histogram.
+    nn_active = [k for k in active if k is not None]
+    nn_slot = np.array([gi_of[k] for k in nn_active], dtype=np.int64)
     lo_a = np.array([float(groups[k][2]) for k in active])
     hi_a = np.array([float(groups[k][3]) for k in active])
     scale = num_bins / (hi_a - lo_a)
@@ -432,12 +437,19 @@ def grouped_exact_quantiles_disc(
     def _codes(gcol):
         if isinstance(gcol, pa.ChunkedArray):
             gcol = gcol.combine_chunks()
-        c = pc.index_in(gcol, value_set=akeys)
-        # a null group key maps to its own slot iff it is active (Arrow
-        # index_in yields null for null inputs regardless of value_set)
+        out_c = np.full(len(gcol), np.nan)
+        if nn_active:
+            # value_set typed from the column, not inferred from the
+            # Python list (an all-None list infers Arrow null type)
+            vs = pa.array(nn_active, type=gcol.type)
+            c = pc.index_in(gcol, value_set=vs).to_numpy(
+                zero_copy_only=False)
+            m = ~np.isnan(c)
+            out_c[m] = nn_slot[c[m].astype(np.int64)]
         if None in gi_of:
-            c = pc.fill_null(c, gi_of[None])
-        return c.to_numpy(zero_copy_only=False)
+            nulls = pc.is_null(gcol).to_numpy(zero_copy_only=False)
+            out_c[nulls] = gi_of[None]
+        return out_c
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         v = batch[col]

@@ -131,7 +131,8 @@ def ivf_topk(
     index."""
     import ray
 
-    centroids = fit_centroids_sample(ds, vec_col, n_lists, sample_size, seed)
+    centroids = fit_centroids_sample(ds, vec_col, n_lists, sample_size,
+                                     seed, key_col=key_col)
     q = _normalize(np.asarray(query_vectors))
     # (n_q, nprobe) probe cells per query
     probe = np.argsort(-(q @ centroids.T), axis=1, kind="stable")[:, :nprobe]
@@ -443,7 +444,8 @@ def build_ivf_index(ds, vec_col: str = "embedding", key_col: str = "vec_id",
     the packed per-cell rows, never iterates raw batches."""
     import ray
 
-    centroids = fit_centroids_sample(ds, vec_col, n_lists, sample_size, seed)
+    centroids = fit_centroids_sample(ds, vec_col, n_lists, sample_size,
+                                     seed, key_col=key_col)
     cref = ray.put(centroids)
 
     def assign(batch: pa.Table) -> pa.Table:

@@ -23,6 +23,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from ..dsutil import new_segment_mask
+
 
 def add_tumbling_window(batch: pa.Table, ts_col: str = "ts",
                         window_sec: int = 21600) -> pa.Table:
@@ -80,14 +82,6 @@ def _bucket_of(col, num_buckets: int) -> np.ndarray:
     return (h % np.uint64(num_buckets)).astype(np.int64)
 
 
-def _new_key_mask(keys, n: int) -> np.ndarray:
-    """NULL-aware segment-boundary mask (see dsutil.new_segment_mask):
-    NULL keys are their own partition, never merged into a neighbor's."""
-    from ..dsutil import new_segment_mask
-
-    return new_segment_mask(keys, n)
-
-
 def _drop_null_ts(batch: pa.Table, ts_col: str) -> pa.Table:
     """Window kernels order by epoch microseconds via numpy; a null ts
     would round-trip through float64 NaN (garbage frames, or a raise in
@@ -132,7 +126,7 @@ def session_window_agg(ds, key_col: str, ts_col: str, id_col: str,
         if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
             ts = ts.cast(pa.timestamp("us"))
         micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        new_key = _new_key_mask(keys, n)
+        new_key = new_segment_mask(keys, n)
         gaps = np.diff(micros, prepend=micros[:1])
         new_sess = new_key | (gaps > gap_sec * 1_000_000)
         starts = np.flatnonzero(new_sess)
@@ -195,7 +189,7 @@ def rolling_window_sum(ds, key_col: str, ts_col: str, id_col: str,
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         v = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        new_key = _new_key_mask(keys, n)
+        new_key = new_segment_mask(keys, n)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
         cs0 = np.concatenate([[0], np.cumsum(v)])  # int64: exact prefix
@@ -297,7 +291,7 @@ def lag_gap_stats(ds, key_col: str, ts_col: str, id_col: str,
         if not (pa.types.is_timestamp(ts.type) and ts.type.unit == "us"):
             ts = ts.cast(pa.timestamp("us"))
         micros = ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        same_key = ~_new_key_mask(keys, n)
+        same_key = ~new_segment_mask(keys, n)
         gaps = np.diff(micros, prepend=micros[:1])
         t = pa.table({
             key_col: keys.filter(pa.array(same_key)),
@@ -355,7 +349,7 @@ def range_window_sum(ds, key_col: str, ts_col: str, id_col: str,
         if isinstance(vals, pa.ChunkedArray):
             vals = vals.combine_chunks()
         v = vals.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        new_key = _new_key_mask(keys, n)
+        new_key = new_segment_mask(keys, n)
         pos = np.arange(n, dtype=np.int64)
         seg_start = np.maximum.accumulate(np.where(new_key, pos, 0))
         seg_id = np.cumsum(new_key) - 1
@@ -436,7 +430,7 @@ def ntile_by_group(ds, group_col: str, order_col: str, id_col: str,
         # NULL group keys form their OWN partition (SQL PARTITION BY):
         # null-aware adjacency via the shared mask (nulls equal each
         # other, differ from every value)
-        new_seg = _new_key_mask(keys, n)
+        new_seg = new_segment_mask(keys, n)
         seg_id = np.cumsum(new_seg) - 1
         starts = np.flatnonzero(new_seg)
         sizes_per_seg = np.diff(np.append(starts, n))

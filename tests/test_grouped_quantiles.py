@@ -104,3 +104,40 @@ def test_grouped_quantiles_parallelism_invariant(ray_session):
     b = grouped_exact_quantiles_disc(rd.from_arrow(t).repartition(13),
                                      "g", "v", qs, num_bins=32)
     assert a == b == _oracle(t, qs)
+
+
+def test_grouped_quantiles_inactive_group_not_folded_into_null(ray_session):
+    """index_in yields null BOTH for null keys and for keys absent from
+    the active set (constant groups never get a histogram slot) — a
+    fill_null would fold the constant group's rows into the NULL group's
+    histogram. Planted shape: NULL group [1, 100] + constant group 'c'
+    [50, 50]; p90 of the NULL group must be 100, never 50."""
+    import ray.data as rd
+
+    from engine.stages.selection import grouped_exact_quantiles_disc
+
+    t = pa.table({
+        "g": pa.array([None, None, "b", "b", "c", "c"]),
+        "v": pa.array([1, 100, 1, 2, 50, 50], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    got = grouped_exact_quantiles_disc(ds, "g", "v", [0.9], num_bins=8)
+    assert got == _oracle(t, [0.9])
+    assert got[None] == (2, [100])
+
+
+def test_grouped_quantiles_null_only_active_group(ray_session):
+    """When the NULL group is the ONLY non-constant group, the value_set
+    for index_in must be typed from the column (an all-None Python list
+    infers Arrow null type and crashes every histogram batch)."""
+    import ray.data as rd
+
+    from engine.stages.selection import grouped_exact_quantiles_disc
+
+    t = pa.table({
+        "g": pa.array([None, None, "c", "c"]),
+        "v": pa.array([1, 100, 50, 50], pa.int64()),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    got = grouped_exact_quantiles_disc(ds, "g", "v", [0.5, 0.9], num_bins=4)
+    assert got == _oracle(t, [0.5, 0.9])

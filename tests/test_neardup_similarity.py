@@ -800,3 +800,27 @@ def test_mark_near_duplicates_max_quality(ray_session):
               for r in base.take_all()}
     assert sum(bflags.values()) == 5
     assert not bflags[("r1", "a/0.py")]
+
+
+def test_ann_custom_key_col_threads_through_sampler(ray_session):
+    """ivf_topk / pq_topk / build_ivf_index accept key_col; the
+    hash-threshold fit sampler must receive it too (it ranks rows by a
+    hash of the key column — a hard 'vec_id' would crash any dataset
+    whose key is named differently)."""
+    import ray.data as rd
+
+    from engine.stages.pq import pq_topk
+    from engine.stages.similarity import build_ivf_index, ivf_topk
+
+    ds = (rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .map_batches(lambda b: b.rename_columns(
+              ["id" if c == "vec_id" else c for c in b.column_names]),
+              batch_format="pyarrow"))
+    q = np.asarray(ds.take(1)[0]["embedding"]).reshape(1, -1)
+    got = ivf_topk(ds, q, k=5, nprobe=4, key_col="id", n_lists=8,
+                   sample_size=512)
+    assert got.num_rows == 5
+    got2 = pq_topk(ds, q, k=5, key_col="id", m=8, ks=16, sample_size=512)
+    assert got2.num_rows == 5
+    idx = build_ivf_index(ds, key_col="id", n_lists=8, sample_size=512)
+    assert len(idx.query(q[0], k=5, nprobe=4)) == 5
