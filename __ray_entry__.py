@@ -51,6 +51,8 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    # -- new this round: cross-doc repeated-span detection --
+    "duplicate_spans_documents",
     # -- never driver-swept oracle-SQL queries (round-3 verdict item 1) --
     "percentage_range_discount",
     "ssn_mask_format_customer_name",

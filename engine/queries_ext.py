@@ -4034,3 +4034,48 @@ def ntile_quartiles_by_event_type(sf_dir: str) -> pa.Table:
          .rename_columns(["event_type", "quartile", "n", "sum_cents"]))
     return g.sort_by([("event_type", "ascending"),
                       ("quartile", "ascending")])
+
+
+# ===========================================================================
+# Cross-document repeated-span detection (exact-substring dedup family)
+# ===========================================================================
+
+@query(
+    "duplicate_spans_documents",
+    """
+    WITH nums AS (
+      SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 100000) t(i)
+    ), grams AS (
+      SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 32) AS g
+      FROM documents JOIN nums ON i <= length(text) - 31
+      WHERE text IS NOT NULL
+    ), dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+    ), cov AS (
+      SELECT doc_id, pos,
+             LEAST(32, COALESCE(LEAD(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) - pos, 32)) AS c
+      FROM hits
+    )
+    SELECT doc_id, count(*) AS dup_grams,
+           CAST(sum(c) AS BIGINT) AS covered_chars
+    FROM cov GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def duplicate_spans_documents(sf_dir: str) -> pa.Table:
+    """Cross-document duplicated-span report at exact 32-byte-gram
+    granularity (the Lee et al. 2022 exact-substring-dedup family —
+    stages/spans.py): every doc containing a 32-byte window that also
+    appears in ANOTHER doc, with the hit-window count and the union
+    coverage of the hit windows (the bytes span-removal would drop).
+    Detection keys on raw gram BYTES (no hashing), so the match with
+    the char-level SQL oracle is exact on the ASCII corpus. The
+    oracle's numbers-table bound (100k) far exceeds max doc length at
+    every SF. No reference counterpart (the reference's
+    duplicate_checker.py is row-level only)."""
+    from .stages.spans import duplicate_spans
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(ds, "text", "doc_id", k=32)
