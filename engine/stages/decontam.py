@@ -46,10 +46,13 @@ def _shingle_values(data: np.ndarray, offsets: np.ndarray,
     keep_idx, starts, total = segment_keep_index(offsets, counts)
     if len(data) < k or total == 0:
         return np.zeros(0, np.uint64), starts, counts.astype(np.int64)
-    v = np.zeros(len(data) - k + 1, dtype=np.uint64)
-    for j in range(k):
-        v |= (data[j: len(data) - k + 1 + j].astype(np.uint64)
-              << np.uint64(8 * (k - 1 - j)))
+    n = len(data) - k + 1
+    du = data.astype(np.uint64)  # one widening pass, sliced per offset
+    v = np.zeros(n, dtype=np.uint64)
+    tmp = np.empty(n, dtype=np.uint64)
+    for j in range(k):  # in-place ufuncs: no per-iteration temporaries
+        np.left_shift(du[j: n + j], np.uint64(8 * (k - 1 - j)), out=tmp)
+        np.bitwise_or(v, tmp, out=v)
     return v[keep_idx], starts, counts.astype(np.int64)
 
 

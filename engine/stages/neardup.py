@@ -70,9 +70,13 @@ def _shingles(data: np.ndarray, offsets: np.ndarray, k: int = _SHINGLE_K):
     if len(data) < k:
         return np.zeros(0, np.uint64), np.zeros(n_docs, np.int64), counts
     base = np.uint64(1099511628211)
+    # in-place ufuncs: the expression form (h = h * base + slice) allocates
+    # two window-sized uint64 temporaries per byte position — measured 16x
+    # slower than out= on multi-MB batches (pure allocator/memcpy traffic)
     h = np.zeros(len(data) - k + 1, dtype=np.uint64)
     for j in range(k):
-        h = h * base + data[j : len(data) - k + 1 + j]
+        np.multiply(h, base, out=h)
+        np.add(h, data[j : len(data) - k + 1 + j], out=h, casting="unsafe")
     # keep only in-doc shingle positions (shared interval-arithmetic
     # gather — textfeat.segment_keep_index)
     from .textfeat import segment_keep_index
@@ -132,6 +136,98 @@ def minhash_signatures(
         idx = nz[d0:d1]
         sigs[idx] = np.minimum(sigs[idx], mins)
     return sigs
+
+
+def minhash_signatures_oph(
+    texts: pa.Array | pa.ChunkedArray,
+    num_perm: int = 128,
+    seed: int = 42,
+) -> np.ndarray:
+    """(n_docs, num_perm) uint64 MinHash signatures via One-Permutation
+    Hashing (Li, Owen & Zhang, NIPS 2012) with rotation densification
+    (Shrivastava & Li, ICML 2014).
+
+    ONE mixed 64-bit hash per shingle is binned by its low bits; the
+    signature is the per-(doc, bin) minimum of the remaining bits; empty
+    bins borrow ``value + distance * C`` from the nearest non-empty bin
+    to the left (cyclically), so every bin is a valid MinHash estimate.
+    ~num_perm x less hash arithmetic than :func:`minhash_signatures`
+    (one multiply chain per shingle instead of num_perm scalar uint64
+    multiplies, which numpy cannot SIMD-vectorize) at slightly higher
+    estimator variance for docs with few shingles. LSH banding semantics
+    are unchanged (band equality of r rows). Deterministic and
+    batch-boundary independent. NOT signature-compatible with the
+    k-permutation scheme — pick ONE scheme per corpus run.
+
+    Docs with zero shingles keep the all-MAX signature, matching the
+    k-permutation scheme's convention.
+    """
+    P = num_perm
+    if P & (P - 1) or P < 2:
+        raise ValueError("num_perm must be a power of two for scheme='oph'")
+    data, offsets = byte_view(texts)
+    hashes, starts, counts = _shingles(data, offsets)
+    n_docs = len(offsets) - 1
+    MAXV = np.iinfo(np.uint64).max
+    M = np.full((n_docs, P), MAXV, dtype=np.uint64)
+    total = len(hashes)
+    if total == 0:
+        return M
+    rng = np.random.default_rng(seed)
+    c_seed = np.uint64(int(rng.integers(1, 1 << 62, dtype=np.uint64)) | 1)
+    # fmix64 (murmur3 finalizer) over the shingle hash, seeded — all
+    # in-place (no per-step temporaries beyond one scratch buffer)
+    h = hashes.copy()
+    tmp = np.empty_like(h)
+    h ^= c_seed
+    np.right_shift(h, np.uint64(33), out=tmp); h ^= tmp
+    np.multiply(h, np.uint64(0xFF51AFD7ED558CCD), out=h)
+    np.right_shift(h, np.uint64(33), out=tmp); h ^= tmp
+    np.multiply(h, np.uint64(0xC4CEB9FE1A85EC53), out=h)
+    np.right_shift(h, np.uint64(33), out=tmp); h ^= tmp
+    lb = np.uint64(P.bit_length() - 1)
+    # composite sort key (doc << lb) | bin == the flat (doc, bin) slot
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.uint64),
+                       counts.astype(np.int64))
+    comp = np.empty_like(h)
+    np.left_shift(doc_of, lb, out=comp)
+    np.bitwise_and(h, np.uint64(P - 1), out=tmp)
+    np.bitwise_or(comp, tmp, out=comp)
+    np.right_shift(h, lb, out=h)  # h becomes the in-bin value
+    order = np.argsort(comp, kind="stable")
+    cs = comp[order]
+    vs = h[order]
+    seg = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+    M.ravel()[cs[seg].astype(np.int64)] = np.minimum.reduceat(vs, seg)
+    # rotation densification, only over rows that need it
+    empty = M == MAXV
+    need = empty.any(axis=1) & ~empty.all(axis=1)
+    rows = np.flatnonzero(need)
+    if len(rows):
+        Mr = M[rows]
+        Er = Mr == MAXV
+        cols = np.arange(2 * P, dtype=np.int64)
+        pos = np.where(~np.concatenate([Er, Er], axis=1), cols[None, :], -1)
+        # nearest non-empty bin at-or-left of each target, cyclically
+        acc = np.maximum.accumulate(pos, axis=1)[:, P:]
+        src = acc % P
+        dist = (np.arange(P, dtype=np.int64)[None, :] + P) - acc
+        borrowed = np.take_along_axis(Mr, src, axis=1)
+        borrowed += dist.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        M[rows] = np.where(Er, borrowed, Mr)
+    return M
+
+
+_SIG_SCHEMES = {"kperm": minhash_signatures, "oph": minhash_signatures_oph}
+
+
+def _sig_fn(scheme: str):
+    try:
+        return _SIG_SCHEMES[scheme]
+    except KeyError:
+        raise ValueError(
+            f"unknown signature scheme {scheme!r}: one of "
+            f"{sorted(_SIG_SCHEMES)}") from None
 
 
 def signature_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
@@ -375,7 +471,7 @@ def _band_hashes(sigs: np.ndarray, bands: int) -> np.ndarray:
 
 def _edges_broadcast(
     ds, text_col: str, key_col: str, num_perm: int, bands: int,
-    threshold: float, pair_limit: int,
+    threshold: float, pair_limit: int, scheme: str = "kperm",
 ):
     """Size-guarded broadcast verify: the shuffle-free edges path.
 
@@ -399,8 +495,10 @@ def _edges_broadcast(
     import ray
     import ray.data as rd
 
+    make_sigs = _sig_fn(scheme)
+
     def sig_tbl(batch: pa.Table) -> pa.Table:
-        sigs = minhash_signatures(batch[text_col], num_perm)
+        sigs = make_sigs(batch[text_col], num_perm)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -480,8 +578,15 @@ def minhash_lsh_edges(
     num_coarse_buckets: int | None = None,
     max_broadcast_docs: int | None = None,
     n_docs: int | None = None,
+    scheme: str = "kperm",
 ):
     """Dataset -> Dataset of verified near-dup edges (key_a, key_b).
+
+    ``scheme`` picks the signature kernel: ``"kperm"`` (default, the
+    classic num_perm-permutation MinHash) or ``"oph"`` (One-Permutation
+    Hashing — ~num_perm x less hash arithmetic, see
+    :func:`minhash_signatures_oph`; flags differ slightly near the
+    threshold, so keep one scheme per corpus run).
 
     One streaming signature pass, then ONE of two verify plans behind
     the usual size guard (the FK-join broadcast/distributed split):
@@ -528,12 +633,14 @@ def minhash_lsh_edges(
             _BROADCAST_VERIFY_BUDGET_BYTES // per_doc_bytes)
     if max_broadcast_docs and n_docs <= max_broadcast_docs:
         return _edges_broadcast(ds, text_col, key_col, num_perm, bands,
-                                jaccard_threshold, pair_limit_per_bucket)
+                                jaccard_threshold, pair_limit_per_bucket,
+                                scheme)
     if num_coarse_buckets is None:
         num_coarse_buckets = coarse_buckets_for(n_docs, bands)
+    make_sigs = _sig_fn(scheme)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
-        sigs = minhash_signatures(batch[text_col], num_perm)
+        sigs = make_sigs(batch[text_col], num_perm)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
@@ -716,6 +823,7 @@ def minhash_lsh_labels(
     num_coarse_buckets: int | None = None,
     max_broadcast_docs: int | None = None,
     n_docs: int | None = None,
+    scheme: str = "kperm",
 ):
     """Scale API: Dataset -> Dataset (key, label) of near-dup cluster
     labels (label = cluster-minimum key). Keys with no near-dup are absent.
@@ -724,6 +832,7 @@ def minhash_lsh_labels(
         ds, text_col, key_col, num_perm, bands,
         jaccard_threshold, pair_limit_per_bucket, num_coarse_buckets,
         max_broadcast_docs=max_broadcast_docs, n_docs=n_docs,
+        scheme=scheme,
     ).materialize()
     return propagate_min_labels(edges)
 
@@ -736,6 +845,7 @@ def minhash_lsh_dedup(
     bands: int = 16,
     jaccard_threshold: float = 0.8,
     pair_limit_per_bucket: int = 1000,
+    scheme: str = "kperm",
 ):
     """Full MinHash-LSH near-dup pipeline over a Dataset.
 
@@ -749,7 +859,7 @@ def minhash_lsh_dedup(
     ``minhash_lsh_labels`` directly when even that set is large."""
     labels = minhash_lsh_labels(
         ds, text_col, key_col, num_perm, bands,
-        jaccard_threshold, pair_limit_per_bucket,
+        jaccard_threshold, pair_limit_per_bucket, scheme=scheme,
     )
     clusters_map: dict = {}
     for r in labels.take_all():
@@ -976,6 +1086,7 @@ def mark_near_duplicates(
     max_broadcast_losers: int | None = None,
     keep: str = "min_key",
     quality_col: str | None = None,
+    scheme: str = "kperm",
 ):
     """Corpus-level near-dedup: append ``near_dup_flag`` (True = drop, the
     row is a non-representative member of a near-dup cluster).
@@ -1027,7 +1138,7 @@ def mark_near_duplicates(
         keyed, text_col=text_col, key_col="_nd_key",
         num_perm=num_perm, bands=bands, jaccard_threshold=jaccard_threshold,
         num_coarse_buckets=coarse_buckets_for(n_docs, bands),
-        n_docs=n_docs)
+        n_docs=n_docs, scheme=scheme)
 
     def _all_false():
         return keyed.map_batches(
