@@ -824,3 +824,117 @@ def test_ann_custom_key_col_threads_through_sampler(ray_session):
     assert got2.num_rows == 5
     idx = build_ivf_index(ds, key_col="id", n_lists=8, sample_size=512)
     assert len(idx.query(q[0], k=5, nprobe=4)) == 5
+
+
+# ---------------------------------------------------------------------------
+# One-Permutation Hashing scheme (scheme="oph")
+# ---------------------------------------------------------------------------
+
+def test_oph_estimates_jaccard():
+    from engine.stages.neardup import minhash_signatures_oph
+
+    texts = pa.array([BASE, NEAR, FAR], pa.large_string())
+    sigs = minhash_signatures_oph(texts, num_perm=256)
+    est_near = signature_jaccard(sigs[0], sigs[1])
+    est_far = signature_jaccard(sigs[0], sigs[2])
+    assert abs(est_near - ngram_jaccard(BASE, NEAR)) < 0.12
+    assert est_far < 0.1
+    # identical docs -> identical signatures (est exactly 1.0)
+    s2 = minhash_signatures_oph(pa.array([BASE, BASE]), num_perm=128)
+    assert (s2[0] == s2[1]).all()
+
+
+def test_oph_deterministic_and_batch_independent():
+    from engine.stages.neardup import minhash_signatures_oph
+
+    texts = [BASE, NEAR, FAR, BASE + "x", FAR + "y", "tiny", ""]
+    full = minhash_signatures_oph(pa.array(texts, pa.large_string()))
+    parts = np.vstack([
+        minhash_signatures_oph(pa.array(texts[:3], pa.large_string())),
+        minhash_signatures_oph(pa.array(texts[3:], pa.large_string())),
+    ])
+    assert (full == parts).all()
+    again = minhash_signatures_oph(pa.array(texts, pa.large_string()))
+    assert (full == again).all()
+
+
+def test_oph_densification_and_empty_docs():
+    from engine.stages.neardup import minhash_signatures_oph
+
+    MAXV = np.iinfo(np.uint64).max
+    # a doc with very few shingles (far fewer than num_perm bins) still
+    # gets a fully-densified signature: no MAX slots survive
+    few = "abcdefghij"  # 3 shingles at k=8
+    sigs = minhash_signatures_oph(pa.array([few, "", "1234567"]), 128)
+    assert not (sigs[0] == MAXV).any()
+    # zero-shingle docs (empty / shorter than k) keep the all-MAX row,
+    # the same convention as the k-permutation kernel
+    assert (sigs[1] == MAXV).all() and (sigs[2] == MAXV).all()
+
+
+def test_oph_rejects_non_power_of_two():
+    import pytest as _pytest
+
+    from engine.stages.neardup import minhash_signatures_oph
+
+    with _pytest.raises(ValueError):
+        minhash_signatures_oph(pa.array([BASE]), num_perm=96)
+
+
+def test_oph_estimator_accuracy_on_corpus():
+    """Mean |estimate - exact| over real doc pairs from the testdata
+    corpus stays within MinHash sampling noise for the OPH scheme too
+    (prototype measurement: kperm 0.015, oph 0.017 at num_perm=128)."""
+    import pyarrow.parquet as pq
+
+    from engine.stages.neardup import (minhash_signatures,
+                                       minhash_signatures_oph)
+
+    tx = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                       columns=["text"])["text"].combine_chunks()
+    s_k = minhash_signatures(tx, 128)
+    s_o = minhash_signatures_oph(tx, 128)
+    txl = tx.to_pylist()
+    errs_k, errs_o = [], []
+    for i in range(0, 200, 3):
+        for j in range(i + 1, min(i + 12, len(txl)), 4):
+            jx = ngram_jaccard(txl[i], txl[j])
+            if jx < 0.05:
+                continue
+            errs_k.append(abs(signature_jaccard(s_k[i], s_k[j]) - jx))
+            errs_o.append(abs(signature_jaccard(s_o[i], s_o[j]) - jx))
+    assert len(errs_o) >= 20
+    assert np.mean(errs_o) < 0.05 and np.max(errs_o) < 0.15
+    # not materially worse than the k-permutation kernel
+    assert np.mean(errs_o) < np.mean(errs_k) + 0.02
+
+
+def test_lsh_edges_scheme_oph_end_to_end(ray_session):
+    """scheme='oph' finds the same planted near-dup structure as the
+    default kernel, on BOTH the broadcast and distributed verify paths
+    (which must also agree with each other exactly)."""
+    import ray.data as rd
+
+    from engine.stages.neardup import minhash_lsh_edges
+
+    rows = []
+    for i in range(80):
+        rows.append({"doc_id": i,
+                     "text": f"totally distinct document body {i} " * 6
+                     + str(i * 104729)})
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    for j in range(6):
+        rows.append({"doc_id": 1000 + j, "text": base * 8 + f"tail{j}"})
+    for j in range(10):
+        rows.append({"doc_id": 2000 + j, "text": "identical payload " * 20})
+    ds = rd.from_items(rows).repartition(5)
+    e_bc = {(r["key_a"], r["key_b"]) for r in minhash_lsh_edges(
+        ds, jaccard_threshold=0.8, scheme="oph").take_all()}
+    e_dist = {(r["key_a"], r["key_b"]) for r in minhash_lsh_edges(
+        ds, jaccard_threshold=0.8, scheme="oph",
+        max_broadcast_docs=0).take_all()}
+    assert e_bc == e_dist
+    keys_linked = {k for e in e_bc for k in e}
+    assert {1000 + j for j in range(6)} <= keys_linked
+    assert {2000 + j for j in range(10)} <= keys_linked
+    assert not any(k < 1000 for k in keys_linked)
