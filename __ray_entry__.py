@@ -51,8 +51,11 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
-    # -- new this round: cross-doc repeated-span detection --
+    # -- new this round: cross-doc repeated-span detection + incremental
+    # shard-vs-index near-dedup (rows-only) --
     "duplicate_spans_documents",
+    "strip_spans_documents",
+    "incremental_neardup_documents",
     # -- never driver-swept oracle-SQL queries (round-3 verdict item 1) --
     "percentage_range_discount",
     "ssn_mask_format_customer_name",

@@ -190,6 +190,10 @@ def main() -> None:
     near_dedup_sec = None
     near_dups = None
     near_dedup_oph_sec = None
+    incr_index_sec = None
+    incr_sec = None
+    incr_flags = None
+    incr_shard_rows = None
     near_dups_oph = None
     vsummary = {"total_checks": 0}
     if not HEADLINE_ONLY:
@@ -237,6 +241,60 @@ def main() -> None:
             near_dedup_oph_sec = dt if near_dedup_oph_sec is None else min(
                 near_dedup_oph_sec, dt)
 
+        # incremental shard ingest (stages/neardup_incremental.py): 90%
+        # of the corpus is reduced ONCE to its persisted (key, sig) index
+        # — the one-time cost, reported as incr_index_sec — then only the
+        # remaining 10% "shard" (written to its own parquet, as a daily
+        # crawl would arrive) is signatured and flagged against
+        # index + itself. incr_neardup_sec is the steady-state per-shard
+        # cost of keeping an already-deduped 100 TB corpus clean; compare
+        # with near_dedup_sec, the full re-run it replaces.
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from engine.stages.neardup_incremental import (
+            mark_new_near_duplicates, minhash_signature_table)
+        from engine.stages.sketches import _hash64_strings
+
+        def _keyed_side(shard: bool):
+            def f(b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                comp = pc.binary_join_element_wise(
+                    b["repo"], b["path"], b["commit"], "\x1f")
+                k = (_hash64_strings(comp) >> np.uint64(1)).astype(np.int64)
+                m = (k % 10 == 7) if shard else (k % 10 != 7)
+                sel = pa.array(m)
+                return pa.table({"doc_key": pa.array(k[m]),
+                                 "content": b["content"].filter(sel)})
+            return f
+
+        cols = ["repo", "path", "commit", "content"]
+        shard_path = f"{path}_shard"
+        if not os.path.isdir(shard_path) or not os.listdir(shard_path):
+            ray.data.read_parquet(path, columns=cols).map_batches(
+                _keyed_side(True), batch_format="pyarrow",
+            ).write_parquet(shard_path)
+        t0 = time.time()
+        sig = minhash_signature_table(
+            ray.data.read_parquet(path, columns=cols).map_batches(
+                _keyed_side(False), batch_format="pyarrow"),
+            text_col="content", key_col="doc_key").materialize()
+        incr_index_sec = round(time.time() - t0, 3)
+        incr_sec = None
+        incr_flags = None
+        incr_shard_rows = None
+        for _ in range(2):
+            t0 = time.time()
+            shard_ds = ray.data.read_parquet(shard_path)
+            flagged = mark_new_near_duplicates(
+                shard_ds, sig, text_col="content", key_col="doc_key")
+            incr_flags = int(flagged.map_batches(
+                _flag_count, batch_format="pyarrow").sum("d") or 0)
+            dt = round(time.time() - t0, 3)
+            incr_sec = dt if incr_sec is None else min(incr_sec, dt)
+        incr_shard_rows = ray.data.read_parquet(shard_path).count()
+
         # rule-driven validation chain over the SF tables (fused compiler)
         from engine.rules import load_rules
         from engine.validate import run_validation
@@ -265,6 +323,10 @@ def main() -> None:
         "near_dup_rows": near_dups,
         "near_dedup_oph_sec": near_dedup_oph_sec,
         "near_dup_rows_oph": near_dups_oph,
+        "incr_index_sec": incr_index_sec,
+        "incr_neardup_sec": incr_sec,
+        "incr_neardup_flags": incr_flags,
+        "incr_shard_rows": incr_shard_rows,
         "probe_start": probe_start,
         "probe_end": probe(),
     }

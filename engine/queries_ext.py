@@ -341,6 +341,41 @@ def minhash_lsh_clusters_documents(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+@query("incremental_neardup_documents")
+def incremental_neardup_documents(sf_dir: str) -> pa.Table:
+    """Incremental near-dedup: docs with ``doc_id % 10 == 7`` play the
+    role of an incoming shard; the rest are the already-ingested corpus,
+    reduced once to its persistable (key, sig) index — then only the
+    shard text is signatured and flagged against index + itself
+    (stages/neardup_incremental.py). Rows-only: a stateful two-corpus
+    flow with no single-table SQL oracle (semantics parity-tested vs the
+    one-shot pipeline in tests/test_neardup_incremental.py). Reference
+    scope analogue: the duplicate checker re-run per ingest
+    (src/checker/duplicate_checker.py:17-56) — here the existing corpus
+    pays no re-read and no re-signature."""
+    from .stages.neardup_incremental import (mark_new_near_duplicates,
+                                             minhash_signature_table)
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(shard: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 7) if shard else (ids % 10 != 7)
+            return b.filter(pa.array(m))
+        return f
+
+    sig = minhash_signature_table(
+        ds.map_batches(_side(False), batch_format="pyarrow")).materialize()
+    shard = ds.map_batches(_side(True), batch_format="pyarrow")
+    out = mark_new_near_duplicates(shard, sig, jaccard_threshold=0.7)
+    flagged = out.map_batches(
+        lambda b: b.filter(pc.fill_null(b["near_dup_flag"], False))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    return _collect(flagged.sort("doc_id")).select(["doc_id"])
+
+
 @query("simhash_documents")
 def simhash_documents(sf_dir: str) -> pa.Table:
     from .stages.neardup import simhash64
@@ -4079,3 +4114,60 @@ def duplicate_spans_documents(sf_dir: str) -> pa.Table:
 
     ds = _t(sf_dir, "documents", ["doc_id", "text"])
     return duplicate_spans(ds, "text", "doc_id", k=32)
+
+
+@query(
+    "strip_spans_documents",
+    """
+    WITH nums AS (
+      SELECT CAST(i AS BIGINT) AS i FROM generate_series(1, 100000) t(i)
+    ), grams AS (
+      SELECT doc_id, i AS pos, substr(text, CAST(i AS INT), 32) AS g
+      FROM documents JOIN nums ON i <= length(text) - 31
+      WHERE text IS NOT NULL
+    ), dupg AS (
+      SELECT g FROM grams GROUP BY g HAVING min(doc_id) <> max(doc_id)
+    ), hits AS (
+      SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM dupg)
+    ), cov AS (
+      SELECT doc_id, pos,
+             LEAST(32, COALESCE(LEAD(pos) OVER
+                 (PARTITION BY doc_id ORDER BY pos) - pos, 32)) AS c
+      FROM hits
+    ), agg AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_removed
+      FROM cov GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_removed,
+           CAST(length(d.text) - a.n_removed AS BIGINT) AS n_kept
+    FROM agg a JOIN documents d USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def strip_spans_documents(sf_dir: str) -> pa.Table:
+    """The REMOVAL half of exact-substring dedup
+    (stages/spans.py strip_duplicate_spans): text is rewritten to
+    exclude every byte covered by a cross-doc duplicated 32-byte-gram.
+    Certified against the char-level SQL oracle through the rewritten
+    column itself: n_kept is measured as the byte length of the
+    POST-STRIP text (not derived), so the oracle's
+    ``length(text) - n_removed`` only matches if the transform removed
+    exactly the covered bytes. Content-level behavior (which bytes,
+    pass-through of clean docs) is planted-fixture tested in
+    tests/test_spans.py."""
+    from .stages.spans import strip_duplicate_spans
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    out = strip_duplicate_spans(ds, "text", "doc_id", k=32)
+
+    def fn(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater(b["n_removed"], 0))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_removed": t["n_removed"],
+            "n_kept": pc.cast(pc.binary_length(t["text"]), pa.int64()),
+        })
+
+    res = out.map_batches(fn, batch_format="pyarrow")
+    return _collect(res.sort("doc_id")).select(
+        ["doc_id", "n_removed", "n_kept"])
