@@ -271,19 +271,19 @@ def main() -> None:
 
         cols = ["repo", "path", "commit", "content"]
         shard_path = f"{path}_shard"
-        if not os.path.isdir(shard_path) or not os.listdir(shard_path):
-            ray.data.read_parquet(path, columns=cols).map_batches(
-                _keyed_side(True), batch_format="pyarrow",
-            ).write_parquet(shard_path)
+        # always rewritten (cheap, 10%-sized, untimed): a cached shard
+        # could silently desync from the live-derived index side if the
+        # corpus generator or the split selector changes
+        shutil.rmtree(shard_path, ignore_errors=True)
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            _keyed_side(True), batch_format="pyarrow",
+        ).write_parquet(shard_path)
         t0 = time.time()
         sig = minhash_signature_table(
             ray.data.read_parquet(path, columns=cols).map_batches(
                 _keyed_side(False), batch_format="pyarrow"),
             text_col="content", key_col="doc_key").materialize()
         incr_index_sec = round(time.time() - t0, 3)
-        incr_sec = None
-        incr_flags = None
-        incr_shard_rows = None
         for _ in range(2):
             t0 = time.time()
             shard_ds = ray.data.read_parquet(shard_path)

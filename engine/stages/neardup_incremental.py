@@ -45,6 +45,20 @@ from .neardup import (_add_coarse_bucket, _coarse_verify, _local_min_labels,
                       _sig_fn, _sigs_np, coarse_buckets_for, lsh_band_rows)
 
 
+def _check_sig_type(sig, num_perm: int) -> None:
+    """Loud failure on a num_perm/index mismatch: decoding a 256-wide
+    index with num_perm=128 would otherwise silently interleave halves
+    of adjacent signatures (mostly-missed dups, no error)."""
+    if (not pa.types.is_fixed_size_binary(sig.type)
+            or sig.type.byte_width != num_perm * 8):
+        raise ValueError(
+            f"index sig column is {sig.type}, expected "
+            f"fixed_size_binary({num_perm * 8}) — was the index built "
+            f"with a different num_perm than {num_perm}? (the hash "
+            "scheme must match the index build too; it is not "
+            "recoverable from the bytes)")
+
+
 def minhash_signature_table(ds, text_col: str = "text",
                             key_col: str = "doc_id",
                             num_perm: int = 128, scheme: str = "kperm"):
@@ -69,11 +83,6 @@ def minhash_signature_table(ds, text_col: str = "text",
     return ds.map_batches(sig_tbl, batch_format="pyarrow")
 
 
-def _band_rows(keys, sigs: np.ndarray, bands: int,
-               num_coarse: int) -> pa.Table:
-    return _add_coarse_bucket(lsh_band_rows(keys, sigs, bands), num_coarse)
-
-
 def mark_new_near_duplicates(
     new_ds,
     index_sig_ds,
@@ -96,10 +105,6 @@ def mark_new_near_duplicates(
 
     if max_broadcast_losers is None:
         max_broadcast_losers = DEFAULT_MAX_BROADCAST_KEYS
-    n_new = new_ds.count()
-    n_index = index_sig_ds.count()
-    if num_coarse_buckets is None:
-        num_coarse_buckets = coarse_buckets_for(n_new + n_index, bands)
     make_sigs = _sig_fn(scheme)
     nperm = num_perm
 
@@ -107,8 +112,7 @@ def mark_new_near_duplicates(
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        return _band_rows(keys, make_sigs(batch[text_col], nperm),
-                          bands, num_coarse_buckets)
+        return lsh_band_rows(keys, make_sigs(batch[text_col], nperm), bands)
 
     def index_band_rows(batch: pa.Table) -> pa.Table:
         keys = batch["key"]
@@ -117,20 +121,38 @@ def mark_new_near_duplicates(
         sig = batch["sig"]
         if isinstance(sig, pa.ChunkedArray):
             sig = sig.combine_chunks()
-        return _band_rows(keys, _sigs_np(sig, nperm).copy(),
-                          bands, num_coarse_buckets)
+        _check_sig_type(sig, nperm)
+        return lsh_band_rows(keys, _sigs_np(sig, nperm), bands)
 
     rows = (new_ds.map_batches(new_band_rows, batch_format="pyarrow")
             .union(index_sig_ds.map_batches(index_band_rows,
                                             batch_format="pyarrow"))
             .materialize())  # same barrier rationale as minhash_lsh_edges
-    edges_ds = rows.groupby("_cb").map_groups(
+    if num_coarse_buckets is None:
+        # every doc emits exactly ``bands`` rows, so the doc count falls
+        # out of the (already-materialized, metadata-cheap) row count —
+        # no extra execution of the shard pipeline just to size buckets
+        num_coarse_buckets = coarse_buckets_for(rows.count() // bands,
+                                                bands)
+    nc = num_coarse_buckets
+    edges_ds = rows.map_batches(
+        lambda b: _add_coarse_bucket(b, nc), batch_format="pyarrow",
+    ).groupby("_cb").map_groups(
         lambda g: _coarse_verify(g.drop_columns(["_cb"]), nperm,
                                  jaccard_threshold, pair_limit_per_bucket),
         batch_format="pyarrow")
 
     edge_tabs = [t for t in ray.get(edges_ds.materialize().to_arrow_refs())
                  if t.num_rows]
+    n_edges = sum(t.num_rows for t in edge_tabs)
+    if n_edges > max_broadcast_losers:
+        # raise BEFORE concatenating the edge set into driver heap — the
+        # blow-up this guard exists to prevent
+        raise ValueError(
+            f"shard near-dup edge set has {n_edges} rows, above "
+            f"max_broadcast_losers={max_broadcast_losers}: resolve this "
+            "shard with the full distributed pipeline "
+            "(minhash_lsh_labels over index corpus + shard) instead")
 
     def _all_false():
         return new_ds.map_batches(
@@ -141,12 +163,6 @@ def mark_new_near_duplicates(
     if not edge_tabs:
         return _all_false()
     edges = pa.concat_tables(edge_tabs).combine_chunks()
-    if edges.num_rows > max_broadcast_losers:
-        raise ValueError(
-            f"shard near-dup edge set has {edges.num_rows} rows, above "
-            f"max_broadcast_losers={max_broadcast_losers}: resolve this "
-            "shard with the full distributed pipeline "
-            "(minhash_lsh_labels over index corpus + shard) instead")
 
     # endpoint old/new classification WITHOUT broadcasting the index:
     # broadcast the (near-dup-set-sized) endpoint set, stream the index

@@ -127,6 +127,18 @@ def test_incremental_parallelism_invariant_and_oph(ray_session):
         assert flags[0][1001] and not flags[0][1004]
 
 
+def test_incremental_num_perm_mismatch_raises(ray_session):
+    """A num_perm different from the index build must fail loudly —
+    silently interleaved signatures would mostly miss dups."""
+    import pytest as _pytest
+    import ray.data as rd
+
+    old_ds = rd.from_items(_old_rows()).repartition(2)
+    sig = minhash_signature_table(old_ds, num_perm=64).materialize()
+    with _pytest.raises(Exception, match="fixed_size_binary"):
+        mark_new_near_duplicates(rd.from_items(_new_rows()), sig)
+
+
 def test_incremental_edge_guard_raises(ray_session):
     import pytest as _pytest
     import ray.data as rd
