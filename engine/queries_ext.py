@@ -376,6 +376,61 @@ def incremental_neardup_documents(sf_dir: str) -> pa.Table:
     return _collect(flagged.sort("doc_id")).select(["doc_id"])
 
 
+@query(
+    "incremental_exact_dedup_documents",
+    """
+    WITH shard AS (
+      SELECT doc_id, substr(text, 1, 128) AS key
+      FROM documents WHERE doc_id % 10 = 7
+    ), idx AS (
+      SELECT DISTINCT substr(text, 1, 128) AS key
+      FROM documents WHERE doc_id % 10 <> 7 AND text IS NOT NULL
+    )
+    SELECT s.doc_id FROM shard s
+    WHERE s.key IS NOT NULL AND (
+        s.key IN (SELECT key FROM idx)
+        OR EXISTS (SELECT 1 FROM shard s2
+                   WHERE s2.key = s.key AND s2.doc_id < s.doc_id))
+    ORDER BY doc_id
+    """,
+)
+def incremental_exact_dedup_documents(sf_dir: str) -> pa.Table:
+    """Incremental EXACT dedup (stages/dedup_incremental.py): docs with
+    ``doc_id % 10 == 7`` play the incoming shard, the rest the kept
+    corpus — reduced to its key index (one streaming projection, the
+    thing a production run persists as parquet). Content key = first
+    128 chars (a prefix fingerprint; the sha256 path is the same code
+    with a different key column). The index is streamed once against
+    the broadcast shard key set — never shuffled, never broadcast.
+    Flagged = key exists in the index, or a smaller-id shard doc shares
+    it. ASCII corpus, so SQL substr chars == Arrow codeunits. Reference
+    scope: duplicate_checker.py:17-56 re-scans the whole table per
+    ingest; here the corpus pays one key-column pass."""
+    from .stages.dedup_incremental import mark_new_exact_duplicates
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(shard: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 7) if shard else (ids % 10 != 7)
+            t = b.filter(pa.array(m))
+            key = pc.utf8_slice_codeunits(t["text"], 0, 128)
+            if shard:
+                return pa.table({"doc_id": t["doc_id"], "key": key})
+            return pa.table({"key": key})
+        return f
+
+    idx = ds.map_batches(_side(False), batch_format="pyarrow")
+    shard = ds.map_batches(_side(True), batch_format="pyarrow")
+    out = mark_new_exact_duplicates(shard, idx)
+    flagged = out.map_batches(
+        lambda b: b.filter(pc.fill_null(b["dup_flag"], False))
+                   .select(["doc_id"]),
+        batch_format="pyarrow")
+    return _collect(flagged.sort("doc_id")).select(["doc_id"])
+
+
 @query("simhash_documents")
 def simhash_documents(sf_dir: str) -> pa.Table:
     from .stages.neardup import simhash64
