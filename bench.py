@@ -66,6 +66,8 @@ QUERY_SET = [
     "range_window_sum_events",
     # round-4 additions
     "duplicate_spans_documents",
+    "strip_spans_documents",
+    "incremental_exact_dedup_documents",
 ]
 
 

@@ -524,6 +524,18 @@ def _edges_broadcast(
          if isinstance(b["key"], pa.ChunkedArray) else b["key"]
          for b in blocks])
     del blocks
+    return _edges_from_matrix(keys, sigs, bands, threshold, pair_limit)
+
+
+def _edges_from_matrix(keys: pa.Array, sigs: np.ndarray, bands: int,
+                       threshold: float, pair_limit: int):
+    """Steps 2-3 of the broadcast verify over an in-memory
+    (keys, signature-matrix) pair — shared with the incremental
+    candidate-probe path (neardup_incremental.py), which assembles its
+    matrix from shard + index-candidate signatures."""
+    import ray
+    import ray.data as rd
+
     n = len(keys)
     mixed = _band_hashes(sigs, bands)
     # key order via ranks (equal keys share a rank — their edges are

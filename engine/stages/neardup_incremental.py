@@ -41,8 +41,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS
-from .neardup import (_add_coarse_bucket, _coarse_verify, _local_min_labels,
-                      _sig_fn, _sigs_np, coarse_buckets_for, lsh_band_rows)
+from .neardup import (_BROADCAST_VERIFY_BUDGET_BYTES, _add_coarse_bucket,
+                      _band_hashes, _coarse_verify, _edges_from_matrix,
+                      _local_min_labels, _sig_fn, _sigs_np,
+                      coarse_buckets_for, lsh_band_rows)
+
+_COMP_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _check_sig_type(sig, num_perm: int) -> None:
@@ -83,6 +87,70 @@ def minhash_signature_table(ds, text_col: str = "text",
     return ds.map_batches(sig_tbl, batch_format="pyarrow")
 
 
+def _sig_matrix(tabs, nperm: int):
+    """(keys, sigs-matrix) from collected (key, sig) tables."""
+    sigs = np.concatenate([
+        _sigs_np(t["sig"].combine_chunks()
+                 if isinstance(t["sig"], pa.ChunkedArray) else t["sig"],
+                 nperm) for t in tabs])
+    keys = pa.concat_arrays([
+        t["key"].combine_chunks()
+        if isinstance(t["key"], pa.ChunkedArray) else t["key"]
+        for t in tabs])
+    return keys, sigs
+
+
+def _probe_edges(shard_sig, index_sig_ds, nperm: int, bands: int,
+                 threshold: float, pair_limit: int, cand_budget: int):
+    """Candidate-probe edges: broadcast the shard's composite
+    (band, band_hash) set, stream the index signature table ONCE
+    emitting only colliding rows, verify shard + candidates through the
+    shared in-memory kernel. Returns the edge tables, or None when the
+    candidate set overflows ``cand_budget`` (caller falls back to the
+    distributed band-row exchange). Composite collisions across bands
+    can only ADD candidates (verified later) — never lose one."""
+    import ray
+
+    tabs = [t for t in ray.get(shard_sig.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return []
+    keys_new, sigs_new = _sig_matrix(tabs, nperm)
+    band_ids = np.arange(bands, dtype=np.uint64)
+    comp_set = np.unique(
+        (_band_hashes(sigs_new, bands) * _COMP_MIX + band_ids[None, :])
+        .reshape(-1))
+    comp_ref = ray.put(comp_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        sig = batch["sig"]
+        if isinstance(sig, pa.ChunkedArray):
+            sig = sig.combine_chunks()
+        _check_sig_type(sig, nperm)
+        keys = batch["key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        c = (_band_hashes(_sigs_np(sig, nperm), bands) * _COMP_MIX
+             + band_ids[None, :])
+        hit = np.isin(c.reshape(-1), ray.get(comp_ref)).reshape(c.shape)
+        sel = pa.array(hit.any(axis=1))
+        return pa.table({"key": keys.filter(sel), "sig": sig.filter(sel)})
+
+    cand = index_sig_ds.map_batches(probe,
+                                    batch_format="pyarrow").materialize()
+    if len(keys_new) + cand.count() > cand_budget:
+        return None
+    ctabs = [t for t in ray.get(cand.to_arrow_refs()) if t.num_rows]
+    keys_all, sigs_all = keys_new, sigs_new
+    if ctabs:
+        keys_c, sigs_c = _sig_matrix(ctabs, nperm)
+        keys_all = pa.concat_arrays([keys_new, keys_c])
+        sigs_all = np.concatenate([sigs_new, sigs_c])
+    edges_ds = _edges_from_matrix(keys_all, sigs_all, bands,
+                                  threshold, pair_limit)
+    return [t for t in ray.get(edges_ds.materialize().to_arrow_refs())
+            if t.num_rows]
+
+
 def mark_new_near_duplicates(
     new_ds,
     index_sig_ds,
@@ -100,19 +168,24 @@ def mark_new_near_duplicates(
     (True = drop: the row near-dups an indexed anchor or a smaller-key
     new doc). The index corpus is touched only through its signature
     table. Key spaces must be disjoint (a shard key equal to an index
-    key is treated as old — re-ingest should exact-dedup first)."""
+    key is treated as old — re-ingest should exact-dedup first).
+
+    Physical plan (default, size-guarded): the shard is signatured once
+    and its (band, band_hash) set is BROADCAST; the index signature
+    table is streamed ONCE against it, emitting only colliding
+    candidates (shard-collision-sized — never the index). Shard +
+    candidate signatures then verify through the shared in-memory
+    kernel (:func:`engine.stages.neardup._edges_from_matrix`). Nothing
+    index-sized is shuffled, broadcast, or held anywhere — the 16x
+    signature-duplicating band-row exchange of the one-shot distributed
+    path is avoided entirely. Shards beyond the broadcast budget fall
+    back to that exchange (over the already-materialized shard sig
+    table + index)."""
     import ray
 
     if max_broadcast_losers is None:
         max_broadcast_losers = DEFAULT_MAX_BROADCAST_KEYS
-    make_sigs = _sig_fn(scheme)
     nperm = num_perm
-
-    def new_band_rows(batch: pa.Table) -> pa.Table:
-        keys = batch[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        return lsh_band_rows(keys, make_sigs(batch[text_col], nperm), bands)
 
     def index_band_rows(batch: pa.Table) -> pa.Table:
         keys = batch["key"]
@@ -124,26 +197,46 @@ def mark_new_near_duplicates(
         _check_sig_type(sig, nperm)
         return lsh_band_rows(keys, _sigs_np(sig, nperm), bands)
 
-    rows = (new_ds.map_batches(new_band_rows, batch_format="pyarrow")
-            .union(index_sig_ds.map_batches(index_band_rows,
-                                            batch_format="pyarrow"))
-            .materialize())  # same barrier rationale as minhash_lsh_edges
-    if num_coarse_buckets is None:
-        # every doc emits exactly ``bands`` rows, so the doc count falls
-        # out of the (already-materialized, metadata-cheap) row count —
-        # no extra execution of the shard pipeline just to size buckets
-        num_coarse_buckets = coarse_buckets_for(rows.count() // bands,
-                                                bands)
-    nc = num_coarse_buckets
-    edges_ds = rows.map_batches(
-        lambda b: _add_coarse_bucket(b, nc), batch_format="pyarrow",
-    ).groupby("_cb").map_groups(
-        lambda g: _coarse_verify(g.drop_columns(["_cb"]), nperm,
-                                 jaccard_threshold, pair_limit_per_bucket),
-        batch_format="pyarrow")
+    # shard signatures: computed ONCE, reused by whichever path runs
+    shard_sig = minhash_signature_table(
+        new_ds, text_col=text_col, key_col=key_col,
+        num_perm=num_perm, scheme=scheme).materialize()
+    n_new = shard_sig.count()  # free on a materialized dataset
+    per_doc_bytes = 2 * num_perm * 8 + bands * 32
+    cand_budget = min(DEFAULT_MAX_BROADCAST_KEYS,
+                      _BROADCAST_VERIFY_BUDGET_BYTES // per_doc_bytes)
 
-    edge_tabs = [t for t in ray.get(edges_ds.materialize().to_arrow_refs())
-                 if t.num_rows]
+    edge_tabs = None
+    if n_new <= cand_budget // 2:  # leave half the budget for candidates
+        edge_tabs = _probe_edges(shard_sig, index_sig_ds, nperm, bands,
+                                 jaccard_threshold, pair_limit_per_bucket,
+                                 cand_budget)
+    if edge_tabs is None:
+        # distributed fallback: the thin band-row exchange over
+        # (shard sig table + index sig table)
+        rows = (shard_sig.map_batches(index_band_rows,
+                                      batch_format="pyarrow")
+                .union(index_sig_ds.map_batches(index_band_rows,
+                                                batch_format="pyarrow"))
+                .materialize())  # same barrier rationale as
+        # minhash_lsh_edges
+        if num_coarse_buckets is None:
+            # every doc emits exactly ``bands`` rows, so the doc count
+            # falls out of the materialized row count — no extra
+            # execution of the shard pipeline just to size buckets
+            num_coarse_buckets = coarse_buckets_for(
+                rows.count() // bands, bands)
+        nc = num_coarse_buckets
+        edges_ds = rows.map_batches(
+            lambda b: _add_coarse_bucket(b, nc), batch_format="pyarrow",
+        ).groupby("_cb").map_groups(
+            lambda g: _coarse_verify(g.drop_columns(["_cb"]), nperm,
+                                     jaccard_threshold,
+                                     pair_limit_per_bucket),
+            batch_format="pyarrow")
+        edge_tabs = [t for t in
+                     ray.get(edges_ds.materialize().to_arrow_refs())
+                     if t.num_rows]
     n_edges = sum(t.num_rows for t in edge_tabs)
     if n_edges > max_broadcast_losers:
         # raise BEFORE concatenating the edge set into driver heap — the

@@ -127,6 +127,25 @@ def test_incremental_parallelism_invariant_and_oph(ray_session):
         assert flags[0][1001] and not flags[0][1004]
 
 
+def test_incremental_probe_vs_distributed_parity(ray_session, monkeypatch):
+    """Shrinking the candidate budget forces the distributed band-row
+    exchange; flags must equal the default candidate-probe path."""
+    import ray.data as rd
+
+    import engine.stages.neardup_incremental as ndi
+
+    old_ds = rd.from_items(_old_rows()).repartition(3)
+    sig = minhash_signature_table(old_ds).materialize()
+    new_ds = rd.from_items(_new_rows()).repartition(2)
+    probe = _flags(mark_new_near_duplicates(new_ds, sig,
+                                            jaccard_threshold=0.7))
+    monkeypatch.setattr(ndi, "_BROADCAST_VERIFY_BUDGET_BYTES", 1)
+    dist = _flags(mark_new_near_duplicates(new_ds, sig,
+                                           jaccard_threshold=0.7))
+    assert probe == dist == {1000: True, 1001: True, 1002: False,
+                             1003: True, 1004: False, 1005: False}
+
+
 def test_incremental_num_perm_mismatch_raises(ray_session):
     """A num_perm different from the index build must fail loudly —
     silently interleaved signatures would mostly miss dups."""
