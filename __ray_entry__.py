@@ -57,6 +57,7 @@ _SWEEP_FIRST = (
     "strip_spans_documents",
     "incremental_neardup_documents",
     "incremental_exact_dedup_documents",
+    "ingest_shard_documents",
     # -- never driver-swept oracle-SQL queries (round-3 verdict item 1) --
     "percentage_range_discount",
     "ssn_mask_format_customer_name",

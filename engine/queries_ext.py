@@ -431,6 +431,47 @@ def incremental_exact_dedup_documents(sf_dir: str) -> pa.Table:
     return _collect(flagged.sort("doc_id")).select(["doc_id"])
 
 
+@query("ingest_shard_documents")
+def ingest_shard_documents(sf_dir: str) -> pa.Table:
+    """End-to-end incremental shard ingest (pipelines/ingest.py): the
+    ``doc_id % 10 == 7`` shard is admitted against the rest of the
+    corpus through its two persisted indices — content-key (128-char
+    prefix) for exact dedup, (key, sig) MinHash for near-dedup — with
+    the shard text signatured exactly once. Returns the admitted
+    doc_ids. Rows-only (the near stage is MinHash); the component
+    stages are separately oracle-certified
+    (incremental_exact_dedup_documents) and parity-tested
+    (tests/test_ingest.py, tests/test_neardup_incremental.py)."""
+    from .pipelines.ingest import ingest_shard
+    from .stages.neardup_incremental import minhash_signature_table
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def _side(shard: bool):
+        def f(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 7) if shard else (ids % 10 != 7)
+            t = b.filter(pa.array(m))
+            if shard:
+                return t.append_column(
+                    "key128", pc.utf8_slice_codeunits(t["text"], 0, 128))
+            return t
+        return f
+
+    index_ds = ds.map_batches(_side(False), batch_format="pyarrow")
+    exact_idx = index_ds.map_batches(
+        lambda b: pa.table(
+            {"key": pc.utf8_slice_codeunits(b["text"], 0, 128)}),
+        batch_format="pyarrow")
+    sig_idx = minhash_signature_table(index_ds).materialize()
+    shard = ds.map_batches(_side(True), batch_format="pyarrow")
+    out = ingest_shard(shard, exact_idx, sig_idx,
+                       exact_key_col="key128", jaccard_threshold=0.7)
+    kept = out["kept"].map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow")
+    return _collect(kept.sort("doc_id")).select(["doc_id"])
+
+
 @query("simhash_documents")
 def simhash_documents(sf_dir: str) -> pa.Table:
     from .stages.neardup import simhash64

@@ -163,6 +163,7 @@ def mark_new_near_duplicates(
     scheme: str = "kperm",
     num_coarse_buckets: int | None = None,
     max_broadcast_losers: int | None = None,
+    shard_sig=None,
 ):
     """Shard Dataset -> shard Dataset with ``near_dup_flag`` appended
     (True = drop: the row near-dups an indexed anchor or a smaller-key
@@ -197,10 +198,15 @@ def mark_new_near_duplicates(
         _check_sig_type(sig, nperm)
         return lsh_band_rows(keys, _sigs_np(sig, nperm), bands)
 
-    # shard signatures: computed ONCE, reused by whichever path runs
-    shard_sig = minhash_signature_table(
-        new_ds, text_col=text_col, key_col=key_col,
-        num_perm=num_perm, scheme=scheme).materialize()
+    # shard signatures: computed ONCE, reused by whichever path runs.
+    # Callers that need the shard's (key, sig) table anyway (e.g. the
+    # ingest pipeline persists it as the index delta) pass it in as
+    # ``shard_sig`` (MATERIALIZED, same num_perm/scheme) so the text is
+    # signatured exactly once end-to-end.
+    if shard_sig is None:
+        shard_sig = minhash_signature_table(
+            new_ds, text_col=text_col, key_col=key_col,
+            num_perm=num_perm, scheme=scheme).materialize()
     n_new = shard_sig.count()  # free on a materialized dataset
     per_doc_bytes = 2 * num_perm * 8 + bands * 32
     cand_budget = min(DEFAULT_MAX_BROADCAST_KEYS,
