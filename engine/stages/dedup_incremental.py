@@ -34,6 +34,10 @@ import pyarrow.compute as pc
 
 from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS, new_segment_mask
 
+# driver-heap budget for the broadcast shard key set (collected once +
+# one ray.put copy); beyond it the thin-row distributed path runs
+_BROADCAST_KEY_BUDGET_BYTES = 2 << 30
+
 
 def _all_false(ds):
     return ds.map_batches(
@@ -110,7 +114,11 @@ def mark_new_exact_duplicates(
     part_ds = new_ds.map_batches(
         _shard_partials(key_col, id_col), batch_format="pyarrow",
     ).materialize()
-    if part_ds.count() > max_broadcast_keys:
+    # row guard AND byte guard: with whole-content keys (the default in
+    # pipelines/ingest.py) a 2M-row key set can still be gigabytes —
+    # size_bytes() is metadata on a materialized dataset
+    if (part_ds.count() > max_broadcast_keys
+            or (part_ds.size_bytes() or 0) > _BROADCAST_KEY_BUDGET_BYTES):
         return _mark_distributed(new_ds, index_key_ds, key_col, id_col,
                                  max_broadcast_keys, num_buckets)
 
