@@ -1348,6 +1348,34 @@ def multimodal_png_decode_features(sf_dir: str) -> pa.Table:
         ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
 
 
+@query("multimodal_jpeg_decode_features")
+def multimodal_jpeg_decode_features(sf_dir: str) -> pa.Table:
+    """REAL lossy-compressed image decode, driver-visible (rows-only):
+    synthetic baseline-JFIF payloads (stages/jpeg.py — pure-NumPy
+    Huffman + dequant + IDCT + YCbCr) -> actor-pool ImageDecoder (magic
+    dispatch on FFD8) -> luminance features from the decoded pixels +
+    payload sha256. JPEG is lossy, so features are asserted against
+    PSNR-bounded originals in tests (not pixel parity like PNG/PPM);
+    the decode itself is bit-exact deterministic at any parallelism."""
+    import ray.data as rd
+
+    from .stages.multimodal import (ImageDecoder, decode_stage,
+                                    synth_jpeg_table)
+
+    ds = rd.from_arrow(synth_jpeg_table(256)).repartition(4)
+    out = decode_stage(ds, decoder_cls=ImageDecoder).map_batches(
+        lambda b: pa.table({
+            "media_id": b["media_id"],
+            "payload_sha256": b["payload_sha256"],
+            "feat_mean_x10k": _x10k(pc.list_element(b["features"], 0)),
+            "feat_std_x10k": _x10k(pc.list_element(b["features"], 1)),
+        }),
+        batch_format="pyarrow",
+    ).sort("media_id")
+    return _collect(out).select(
+        ["media_id", "payload_sha256", "feat_mean_x10k", "feat_std_x10k"])
+
+
 @query("multimodal_audio_features")
 def multimodal_audio_features(sf_dir: str) -> pa.Table:
     """REAL audio decode (rows-only): deterministic synthetic PCM16 WAV

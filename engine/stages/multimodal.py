@@ -371,8 +371,36 @@ def synth_png_table(n: int, width: int = 32, height: int = 32) -> pa.Table:
     return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
 
 
+def synth_jpeg_table(n: int, width: int = 32, height: int = 32) -> pa.Table:
+    """Deterministic synthetic REAL-JPEG media rows: each payload is a
+    valid baseline JFIF (stages/jpeg.py) of a seeded smooth gradient
+    (JPEG is lossy — a gradient keeps the decode close enough to assert
+    feature sanity, unlike the PPM/PNG exact-pixel parity)."""
+    from .jpeg import encode_jpeg
+
+    rows = {k: [] for k in ("media_id", "media_type", "payload", "width",
+                            "height", "sample_rate", "duration_ms")}
+    for i in range(n):
+        yy, xx = np.mgrid[0:height, 0:width]
+        img = np.stack([(yy * 4 + i * 17) % 256, (xx * 3 + i * 5) % 256,
+                        ((yy + xx) * 2 + i) % 256], axis=-1).astype(np.uint8)
+        rows["media_id"].append(i)
+        rows["media_type"].append("image")
+        rows["payload"].append(encode_jpeg(img, quality=90))
+        rows["width"].append(width)
+        rows["height"].append(height)
+        rows["sample_rate"].append(0)
+        rows["duration_ms"].append(0)
+    return pa.Table.from_pydict(rows, schema=MEDIA_SCHEMA)
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """Signature-dispatching image decode: PNG (compressed) or P6 PPM."""
+    """Signature-dispatching image decode: JPEG or PNG (compressed) or
+    P6 PPM."""
+    if payload.startswith(b"\xFF\xD8"):
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if payload.startswith(b"\x89PNG"):
         return decode_png(payload)
     return decode_ppm(payload)
