@@ -59,6 +59,7 @@ _SWEEP_FIRST = (
     "incremental_exact_dedup_documents",
     "ingest_shard_documents",
     "multimodal_jpeg_decode_features",
+    "shipping_priority_orders",
     # -- never driver-swept oracle-SQL queries (round-3 verdict item 1) --
     "percentage_range_discount",
     "ssn_mask_format_customer_name",

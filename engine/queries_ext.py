@@ -2390,6 +2390,168 @@ def histogram_events_value(sf_dir: str) -> pa.Table:
     return _collect(out).sort_by("bin").select(["bin", "n"])
 
 
+@query(
+    "shipping_priority_orders",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_c100,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+      AND l_shipdate  > TIMESTAMP '1998-01-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue_c100 DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def shipping_priority_orders(sf_dir: str,
+                             max_broadcast: int | None = None) -> pa.Table:
+    """TPC-H Q3 shape (shipping priority): segment-filtered customers x
+    date-filtered orders x shipdate-filtered lineitem, revenue rollup
+    per order, top 10. Scale plan: the two dimension-side filters
+    compose driver-side into ONE broadcast (o_orderkey -> date,
+    priority) map — filtered-order-sized, guarded — and the fact table
+    is pre-filtered per batch against it (``pc.is_in``) BEFORE the one
+    order-cardinality groupby; the top-10 runs as per-block partials
+    merged on the driver (never a global sort). Beyond the guard the
+    attach falls back to a distributed hash join (parity-tested).
+    Revenue in integer cents x discount-percent — exact on both sides
+    (the revenue_by_nation money idiom)."""
+    import datetime as _dt
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    cutoff = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    cust = _collect(_t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
+    ck = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
+    if ck.num_rows > mb:
+        raise ValueError("segment customer set above broadcast guard; "
+                         "raise max_broadcast or join distributed")
+    ck_keys = ck["c_custkey"].combine_chunks()
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"])
+
+    def ord_filter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.less(_ts_us(b["o_orderdate"].combine_chunks()
+                           if isinstance(b["o_orderdate"], pa.ChunkedArray)
+                           else b["o_orderdate"]), cutoff),
+            pc.is_in(b["o_custkey"], value_set=ck_keys))
+        return b.filter(pc.fill_null(keep, False)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    ord_f = orders.map_batches(ord_filter,
+                               batch_format="pyarrow").materialize()
+    n_ord = ord_f.count()
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    if n_ord <= mb:
+        omap = _collect(ord_f)
+        okeys = omap["o_orderkey"].combine_chunks()
+        if pc.count_distinct(okeys).as_py() != len(okeys):
+            raise ValueError("o_orderkey must be unique")
+        ok_ref = ray.put(okeys)
+
+        def li_partial(b: pa.Table) -> pa.Table:
+            sel = pc.and_(
+                pc.greater(_ts_us(
+                    b["l_shipdate"].combine_chunks()
+                    if isinstance(b["l_shipdate"], pa.ChunkedArray)
+                    else b["l_shipdate"]), cutoff),
+                pc.is_in(b["l_orderkey"], value_set=ray.get(ok_ref)))
+            t = b.filter(pc.fill_null(sel, False))
+            rev = pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _cents(t["l_discount"])))
+            return (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+                    .group_by("l_orderkey").aggregate([("rev", "sum")])
+                    .rename_columns(["l_orderkey", "rev"]))
+
+        agg = li.map_batches(li_partial, batch_format="pyarrow") \
+            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue_c100"))
+
+        def topk_attach(b: pa.Table) -> pa.Table:
+            m = _collect_map()
+            pos = pc.index_in(b["l_orderkey"], value_set=m[0])
+            t = pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "revenue_c100": pc.cast(b["revenue_c100"], pa.int64()),
+                "o_orderdate": m[1].take(pc.fill_null(pos, 0)),
+                "o_orderpriority": m[2].take(pc.fill_null(pos, 0)),
+            })
+            idx = pc.sort_indices(t, sort_keys=[
+                ("revenue_c100", "descending"),
+                ("l_orderkey", "ascending")])
+            return t.take(idx.slice(0, 10))
+
+        map_ref = ray.put((okeys, omap["o_orderdate"].combine_chunks(),
+                           omap["o_orderpriority"].combine_chunks()))
+
+        def _collect_map():
+            return ray.get(map_ref)
+
+        parts = _collect(agg.map_batches(topk_attach,
+                                         batch_format="pyarrow"))
+    else:
+        # distributed attach: hash join of the order-cardinality
+        # aggregate against the filtered orders (both compacted — the
+        # Ray 2.49 empty-block join hazard)
+        def li_partial_nofilter(b: pa.Table) -> pa.Table:
+            sel = pc.greater(_ts_us(
+                b["l_shipdate"].combine_chunks()
+                if isinstance(b["l_shipdate"], pa.ChunkedArray)
+                else b["l_shipdate"]), cutoff)
+            t = b.filter(pc.fill_null(sel, False))
+            rev = pc.multiply(
+                _cents(t["l_extendedprice"]),
+                pc.subtract(pa.scalar(100, pa.int64()),
+                            _cents(t["l_discount"])))
+            return (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+                    .group_by("l_orderkey").aggregate([("rev", "sum")])
+                    .rename_columns(["l_orderkey", "rev"]))
+
+        agg = li.map_batches(li_partial_nofilter, batch_format="pyarrow") \
+            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue_c100"))
+        joined = compact(agg, 16).join(
+            compact(ord_f, 16), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def topk_part(b: pa.Table) -> pa.Table:
+            t = pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "revenue_c100": pc.cast(b["revenue_c100"], pa.int64()),
+                "o_orderdate": b["o_orderdate"],
+                "o_orderpriority": b["o_orderpriority"],
+            })
+            idx = pc.sort_indices(t, sort_keys=[
+                ("revenue_c100", "descending"),
+                ("l_orderkey", "ascending")])
+            return t.take(idx.slice(0, 10))
+
+        parts = _collect(joined.map_batches(topk_part,
+                                            batch_format="pyarrow"))
+    idx = pc.sort_indices(parts, sort_keys=[
+        ("revenue_c100", "descending"), ("l_orderkey", "ascending")])
+    return parts.take(idx.slice(0, 10)).select(
+        ["l_orderkey", "revenue_c100", "o_orderdate", "o_orderpriority"])
+
+
 # ===========================================================================
 # Star-schema revenue rollup (multi-hop join: fact -> fact -> dim -> dim)
 # ===========================================================================

@@ -1092,6 +1092,20 @@ def test_revenue_by_nation_paths(ray_session):
     assert full.equals(none)
 
 
+def test_shipping_priority_paths(ray_session):
+    """Q3-shape top-10: the broadcast order-map attach and the
+    distributed-join attach return identical rows."""
+    import engine.queries_ext as qx
+
+    sf = "/root/testdata/sf0.001"
+    bc = qx.shipping_priority_orders(sf)
+    # guard below the filtered-order count but above the segment
+    # customer count -> distributed attach
+    dist = qx.shipping_priority_orders(sf, max_broadcast=100)
+    assert bc.equals(dist)
+    assert bc.num_rows <= 10
+
+
 def test_range_window_sum_planted(ray_session):
     """Trailing-range per-key sum: peer-inclusive frames (equal ts rows
     include each other), brute-force cross-check, partition invariance."""
