@@ -471,10 +471,98 @@ def resume_sim() -> None:
     print(json.dumps(result))
 
 
+def ingest_sim() -> None:
+    """Sequential multi-shard ingest at bench scale: the sf corpus is
+    split into 10 shards; each is admitted through
+    pipelines/ingest.py against indices GROWN from the previous
+    shards' deltas — the steady-state loop of a production corpus.
+    The quantity to watch is per-shard wall time as the index grows
+    ~10x across the run: the index is only ever streamed (near) or
+    probed (exact), so per-shard cost should stay near-flat, dominated
+    by the shard's own signature pass. Prints ONE JSON line."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    probe_start = probe()
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from engine.pipelines.ingest import ingest_shard
+    from engine.stages.sketches import _hash64_strings
+
+    sf = _sf_from_dir(SF_DIR)
+    path, n_rows = ensure_corpus(sf)
+    n_shards = 10
+    shard_root = f"{path}_ingest_shards"
+    shutil.rmtree(shard_root, ignore_errors=True)
+
+    def shard_split(b: pa.Table):
+        b = b.combine_chunks()
+        comp = pc.binary_join_element_wise(
+            b["repo"], b["path"], b["commit"], "\x1f")
+        k = (_hash64_strings(comp) >> np.uint64(1)).astype(np.int64)
+        return k, pa.table({"doc_key": pa.array(k), "content": b["content"]})
+
+    for i in range(n_shards):
+        def pick(b: pa.Table, i=i) -> pa.Table:
+            k, t = shard_split(b)
+            return t.filter(pa.array(k % n_shards == i))
+        ray.data.read_parquet(
+            path, columns=["repo", "path", "commit", "content"],
+        ).map_batches(pick, batch_format="pyarrow").write_parquet(
+            f"{shard_root}/shard-{i:02d}")
+
+    exact_idx = ray.data.from_arrow(
+        pa.table({"key": pa.array([], pa.large_string())}))
+    sig_idx = ray.data.from_arrow(
+        pa.table({"key": pa.array([], pa.int64()),
+                  "sig": pa.array([], pa.binary(128 * 8))}))
+    per_sec, per_kept, per_exact, per_near = [], [], [], []
+    for i in range(n_shards):
+        shard = ray.data.read_parquet(f"{shard_root}/shard-{i:02d}")
+        t0 = time.time()
+        out = ingest_shard(shard, exact_idx, sig_idx,
+                           text_col="content", key_col="doc_key")
+        exact_idx = exact_idx.union(
+            out["exact_keys_delta"]).materialize()
+        sig_idx = sig_idx.union(out["sig_delta"]).materialize()
+        per_sec.append(round(time.time() - t0, 3))
+        s = out["stats"]
+        per_kept.append(s["n_kept"])
+        per_exact.append(s["n_exact_dropped"])
+        per_near.append(s["n_near_dropped"])
+    print(json.dumps({
+        "metric": "ingest_sim",
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "corpus_rows": n_rows,
+        "n_shards": n_shards,
+        "per_shard_sec": per_sec,
+        "per_shard_kept": per_kept,
+        "per_shard_exact_dropped": per_exact,
+        "per_shard_near_dropped": per_near,
+        "total_kept": int(sum(per_kept)),
+        "final_index_rows": sig_idx.count(),
+        "first_vs_last_shard_sec": [per_sec[0], per_sec[-1]],
+        "probe_start": probe_start,
+        "probe_end": probe(),
+    }))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
     elif "--resume-sim" in sys.argv:
         resume_sim()
+    elif "--ingest-sim" in sys.argv:
+        ingest_sim()
     else:
         main()
