@@ -78,6 +78,20 @@ def _flag_count(b):
     return pa.table({"d": pc.cast(b["near_dup_flag"], pa.int64())})
 
 
+def _doc_keys(b):
+    """Deterministic int64 doc key from the corpus composite id — the
+    ONE keying used by every bench mode that splits the corpus (a
+    second copy of this derivation could silently desync key spaces)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from engine.stages.sketches import _hash64_strings
+
+    comp = pc.binary_join_element_wise(
+        b["repo"], b["path"], b["commit"], "\x1f")
+    return (_hash64_strings(comp) >> np.uint64(1)).astype(np.int64)
+
+
 def probe() -> dict:
     """Self-contained contention probe recorded next to every bench
     number (round-3 verdict item 4): 1-minute load average BEFORE this
@@ -251,24 +265,20 @@ def main() -> None:
         # index + itself. incr_neardup_sec is the steady-state per-shard
         # cost of keeping an already-deduped 100 TB corpus clean; compare
         # with near_dedup_sec, the full re-run it replaces.
-        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
 
         from engine.stages.neardup_incremental import (
             mark_new_near_duplicates, minhash_signature_table)
-        from engine.stages.sketches import _hash64_strings
 
         def _keyed_side(shard: bool):
             def f(b: pa.Table) -> pa.Table:
                 b = b.combine_chunks()
-                comp = pc.binary_join_element_wise(
-                    b["repo"], b["path"], b["commit"], "\x1f")
-                k = (_hash64_strings(comp) >> np.uint64(1)).astype(np.int64)
+                k = _doc_keys(b)
                 m = (k % 10 == 7) if shard else (k % 10 != 7)
-                sel = pa.array(m)
                 return pa.table({"doc_key": pa.array(k[m]),
-                                 "content": b["content"].filter(sel)})
+                                 "content": b["content"].filter(
+                                     pa.array(m))})
             return f
 
         cols = ["repo", "path", "commit", "content"]
@@ -482,9 +492,7 @@ def ingest_sim() -> None:
     by the shard's own signature pass. Prints ONE JSON line."""
     import shutil
 
-    import numpy as np
     import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
 
     probe_start = probe()
@@ -495,7 +503,6 @@ def ingest_sim() -> None:
     ray.data.DataContext.get_current().enable_progress_bars = False
 
     from engine.pipelines.ingest import ingest_shard
-    from engine.stages.sketches import _hash64_strings
 
     sf = _sf_from_dir(SF_DIR)
     path, n_rows = ensure_corpus(sf)
@@ -503,20 +510,21 @@ def ingest_sim() -> None:
     shard_root = f"{path}_ingest_shards"
     shutil.rmtree(shard_root, ignore_errors=True)
 
-    def shard_split(b: pa.Table):
+    # ONE corpus scan to derive keys; the per-shard writes then filter
+    # the materialized keyed copy from the object store (no re-reads)
+    def keyed(b: pa.Table) -> pa.Table:
         b = b.combine_chunks()
-        comp = pc.binary_join_element_wise(
-            b["repo"], b["path"], b["commit"], "\x1f")
-        k = (_hash64_strings(comp) >> np.uint64(1)).astype(np.int64)
-        return k, pa.table({"doc_key": pa.array(k), "content": b["content"]})
+        return pa.table({"doc_key": pa.array(_doc_keys(b)),
+                         "content": b["content"]})
 
+    keyed_ds = ray.data.read_parquet(
+        path, columns=["repo", "path", "commit", "content"],
+    ).map_batches(keyed, batch_format="pyarrow").materialize()
     for i in range(n_shards):
         def pick(b: pa.Table, i=i) -> pa.Table:
-            k, t = shard_split(b)
-            return t.filter(pa.array(k % n_shards == i))
-        ray.data.read_parquet(
-            path, columns=["repo", "path", "commit", "content"],
-        ).map_batches(pick, batch_format="pyarrow").write_parquet(
+            k = b["doc_key"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(k % n_shards == i))
+        keyed_ds.map_batches(pick, batch_format="pyarrow").write_parquet(
             f"{shard_root}/shard-{i:02d}")
 
     exact_idx = ray.data.from_arrow(

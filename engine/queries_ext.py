@@ -2432,28 +2432,42 @@ def shipping_priority_orders(sf_dir: str,
     mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
     cutoff = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
 
-    cust = _collect(_t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]))
-    ck = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))
-    if ck.num_rows > mb:
-        raise ValueError("segment customer set above broadcast guard; "
-                         "raise max_broadcast or join distributed")
-    ck_keys = ck["c_custkey"].combine_chunks()
+    # segment filter runs DISTRIBUTED; only the surviving keys reach
+    # the driver, and only when they fit the guard — otherwise the
+    # customer restriction applies as a distributed semi-join
+    cust_f = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(
+            lambda b: b.filter(pc.fill_null(
+                pc.equal(b["c_mktsegment"], "BUILDING"), False))
+            .select(["c_custkey"]),
+            batch_format="pyarrow").materialize()
+    ck_keys = (_collect(cust_f)["c_custkey"].combine_chunks()
+               if cust_f.count() <= mb else None)
 
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_custkey", "o_orderdate",
                  "o_orderpriority"])
 
-    def ord_filter(b: pa.Table) -> pa.Table:
-        keep = pc.and_(
-            pc.less(_ts_us(b["o_orderdate"].combine_chunks()
-                           if isinstance(b["o_orderdate"], pa.ChunkedArray)
-                           else b["o_orderdate"]), cutoff),
-            pc.is_in(b["o_custkey"], value_set=ck_keys))
-        return b.filter(pc.fill_null(keep, False)).select(
-            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    def ord_date_filter(b: pa.Table) -> pa.Table:
+        keep = pc.less(_ts_us(
+            b["o_orderdate"].combine_chunks()
+            if isinstance(b["o_orderdate"], pa.ChunkedArray)
+            else b["o_orderdate"]), cutoff)
+        if ck_keys is not None:
+            keep = pc.and_(keep,
+                           pc.is_in(b["o_custkey"], value_set=ck_keys))
+        return b.filter(pc.fill_null(keep, False))
 
-    ord_f = orders.map_batches(ord_filter,
-                               batch_format="pyarrow").materialize()
+    ord_f = orders.map_batches(ord_date_filter, batch_format="pyarrow")
+    if ck_keys is None:
+        ord_f = compact(ord_f, 16).join(
+            compact(cust_f, 16), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("o_custkey",), right_on=("c_custkey",))
+    ord_f = ord_f.map_batches(
+        lambda b: b.select(["o_orderkey", "o_orderdate",
+                            "o_orderpriority"]),
+        batch_format="pyarrow").materialize()
     n_ord = ord_f.count()
 
     li = _t(sf_dir, "lineitem",
@@ -2464,7 +2478,10 @@ def shipping_priority_orders(sf_dir: str,
         okeys = omap["o_orderkey"].combine_chunks()
         if pc.count_distinct(okeys).as_py() != len(okeys):
             raise ValueError("o_orderkey must be unique")
-        ok_ref = ray.put(okeys)
+        # ONE object-store copy of the order map, shared by the fact
+        # prefilter and the attach
+        map_ref = ray.put((okeys, omap["o_orderdate"].combine_chunks(),
+                           omap["o_orderpriority"].combine_chunks()))
 
         def li_partial(b: pa.Table) -> pa.Table:
             sel = pc.and_(
@@ -2472,7 +2489,7 @@ def shipping_priority_orders(sf_dir: str,
                     b["l_shipdate"].combine_chunks()
                     if isinstance(b["l_shipdate"], pa.ChunkedArray)
                     else b["l_shipdate"]), cutoff),
-                pc.is_in(b["l_orderkey"], value_set=ray.get(ok_ref)))
+                pc.is_in(b["l_orderkey"], value_set=ray.get(map_ref)[0]))
             t = b.filter(pc.fill_null(sel, False))
             rev = pc.multiply(
                 _cents(t["l_extendedprice"]),
@@ -2483,27 +2500,22 @@ def shipping_priority_orders(sf_dir: str,
                     .rename_columns(["l_orderkey", "rev"]))
 
         agg = li.map_batches(li_partial, batch_format="pyarrow") \
-            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="revenue_c100"))
+            .groupby("l_orderkey").aggregate(
+                Sum("rev", alias_name="revenue_c100"))
 
         def topk_attach(b: pa.Table) -> pa.Table:
-            m = _collect_map()
-            pos = pc.index_in(b["l_orderkey"], value_set=m[0])
+            mkeys, mdates, mprio = ray.get(map_ref)
+            pos = pc.index_in(b["l_orderkey"], value_set=mkeys)
             t = pa.table({
                 "l_orderkey": b["l_orderkey"],
                 "revenue_c100": pc.cast(b["revenue_c100"], pa.int64()),
-                "o_orderdate": m[1].take(pc.fill_null(pos, 0)),
-                "o_orderpriority": m[2].take(pc.fill_null(pos, 0)),
+                "o_orderdate": mdates.take(pc.fill_null(pos, 0)),
+                "o_orderpriority": mprio.take(pc.fill_null(pos, 0)),
             })
             idx = pc.sort_indices(t, sort_keys=[
                 ("revenue_c100", "descending"),
                 ("l_orderkey", "ascending")])
             return t.take(idx.slice(0, 10))
-
-        map_ref = ray.put((okeys, omap["o_orderdate"].combine_chunks(),
-                           omap["o_orderpriority"].combine_chunks()))
-
-        def _collect_map():
-            return ray.get(map_ref)
 
         parts = _collect(agg.map_batches(topk_attach,
                                          batch_format="pyarrow"))

@@ -88,11 +88,16 @@ def minhash_signature_table(ds, text_col: str = "text",
 
 
 def _sig_matrix(tabs, nperm: int):
-    """(keys, sigs-matrix) from collected (key, sig) tables."""
-    sigs = np.concatenate([
-        _sigs_np(t["sig"].combine_chunks()
-                 if isinstance(t["sig"], pa.ChunkedArray) else t["sig"],
-                 nperm) for t in tabs])
+    """(keys, sigs-matrix) from collected (key, sig) tables. Every sig
+    column is width-validated — a caller-provided ``shard_sig`` built
+    with a different num_perm must fail as loudly here as the index
+    does in ``index_band_rows``."""
+    cols = [t["sig"].combine_chunks()
+            if isinstance(t["sig"], pa.ChunkedArray) else t["sig"]
+            for t in tabs]
+    for c in cols:
+        _check_sig_type(c, nperm)
+    sigs = np.concatenate([_sigs_np(c, nperm) for c in cols])
     keys = pa.concat_arrays([
         t["key"].combine_chunks()
         if isinstance(t["key"], pa.ChunkedArray) else t["key"]
@@ -134,6 +139,29 @@ def _probe_edges(shard_sig, index_sig_ds, nperm: int, bands: int,
         hit = np.isin(c.reshape(-1), ray.get(comp_ref)).reshape(c.shape)
         sel = pa.array(hit.any(axis=1))
         return pa.table({"key": keys.filter(sel), "sig": sig.filter(sel)})
+
+    # when even an all-hits candidate set would fit the budget, go
+    # straight to the sig-carrying pass; otherwise pay a THIN counting
+    # pass first so an over-budget probe never materializes index-scale
+    # signatures into the object store just to discard them
+    n_index = index_sig_ds.count()
+    if len(keys_new) + n_index > cand_budget:
+        def probe_count(batch: pa.Table) -> pa.Table:
+            sig = batch["sig"]
+            if isinstance(sig, pa.ChunkedArray):
+                sig = sig.combine_chunks()
+            _check_sig_type(sig, nperm)
+            c = (_band_hashes(_sigs_np(sig, nperm), bands) * _COMP_MIX
+                 + band_ids[None, :])
+            hit = np.isin(c.reshape(-1),
+                          ray.get(comp_ref)).reshape(c.shape)
+            return pa.table({"n": pa.array(
+                [int(hit.any(axis=1).sum())], pa.int64())})
+
+        n_hits = int(index_sig_ds.map_batches(
+            probe_count, batch_format="pyarrow").sum("n") or 0)
+        if len(keys_new) + n_hits > cand_budget:
+            return None
 
     cand = index_sig_ds.map_batches(probe,
                                     batch_format="pyarrow").materialize()

@@ -146,6 +146,42 @@ def test_incremental_probe_vs_distributed_parity(ray_session, monkeypatch):
                              1003: True, 1004: False, 1005: False}
 
 
+def test_incremental_counting_prepass(ray_session, monkeypatch):
+    """An index larger than the candidate budget triggers the thin
+    counting pre-pass (36 sig rows > budget 20); when the actual hits
+    fit, the probe path still runs and flags are unchanged. When even
+    the hits overflow, _probe_edges declines with None so the caller
+    never materializes index-scale signatures."""
+    import ray.data as rd
+
+    import engine.stages.neardup_incremental as ndi
+
+    old_ds = rd.from_items(_old_rows()).repartition(3)
+    sig = minhash_signature_table(old_ds).materialize()
+    new_ds = rd.from_items(_new_rows()).repartition(2)
+    base = _flags(mark_new_near_duplicates(new_ds, sig,
+                                           jaccard_threshold=0.7))
+
+    rets = []
+    orig = ndi._probe_edges
+
+    def spy(*a, **k):
+        rets.append(orig(*a, **k))
+        return rets[-1]
+
+    monkeypatch.setattr(ndi, "_probe_edges", spy)
+    monkeypatch.setattr(ndi, "DEFAULT_MAX_BROADCAST_KEYS", 20)
+    got = _flags(mark_new_near_duplicates(new_ds, sig,
+                                          jaccard_threshold=0.7,
+                                          max_broadcast_losers=10_000))
+    assert got == base
+    assert len(rets) == 1 and rets[0] is not None  # probe path survived
+
+    # 6 shard + 2 colliding index docs overflow a budget of 7
+    shard_sig = ndi.minhash_signature_table(new_ds).materialize()
+    assert orig(shard_sig, sig, 128, 16, 0.7, 1000, 7) is None
+
+
 def test_incremental_num_perm_mismatch_raises(ray_session):
     """A num_perm different from the index build must fail loudly —
     silently interleaved signatures would mostly miss dups."""

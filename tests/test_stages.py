@@ -1093,16 +1093,18 @@ def test_revenue_by_nation_paths(ray_session):
 
 
 def test_shipping_priority_paths(ray_session):
-    """Q3-shape top-10: the broadcast order-map attach and the
-    distributed-join attach return identical rows."""
+    """Q3-shape top-10: all three scale tiers return identical rows —
+    full broadcast, distributed order-map attach (guard below the 147
+    filtered orders at sf0.001), and distributed customer semi-join
+    (guard below the 34 BUILDING customers)."""
     import engine.queries_ext as qx
 
     sf = "/root/testdata/sf0.001"
     bc = qx.shipping_priority_orders(sf)
-    # guard below the filtered-order count but above the segment
-    # customer count -> distributed attach
-    dist = qx.shipping_priority_orders(sf, max_broadcast=100)
-    assert bc.equals(dist)
+    dist_attach = qx.shipping_priority_orders(sf, max_broadcast=100)
+    dist_cust = qx.shipping_priority_orders(sf, max_broadcast=20)
+    assert bc.equals(dist_attach)
+    assert bc.equals(dist_cust)
     assert bc.num_rows <= 10
 
 
