@@ -505,7 +505,14 @@ def _edges_broadcast(
         sig_arr = pa.Array.from_buffers(
             pa.binary(num_perm * 8), len(keys),
             [None, pa.py_buffer(np.ascontiguousarray(sigs).tobytes())])
-        return pa.table({"key": keys, "sig": sig_arr})
+        # band hashes computed HERE, in parallel with the signatures —
+        # a driver-side _band_hashes over the full matrix measured
+        # 2.4-3.5 s single-threaded at 600k docs
+        bh_arr = pa.Array.from_buffers(
+            pa.binary(bands * 8), len(keys),
+            [None, pa.py_buffer(np.ascontiguousarray(
+                _band_hashes(sigs, bands)).tobytes())])
+        return pa.table({"key": keys, "sig": sig_arr, "bh": bh_arr})
 
     blocks = [t for t in ray.get(
         ds.map_batches(sig_tbl, batch_format="pyarrow").to_arrow_refs())
@@ -519,25 +526,33 @@ def _edges_broadcast(
         [_sigs_np(b["sig"].combine_chunks()
                   if isinstance(b["sig"], pa.ChunkedArray) else b["sig"],
                   num_perm) for b in blocks])
+    mixed = np.concatenate(
+        [_sigs_np(b["bh"].combine_chunks()
+                  if isinstance(b["bh"], pa.ChunkedArray) else b["bh"],
+                  bands) for b in blocks])
     keys = pa.concat_arrays(
         [b["key"].combine_chunks()
          if isinstance(b["key"], pa.ChunkedArray) else b["key"]
          for b in blocks])
     del blocks
-    return _edges_from_matrix(keys, sigs, bands, threshold, pair_limit)
+    return _edges_from_matrix(keys, sigs, bands, threshold, pair_limit,
+                              band_hashes=mixed)
 
 
 def _edges_from_matrix(keys: pa.Array, sigs: np.ndarray, bands: int,
-                       threshold: float, pair_limit: int):
+                       threshold: float, pair_limit: int,
+                       band_hashes: np.ndarray | None = None):
     """Steps 2-3 of the broadcast verify over an in-memory
     (keys, signature-matrix) pair — shared with the incremental
     candidate-probe path (neardup_incremental.py), which assembles its
-    matrix from shard + index-candidate signatures."""
+    matrix from shard + index-candidate signatures. ``band_hashes``
+    (n, bands) may be precomputed in the signature workers (parallel);
+    derived here when absent."""
     import ray
     import ray.data as rd
 
     n = len(keys)
-    mixed = _band_hashes(sigs, bands)
+    mixed = _band_hashes(sigs, bands) if band_hashes is None else band_hashes
     # key order via ranks (equal keys share a rank — their edges are
     # equal strings either way, matching the distributed per-group sort)
     rank = np.empty(n, dtype=np.int64)
@@ -546,7 +561,8 @@ def _edges_from_matrix(keys: pa.Array, sigs: np.ndarray, bands: int,
     # partition rows into (band, bh-top-bits) chunks with a COUNTING
     # sort (argsort of a small uint16 key — no 9.6M-row 3-key lexsort on
     # the driver); a logical (band, band_hash) bucket never splits
-    # across chunks because the chunk key is a prefix of (band, bh).
+    # across chunks because the chunk key is a prefix of (band, bh), and
+    # every row of a chunk shares ONE band value (the key's high bits).
     # Each verify task lexsorts only ITS slice — parallel, off-driver.
     cpus = int(ray.cluster_resources().get("CPU", 8)) \
         if ray.is_initialized() else 8
@@ -557,24 +573,34 @@ def _edges_from_matrix(keys: pa.Array, sigs: np.ndarray, bands: int,
     chunk_id = (band_flat.astype(np.uint16) << sub_bits) \
         | (bh_flat >> np.uint64(64 - sub_bits)).astype(np.uint16)
     order = np.argsort(chunk_id, kind="stable")
-    band_s, bh_s, doc_s = band_flat[order], bh_flat[order], doc_flat[order]
     counts = np.bincount(chunk_id, minlength=bands << sub_bits)
     bounds = np.concatenate([[0], np.cumsum(counts)])
 
+    # the sorted row arrays go into the object store ONCE; each verify
+    # task receives (lo, hi) and slices them zero-copy from plasma —
+    # per-task argument slices measured ~2 s of driver serialization at
+    # 9.6M rows
     keys_ref = ray.put(keys)
     sigs_ref = ray.put(sigs)
+    rows_ref = ray.put((bh_flat[order], doc_flat[order],
+                        rank[doc_flat[order]]))
 
     @ray.remote(num_cpus=1)
-    def verify_chunk(ks, sg, band_c, bh_c, doc_c, rank_c):
-        srt = np.lexsort((rank_c, bh_c, band_c))
+    def verify_chunk(ks, sg, rows, lo, hi):
+        bh_c = rows[0][lo:hi]
+        doc_c = rows[1][lo:hi]
+        rank_c = rows[2][lo:hi]
+        # band is constant within a chunk, so bucket boundaries come
+        # from bh alone — a zero band axis keeps _verify_sorted exact
+        srt = np.lexsort((rank_c, bh_c))
         doc_c = doc_c[srt]
         return _verify_sorted(ks.take(pa.array(doc_c, pa.int64())),
-                              sg[doc_c], band_c[srt], bh_c[srt],
-                              threshold, pair_limit)
+                              sg[doc_c],
+                              np.zeros(hi - lo, dtype=np.int32),
+                              bh_c[srt], threshold, pair_limit)
 
-    refs = [verify_chunk.remote(keys_ref, sigs_ref,
-                                band_s[lo:hi], bh_s[lo:hi], doc_s[lo:hi],
-                                rank[doc_s[lo:hi]])
+    refs = [verify_chunk.remote(keys_ref, sigs_ref, rows_ref,
+                                int(lo), int(hi))
             for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
     return rd.from_arrow_refs(refs)
 
@@ -729,6 +755,41 @@ def propagate_min_labels(
         return rd.from_arrow(pa.table({"key": pa.array([], pa.int64()),
                                        "label": pa.array([], pa.int64())}))
 
+    import ray
+
+    # ONE execution of a lazy edge pipeline: count(), the local-path
+    # collect and the distributed sym pass all read the materialized
+    # blocks (edge-sized — the output of the verify phase, never corpus-
+    # sized)
+    edges = edges.materialize()
+    n_edges = edges.count()
+    if not n_edges:
+        # zero verified edges: groupby/join over only-empty (schema-less)
+        # blocks would crash — the empty label set is the correct answer
+        return _empty_labels()
+
+    if n_edges <= local_edge_limit:
+        # local fast path collects the edge blocks zero-copy and runs the
+        # in-memory kernel directly — the former sym-pass + repartition +
+        # driver iter_batches spent ~4 s of fixed Ray stage cost on a
+        # near-dup-set-sized list (it exists only to feed the distributed
+        # join rounds below)
+        import ray.data as rd
+
+        tabs = [t for t in ray.get(edges.to_arrow_refs()) if t.num_rows]
+        srcs = [(t["key_a"].combine_chunks()
+                 if isinstance(t["key_a"], pa.ChunkedArray)
+                 else t["key_a"]).to_numpy(zero_copy_only=False)
+                for t in tabs]
+        dsts = [(t["key_b"].combine_chunks()
+                 if isinstance(t["key_b"], pa.ChunkedArray)
+                 else t["key_b"]).to_numpy(zero_copy_only=False)
+                for t in tabs]
+        keys, labs = _local_min_labels(np.concatenate(srcs),
+                                       np.concatenate(dsts))
+        return rd.from_arrow(pa.table({"key": pa.array(keys),
+                                       "label": pa.array(labs)}))
+
     def sym(batch: pa.Table) -> pa.Table:
         fwd = pa.table({"src": batch["key_a"], "dst": batch["key_b"]})
         rev = pa.table({"src": batch["key_b"], "dst": batch["key_a"]})
@@ -736,23 +797,6 @@ def propagate_min_labels(
 
     adj = _compact(edges.map_batches(sym, batch_format="pyarrow"),
                    num_partitions)
-    n_sym = adj.count()
-    if not n_sym:
-        # zero verified edges: groupby/join over only-empty (schema-less)
-        # blocks would crash — the empty label set is the correct answer
-        return _empty_labels()
-
-    if n_sym <= 2 * local_edge_limit:  # adj holds both directions
-        import ray.data as rd
-
-        srcs, dsts = [], []
-        for b in adj.iter_batches(batch_size=1 << 16, batch_format="pyarrow"):
-            srcs.append(b["src"].to_numpy(zero_copy_only=False))
-            dsts.append(b["dst"].to_numpy(zero_copy_only=False))
-        keys, labs = _local_min_labels(np.concatenate(srcs),
-                                       np.concatenate(dsts))
-        return rd.from_arrow(pa.table({"key": pa.array(keys),
-                                       "label": pa.array(labs)}))
 
     def init_lab(batch: pa.Table) -> pa.Table:
         m = pc.min_element_wise(batch["src"], batch["dst"])
