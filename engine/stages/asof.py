@@ -45,6 +45,7 @@ def asof_join(
     right_value_type: pa.DataType | None = None,
     right_ties: str = "error",
     direction: str = "backward",
+    max_local_rows: int | None = None,
 ):
     """Dataset -> Dataset (left_id, key, matched right_value or null).
 
@@ -197,8 +198,36 @@ def asof_join(
             "matched_value": rv.take(idx),
         })
 
-    return (
-        lt.union(rt)
-        .groupby("_bucket")
-        .map_groups(merge, batch_format="pyarrow")
-    )
+    import ray
+    import ray.data as rd
+
+    from ..dsutil import DEFAULT_MAX_BROADCAST_KEYS
+
+    if max_local_rows is None:
+        max_local_rows = DEFAULT_MAX_BROADCAST_KEYS
+
+    # materialize the TAGGED union (metadata-thin: key, ts, side, id,
+    # value, bucket — never the full payload) once: count() is then free,
+    # and Ray 2.49 re-derives lazy inputs around the groupby sort's
+    # sampling pass, so the distributed path wants the barrier anyway
+    # (same measured win as the near-dedup band rows)
+    tagged = lt.union(rt).materialize()
+    n_tagged = tagged.count()
+    if n_tagged <= max_local_rows:
+        # size-guarded local path (the FK broadcast/distributed split):
+        # the merge kernel is bucket-agnostic — ONE global (key, ts,
+        # side) sort over the collected tagged rows produces exactly the
+        # per-bucket outputs, without the shuffle's fixed cost
+        tabs = [t for t in ray.get(tagged.to_arrow_refs()) if t.num_rows]
+        if not tabs:
+            sch = tagged.schema()  # free on a materialized dataset
+            key_type = (dict(zip(sch.names, sch.types)).get("key")
+                        if sch is not None else None) or pa.null()
+            return rd.from_arrow(pa.table({
+                "left_id": pa.array([], lid_type),
+                "key": pa.array([], key_type),
+                "matched_value": pa.array([], rval_type)}))
+        return rd.from_arrow(
+            merge(pa.concat_tables(tabs).combine_chunks()))
+    return tagged.groupby("_bucket").map_groups(
+        merge, batch_format="pyarrow")
