@@ -51,6 +51,15 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    # -- session-4 additions: Gopher-style quality rules, TPC-H
+    # Q14/Q10/Q18/Q4/Q17 shapes, FIRST/LAST_VALUE window --
+    "gopher_quality_documents",
+    "promo_revenue_lineitem_part",
+    "returned_items_top_customers",
+    "large_volume_customers",
+    "late_shipment_priority_orders",
+    "small_quantity_revenue_part",
+    "first_last_event_per_user",
     # -- new this round: cross-doc repeated-span detection + incremental
     # shard-vs-index near-dedup (rows-only) --
     "duplicate_spans_documents",

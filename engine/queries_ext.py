@@ -4469,3 +4469,707 @@ def strip_spans_documents(sf_dir: str) -> pa.Table:
     res = out.map_batches(fn, batch_format="pyarrow")
     return _collect(res.sort("doc_id")).select(
         ["doc_id", "n_removed", "n_kept"])
+
+
+# ===========================================================================
+# Gopher-style document quality rules (the quality_filter tier's namesake:
+# rule-based corpus filtering a la Gopher/C4 — word count, mean word
+# length, stopword evidence, distinct-token ratio)
+# ===========================================================================
+
+@query(
+    "gopher_quality_documents",
+    """
+    WITH s AS (
+      SELECT text IS NOT NULL AS ok,
+             len(string_split(text, ' ')) AS wc,
+             length(replace(text, ' ', '')) AS ch,
+             len(list_distinct(string_split(text, ' '))) AS uniq,
+             (CASE WHEN ' ' || text || ' ' LIKE '% the %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || text || ' ' LIKE '% a %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || text || ' ' LIKE '% of %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || text || ' ' LIKE '% and %' THEN 1 ELSE 0 END
+              + CASE WHEN ' ' || text || ' ' LIKE '% to %' THEN 1 ELSE 0 END
+             ) AS stop_hits
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN ok AND wc BETWEEN 30 AND 1000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wordcount_ok,
+           CAST(sum(CASE WHEN ok AND 3 * wc <= ch AND ch < 10 * wc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_meanlen_ok,
+           CAST(sum(CASE WHEN ok AND stop_hits >= 2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stopword_ok,
+           CAST(sum(CASE WHEN ok AND 2 * uniq >= wc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_ok,
+           CAST(sum(CASE WHEN ok AND wc BETWEEN 30 AND 1000
+                          AND 3 * wc <= ch AND ch < 10 * wc
+                          AND stop_hits >= 2 AND 2 * uniq >= wc
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+    FROM s
+    """,
+)
+def gopher_quality_documents(sf_dir: str) -> pa.Table:
+    """Gopher-style rule-based quality filter (reference analogue:
+    src/checker/range_checker.py's threshold rules, recast for corpus
+    curation): four vectorized per-doc rules — word count in [30, 1000],
+    mean word length in [3, 10), >= 2 distinct common stopwords,
+    distinct-token ratio >= 1/2 — evaluated per batch entirely in
+    Arrow kernels (split_pattern + list_value_length for counts, one
+    pyarrow group_by over (doc, token) for distinct counts,
+    match_substring on space-padded text for stopwords). Ratio rules
+    are integer cross-multiplications (3*wc <= chars < 10*wc,
+    2*uniq >= wc) — no float thresholds, bit-identical to SQL. Output
+    is a one-row rule scoreboard: per-block int64 partials, Python-int
+    driver merge, nothing shuffled."""
+    ds = _t(sf_dir, "documents", ["text"])
+    stops = ("the", "a", "of", "and", "to")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ok = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        filled = pc.fill_null(col, "")
+        toks = pc.split_pattern(filled, " ")
+        wc = pc.list_value_length(toks).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ch = pc.utf8_length(pc.replace_substring(filled, " ", "")) \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        # distinct tokens per doc: one group_by over (doc, token)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), wc)
+        per_pair = (pa.table({"d": pa.array(doc_idx), "tok": flat})
+                    .group_by(["d", "tok"]).aggregate([([], "count_all")]))
+        uniq = np.zeros(len(col), dtype=np.int64)
+        per_doc = (per_pair.select(["d"]).group_by(["d"])
+                   .aggregate([([], "count_all")]))
+        uniq[per_doc["d"].to_numpy(zero_copy_only=False)] = \
+            per_doc["count_all"].to_numpy(zero_copy_only=False)
+        # stopword hits on space-padded text (word-boundary-exact,
+        # mirrors the SQL '% the %' LIKE probes)
+        padded = pc.binary_join_element_wise(" ", filled, " ", "")
+        hits = np.zeros(len(col), dtype=np.int64)
+        for w in stops:
+            hits += pc.match_substring(padded, f" {w} ") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+        r_wc = ok & (wc >= 30) & (wc <= 1000)
+        r_len = ok & (3 * wc <= ch) & (ch < 10 * wc)
+        r_stop = ok & (hits >= 2)
+        r_uniq = ok & (2 * uniq >= wc)
+        return pa.table({k: pa.array([int(v)], pa.int64()) for k, v in [
+            ("n_docs", len(col)),
+            ("n_wordcount_ok", r_wc.sum()),
+            ("n_meanlen_ok", r_len.sum()),
+            ("n_stopword_ok", r_stop.sum()),
+            ("n_unique_ok", r_uniq.sum()),
+            ("n_pass", (r_wc & r_len & r_stop & r_uniq).sum()),
+        ]})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    return _row(**{c: sum(parts[c].to_pylist()) for c in parts.column_names})
+
+
+# ===========================================================================
+# TPC-H-shape join/agg family over the dimension tables (part finally
+# earns its keep): Q14 promo share, Q10 returned-item customers, Q18
+# large-volume orders, Q4 late-shipment priorities, Q17 small-quantity
+# revenue
+# ===========================================================================
+
+@query(
+    "promo_revenue_lineitem_part",
+    """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                AS BIGINT) AS promo_c100,
+           CAST(sum(rev) AS BIGINT) AS total_c100
+    FROM (SELECT l_partkey,
+                 CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                 AS rev
+          FROM lineitem) l
+    JOIN part ON l_partkey = p_partkey
+    """,
+)
+def promo_revenue_lineitem_part(sf_dir: str,
+                                max_broadcast: int | None = None) -> pa.Table:
+    """Promo revenue share (TPC-H Q14 shape): fact x part-type dimension,
+    conditional revenue numerator over total. Scale plan: the PROMO
+    partkey set is filtered DISTRIBUTED and broadcast once (``ray.put``
+    implicit in is_in value_set; part is a dimension table), the fact
+    table streams through one partial-sum pass — no shuffle at all.
+    Beyond the broadcast guard: per-partkey pre-aggregation + one
+    distributed hash join against part (parity-tested). Money in
+    integer cents x discount-percent on both sides."""
+    from .dsutil import compact, join_partitions
+    from ray.data.aggregate import Sum
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    n_part = part.count()
+
+    def rev_of(t: pa.Table) -> pa.Array:
+        return pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_discount"])
+
+    if n_part <= mb:
+        promo = part.map_batches(
+            lambda b: b.filter(pc.fill_null(
+                pc.equal(b["p_type"], "PROMO"), False))
+            .select(["p_partkey"]),
+            batch_format="pyarrow")
+        promo_keys = _collect(promo)["p_partkey"].combine_chunks()
+
+        def partial(b: pa.Table) -> pa.Table:
+            rev = rev_of(b).to_numpy(zero_copy_only=False)
+            is_promo = pc.is_in(b["l_partkey"], value_set=promo_keys) \
+                .to_numpy(zero_copy_only=False)
+            return pa.table({
+                "promo_c100": pa.array([int(rev[is_promo].sum())],
+                                       pa.int64()),
+                "total_c100": pa.array([int(rev.sum())], pa.int64()),
+            })
+
+        parts = _collect(li.map_batches(partial, batch_format="pyarrow"))
+        return _row(promo_c100=sum(parts["promo_c100"].to_pylist()),
+                    total_c100=sum(parts["total_c100"].to_pylist()))
+
+    # distributed fallback: reduce the fact to part cardinality first,
+    # then ONE hash join against the part dimension
+    def per_part_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b["l_partkey"], "rev": rev_of(b)})
+        g = t.group_by("l_partkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_partkey", "rev"])
+
+    agg = (li.map_batches(per_part_partial, batch_format="pyarrow")
+             .groupby("l_partkey").aggregate(Sum("rev", alias_name="rev")))
+    joined = compact(agg, 16).join(
+        compact(part, 16), join_type="inner",
+        num_partitions=join_partitions(),
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def fold(b: pa.Table) -> pa.Table:
+        rev = b["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_promo = pc.fill_null(pc.equal(b["p_type"], "PROMO"), False) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "promo_c100": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total_c100": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    parts = _collect(joined.map_batches(fold, batch_format="pyarrow"))
+    return _row(promo_c100=sum(parts["promo_c100"].to_pylist()),
+                total_c100=sum(parts["total_c100"].to_pylist()))
+
+
+@query(
+    "returned_items_top_customers",
+    """
+    SELECT c_custkey, c_name, n_name AS nation,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_c100
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_c100 DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def returned_items_top_customers(sf_dir: str,
+                                 max_broadcast: int | None = None
+                                 ) -> pa.Table:
+    """Returned-item report (TPC-H Q10 shape): revenue of returned
+    lineitems rolled up to the customer, top 20. Scale plan mirrors
+    revenue_by_nation: the orderkey->custkey hop is broadcast once and
+    applied INSIDE the fact partial, so the only shuffle is the
+    customer-cardinality groupby; customer name/nation attach and the
+    top-20 are per-block partials merged on the driver. Beyond the
+    order-map guard the hop becomes a distributed hash join of the
+    order-cardinality pre-aggregate (parity-tested)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    n_ord = orders.count()
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"])
+
+    def rev_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.fill_null(pc.equal(b["l_returnflag"], "R"), False))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    if n_ord <= mb:
+        omap = _collect(orders)
+        okeys = omap["o_orderkey"].combine_chunks()
+        if pc.count_distinct(okeys).as_py() != len(okeys):
+            raise ValueError("o_orderkey must be unique")
+        map_ref = ray.put((okeys, omap["o_custkey"].combine_chunks()))
+
+        def cust_partial(b: pa.Table) -> pa.Table:
+            t = rev_rows(b)
+            mkeys, mcust = ray.get(map_ref)
+            pos = pc.index_in(t["l_orderkey"], value_set=mkeys)
+            # orphan orderkeys (no orders row) drop here, exactly like
+            # the SQL inner join
+            valid = pc.is_valid(pos)
+            t = t.filter(valid)
+            cust = mcust.take(pos.filter(valid))
+            g = (pa.table({"c_custkey": cust, "rev": t["rev"]})
+                 .group_by("c_custkey").aggregate([("rev", "sum")]))
+            return g.rename_columns(["c_custkey", "rev"])
+
+        agg = (li.map_batches(cust_partial, batch_format="pyarrow")
+                 .groupby("c_custkey")
+                 .aggregate(Sum("rev", alias_name="revenue_c100")))
+    else:
+        per_order = (li.map_batches(
+            lambda b: rev_rows(b).group_by("l_orderkey")
+            .aggregate([("rev", "sum")])
+            .rename_columns(["l_orderkey", "rev"]),
+            batch_format="pyarrow")
+            .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+        joined = compact(per_order, 16).join(
+            compact(orders, 16), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        agg = (joined.map_batches(
+            lambda b: pa.table({"c_custkey": b["o_custkey"],
+                                "rev": b["rev"]})
+            .group_by("c_custkey").aggregate([("rev", "sum")])
+            .rename_columns(["c_custkey", "rev"]),
+            batch_format="pyarrow")
+            .groupby("c_custkey")
+            .aggregate(Sum("rev", alias_name="revenue_c100")))
+
+    # customer -> (name, nation-name) attach: dimension-sized, broadcast
+    # (same contract as doc_embedding_label_stats: unique keys checked)
+    cust = _collect(_t(sf_dir, "customer",
+                       ["c_custkey", "c_name", "c_nationkey"]))
+    nat = _collect(_t(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    ckeys = cust["c_custkey"].combine_chunks()
+    if pc.count_distinct(ckeys).as_py() != len(ckeys):
+        raise ValueError("c_custkey must be unique")
+    npos = pc.index_in(cust["c_nationkey"].combine_chunks(),
+                       value_set=nat["n_nationkey"].combine_chunks())
+    # customers without a nation row can never appear in the SQL inner
+    # join's output — drop them from the attach map so index_in misses
+    nok = pc.is_valid(npos)
+    cust = cust.filter(nok)
+    ckeys = cust["c_custkey"].combine_chunks()
+    cnation = nat["n_name"].combine_chunks().take(npos.filter(nok))
+    attach_ref = ray.put((ckeys, cust["c_name"].combine_chunks(), cnation))
+
+    def topk_attach(b: pa.Table) -> pa.Table:
+        mkeys, mname, mnat = ray.get(attach_ref)
+        pos = pc.index_in(b["c_custkey"], value_set=mkeys)
+        # custkeys without a customer row (incl. NULL) drop, like the
+        # SQL inner join against customer
+        b = b.filter(pc.is_valid(pos))
+        pos = pos.filter(pc.is_valid(pos))
+        t = pa.table({
+            "c_custkey": b["c_custkey"],
+            "c_name": mname.take(pos),
+            "nation": mnat.take(pos),
+            "revenue_c100": pc.cast(b["revenue_c100"], pa.int64()),
+        })
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue_c100", "descending"), ("c_custkey", "ascending")])
+        return t.take(idx.slice(0, 20))
+
+    parts = _collect(agg.map_batches(topk_attach, batch_format="pyarrow"))
+    idx = pc.sort_indices(parts, sort_keys=[
+        ("revenue_c100", "descending"), ("c_custkey", "ascending")])
+    return parts.take(idx.slice(0, 20)).select(
+        ["c_custkey", "c_name", "nation", "revenue_c100"])
+
+
+@query(
+    "large_volume_customers",
+    """
+    WITH q AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 300)
+    SELECT o_custkey AS c_custkey, o_orderkey, o_orderdate, total_qty
+    FROM orders JOIN q ON o_orderkey = l_orderkey
+    ORDER BY total_qty DESC, o_orderkey
+    """,
+)
+def large_volume_customers(sf_dir: str,
+                           max_broadcast: int | None = None,
+                           threshold: int = 300) -> pa.Table:
+    """Large-volume orders (TPC-H Q18 shape): orders whose total
+    quantity exceeds 300 units, with their customers. Scale plan: ONE
+    order-cardinality groupby over per-batch quantity partials; the
+    HAVING survivor set is rare by construction (the threshold is in
+    the distribution tail), so it broadcasts as an is_in semi-join
+    filter over orders — the orders table itself is never shuffled.
+    Survivor sets beyond the guard fall back to a distributed hash
+    join (parity-tested). Quantities are integral-valued doubles in
+    this schema; both sides round half-up to int64 before summing."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "qty": _cents(b["l_quantity"], 1.0)})
+        return (t.group_by("l_orderkey").aggregate([("qty", "sum")])
+                .rename_columns(["l_orderkey", "total_qty"]))
+
+    heavy = (li.map_batches(qty_partial, batch_format="pyarrow")
+               .groupby("l_orderkey")
+               .aggregate(Sum("total_qty", alias_name="total_qty"))
+               .map_batches(
+                   lambda b, _th=threshold: b.filter(
+                       pc.greater(b["total_qty"],
+                                  pa.scalar(_th, pa.int64()))),
+                   batch_format="pyarrow").materialize())
+    n_heavy = heavy.count()
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    if n_heavy == 0:
+        # typed empty (the expected outcome when no order crosses the
+        # threshold) — _collect on an empty stream is zero-column
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "total_qty": pa.array([], pa.int64())})
+    if n_heavy <= mb:
+        h = _collect(heavy)
+        hkeys = h["l_orderkey"].combine_chunks()
+        hqty = h["total_qty"].combine_chunks()
+        href = ray.put((hkeys, hqty))
+
+        def attach(b: pa.Table) -> pa.Table:
+            mkeys, mqty = ray.get(href)
+            pos = pc.index_in(b["o_orderkey"], value_set=mkeys)
+            t = b.filter(pc.is_valid(pos))
+            pos = pc.index_in(t["o_orderkey"], value_set=mkeys)
+            return pa.table({
+                "c_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "o_orderdate": t["o_orderdate"],
+                "total_qty": pc.cast(mqty.take(pos), pa.int64()),
+            })
+
+        out = _collect(orders.map_batches(attach, batch_format="pyarrow"))
+    else:  # pragma: no cover - scale path, exercised via max_broadcast=0
+        joined = compact(heavy, 16).join(
+            compact(orders, 16), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+        out = _collect(joined.map_batches(
+            lambda b: pa.table({
+                "c_custkey": b["o_custkey"],
+                "o_orderkey": b["l_orderkey"],
+                "o_orderdate": b["o_orderdate"],
+                "total_qty": pc.cast(b["total_qty"], pa.int64()),
+            }), batch_format="pyarrow"))
+    if out.num_rows == 0:  # every heavy orderkey was an orphan
+        return pa.table({"c_custkey": pa.array([], pa.int64()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "total_qty": pa.array([], pa.int64())})
+    idx = pc.sort_indices(out, sort_keys=[
+        ("total_qty", "descending"), ("o_orderkey", "ascending")])
+    return out.take(idx).select(
+        ["c_custkey", "o_orderkey", "o_orderdate", "total_qty"])
+
+
+@query(
+    "late_shipment_priority_orders",
+    """
+    WITH mx AS (SELECT l_orderkey, max(l_shipdate) AS max_ship
+                FROM lineitem GROUP BY l_orderkey)
+    SELECT o_orderpriority, count(*) AS n_late
+    FROM orders JOIN mx ON o_orderkey = l_orderkey
+    WHERE max_ship > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def late_shipment_priority_orders(sf_dir: str,
+                                  max_broadcast: int | None = None
+                                  ) -> pa.Table:
+    """Order-priority late-shipment check (TPC-H Q4 shape: EXISTS
+    semi-join, expressed as max-shipdate-per-order vs the order date).
+    Scale plan: per-batch max partials reduce the fact to order
+    cardinality before the ONE groupby; the (orderkey -> orderdate,
+    priority) dimension map broadcasts once and the late filter +
+    priority value_counts run as per-block partials — the output is
+    priority-cardinality (5 rows), merged by one tiny groupby. Beyond
+    the guard: distributed hash join (parity-tested). Timestamps
+    compared as exact int64 microseconds on the Ray side (+60 days =
+    +5_184_000_000_000 us), identical to the SQL INTERVAL arithmetic."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    day60_us = 60 * 86_400_000_000
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+    def ship_partial(b: pa.Table) -> pa.Table:
+        ship = pc.cast(_ts_us(
+            b["l_shipdate"].combine_chunks()
+            if isinstance(b["l_shipdate"], pa.ChunkedArray)
+            else b["l_shipdate"]), pa.int64())
+        t = pa.table({"l_orderkey": b["l_orderkey"], "ship_us": ship})
+        return (t.group_by("l_orderkey").aggregate([("ship_us", "max")])
+                .rename_columns(["l_orderkey", "max_ship_us"]))
+
+    mx = (li.map_batches(ship_partial, batch_format="pyarrow")
+            .groupby("l_orderkey")
+            .aggregate(Max("max_ship_us", alias_name="max_ship_us")))
+
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    n_ord = orders.count()
+
+    if n_ord <= mb:
+        omap = _collect(orders)
+        okeys = omap["o_orderkey"].combine_chunks()
+        if pc.count_distinct(okeys).as_py() != len(okeys):
+            raise ValueError("o_orderkey must be unique")
+        odate_us = pc.cast(_ts_us(omap["o_orderdate"].combine_chunks()),
+                           pa.int64())
+        oref = ray.put((okeys, odate_us,
+                        omap["o_orderpriority"].combine_chunks()))
+
+        def late_partial(b: pa.Table) -> pa.Table:
+            mkeys, mdate, mprio = ray.get(oref)
+            pos = pc.index_in(b["l_orderkey"], value_set=mkeys)
+            valid = pc.is_valid(pos)
+            deadline = pc.add(mdate.take(pc.fill_null(pos, 0)),
+                              pa.scalar(day60_us, pa.int64()))
+            late = pc.and_(valid, pc.greater(b["max_ship_us"], deadline))
+            prio = mprio.take(pc.fill_null(pos, 0)) \
+                .filter(pc.fill_null(late, False))
+            return _vc_partial(prio, "o_orderpriority", "n")
+
+        out = (mx.map_batches(late_partial, batch_format="pyarrow")
+                 .groupby("o_orderpriority")
+                 .aggregate(Sum("n", alias_name="n_late")))
+    else:  # pragma: no cover - scale path, exercised via max_broadcast=0
+        joined = compact(mx, 16).join(
+            compact(orders, 16), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_orderkey",), right_on=("o_orderkey",))
+
+        def late_partial_j(b: pa.Table) -> pa.Table:
+            odate = pc.cast(_ts_us(
+                b["o_orderdate"].combine_chunks()
+                if isinstance(b["o_orderdate"], pa.ChunkedArray)
+                else b["o_orderdate"]), pa.int64())
+            late = pc.fill_null(pc.greater(
+                b["max_ship_us"],
+                pc.add(odate, pa.scalar(day60_us, pa.int64()))), False)
+            if isinstance(late, pa.ChunkedArray):
+                late = late.combine_chunks()
+            prio = b["o_orderpriority"]
+            if isinstance(prio, pa.ChunkedArray):
+                prio = prio.combine_chunks()
+            return _vc_partial(prio.filter(late), "o_orderpriority", "n")
+
+        out = (joined.map_batches(late_partial_j, batch_format="pyarrow")
+                     .groupby("o_orderpriority")
+                     .aggregate(Sum("n", alias_name="n_late")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"o_orderpriority": pa.array([], pa.string()),
+                         "n_late": pa.array([], pa.int64())})
+    return t.sort_by("o_orderpriority").select(
+        ["o_orderpriority", "n_late"])
+
+
+@query(
+    "small_quantity_revenue_part",
+    """
+    WITH a AS (SELECT l_partkey,
+                      CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                           AS BIGINT) AS sq,
+                      count(*) AS n
+               FROM lineitem GROUP BY l_partkey)
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS small_revenue_c,
+           count(*) AS n_small
+    FROM lineitem JOIN a USING (l_partkey)
+    WHERE CAST(floor(l_quantity + 0.5) AS BIGINT) * 2 * a.n < a.sq
+    """,
+)
+def small_quantity_revenue_part(sf_dir: str,
+                                max_broadcast: int | None = None
+                                ) -> pa.Table:
+    """Small-quantity order revenue (TPC-H Q17 shape: rows below half
+    their part's mean quantity). The mean threshold is evaluated as an
+    integer cross-multiplication — qty * 2n < sum_qty — exact on both
+    sides, no float average. Scale plan: pass 1 reduces the fact to
+    part cardinality (per-batch combiner + ONE groupby); the per-part
+    (sum, count) map broadcasts under the guard and pass 2 is a pure
+    streaming filter + partial sum. Beyond the guard: distributed hash
+    join of the fact against the aggregate (parity-tested)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+
+    li1 = _t(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def part_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": b["l_partkey"],
+                      "sq": _cents(b["l_quantity"], 1.0),
+                      "n": pa.array(np.ones(b.num_rows, np.int64))})
+        return (t.group_by("l_partkey")
+                .aggregate([("sq", "sum"), ("n", "sum")])
+                .rename_columns(["l_partkey", "sq", "n"]))
+
+    agg = (li1.map_batches(part_partial, batch_format="pyarrow")
+              .groupby("l_partkey")
+              .aggregate(Sum("sq", alias_name="sq"),
+                         Sum("n", alias_name="n"))
+              .materialize())
+    n_parts = agg.count()
+
+    li2 = _t(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    if n_parts <= mb:
+        a = _collect(agg)
+        akeys = a["l_partkey"].combine_chunks()
+        aref = ray.put((akeys, a["sq"].combine_chunks(),
+                        a["n"].combine_chunks()))
+
+        def small_partial(b: pa.Table) -> pa.Table:
+            mkeys, msq, mn = ray.get(aref)
+            pos = pc.index_in(b["l_partkey"], value_set=mkeys)
+            qty = _cents(b["l_quantity"], 1.0)
+            lhs = pc.multiply(pc.multiply(qty, pa.scalar(2, pa.int64())),
+                              mn.take(pos))
+            small = pc.fill_null(pc.less(lhs, msq.take(pos)), False)
+            t = b.filter(small)
+            return pa.table({
+                "small_revenue_c": pa.array(
+                    [int(_cents(t["l_extendedprice"]).to_numpy(
+                        zero_copy_only=False).sum())], pa.int64()),
+                "n_small": pa.array([t.num_rows], pa.int64()),
+            })
+
+        parts = _collect(li2.map_batches(small_partial,
+                                         batch_format="pyarrow"))
+    else:  # pragma: no cover - scale path, exercised via max_broadcast=0
+        joined = compact(li2, 16).join(
+            compact(agg, 16), join_type="inner",
+            num_partitions=join_partitions(),
+            on=("l_partkey",), right_on=("l_partkey",))
+
+        def small_partial_j(b: pa.Table) -> pa.Table:
+            qty = _cents(b["l_quantity"], 1.0)
+            lhs = pc.multiply(pc.multiply(qty, pa.scalar(2, pa.int64())),
+                              b["n"])
+            small = pc.fill_null(pc.less(lhs, b["sq"]), False)
+            t = b.filter(small)
+            return pa.table({
+                "small_revenue_c": pa.array(
+                    [int(_cents(t["l_extendedprice"]).to_numpy(
+                        zero_copy_only=False).sum())], pa.int64()),
+                "n_small": pa.array([t.num_rows], pa.int64()),
+            })
+
+        parts = _collect(joined.map_batches(small_partial_j,
+                                            batch_format="pyarrow"))
+    return _row(small_revenue_c=sum(parts["small_revenue_c"].to_pylist()),
+                n_small=sum(parts["n_small"].to_pylist()))
+
+
+# ===========================================================================
+# FIRST_VALUE / LAST_VALUE grouped window (per-user first and last event)
+# ===========================================================================
+
+@query(
+    "first_last_event_per_user",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events WHERE ts IS NOT NULL)
+    SELECT user_id,
+           max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+           max(CASE WHEN rn = cnt THEN event_type END) AS last_type,
+           count(*) AS n_events
+    FROM r GROUP BY user_id ORDER BY user_id
+    """,
+)
+def first_last_event_per_user(sf_dir: str) -> pa.Table:
+    """FIRST_VALUE / LAST_VALUE per partition (the session entry/exit
+    profile): one coarse-bucket shuffle on the user key, one vectorized
+    sort per bucket, segment boundaries via the null-aware
+    new_segment_mask (a NULL user is its own partition, as in SQL).
+    Ties on ts break on event_id — deterministic on both sides.
+    Null-ts rows are excluded on both sides (they satisfy no window
+    ordering)."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        return t.append_column(
+            "_bucket", pa.array(_bucket_of(t["user_id"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        users = g["user_id"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        et = g["event_type"]
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        first = new_segment_mask(users, n)
+        fidx = np.flatnonzero(first)
+        lidx = np.append(fidx[1:] - 1, n - 1)
+        counts = np.diff(np.append(fidx, n)).astype(np.int64)
+        return pa.table({
+            "user_id": users.take(pa.array(fidx)),
+            "first_type": et.take(pa.array(fidx)),
+            "last_type": et.take(pa.array(lidx)),
+            "n_events": pa.array(counts),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(pick, batch_format="pyarrow"))
+    return _collect(out).sort_by("user_id").select(
+        ["user_id", "first_type", "last_type", "n_events"])
