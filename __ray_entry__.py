@@ -60,6 +60,8 @@ _SWEEP_FIRST = (
     "late_shipment_priority_orders",
     "small_quantity_revenue_part",
     "first_last_event_per_user",
+    "winsorize_by_event_type",
+    "running_customer_spend_orders",
     # -- new this round: cross-doc repeated-span detection + incremental
     # shard-vs-index near-dedup (rows-only) --
     "duplicate_spans_documents",

@@ -5173,3 +5173,139 @@ def first_last_event_per_user(sf_dir: str) -> pa.Table:
              .map_groups(pick, batch_format="pyarrow"))
     return _collect(out).sort_by("user_id").select(
         ["user_id", "first_type", "last_type", "n_events"])
+
+
+# ===========================================================================
+# Grouped winsorize (scale-safe per-group quantiles feeding a clip) and
+# running-total window (ROWS UNBOUNDED PRECEDING)
+# ===========================================================================
+
+@query(
+    "winsorize_by_event_type",
+    """
+    WITH q AS (SELECT event_type,
+                      quantile_disc(value, 0.05) AS lo,
+                      quantile_disc(value, 0.95) AS hi
+               FROM events WHERE value IS NOT NULL GROUP BY event_type)
+    SELECT e.event_type,
+           CAST(sum(CASE WHEN e.value < q.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below,
+           CAST(sum(CASE WHEN e.value > q.hi THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above,
+           CAST(floor(q.lo * 100 + 0.5) AS BIGINT) AS lo_cents,
+           CAST(floor(q.hi * 100 + 0.5) AS BIGINT) AS hi_cents
+    FROM events e
+    JOIN q ON e.event_type IS NOT DISTINCT FROM q.event_type
+    WHERE e.value IS NOT NULL
+    GROUP BY e.event_type, q.lo, q.hi
+    ORDER BY e.event_type
+    """,
+)
+def winsorize_by_event_type(sf_dir: str) -> pa.Table:
+    """Per-GROUP winsorization profile: p05/p95 clip bounds computed by
+    the scale-safe grouped selection (stages/selection.py
+    grouped_exact_quantiles_disc — per-(group, bin) histogram partials,
+    no one-group-per-worker assumption), then ONE streaming pass counts
+    the clipped tails per group. The bounds are elements OF each group
+    (quantile_disc semantics) so the < / > comparisons are float-exact
+    on both sides; emitted bounds are integer cents. A NULL group key
+    is its own group (IS NOT DISTINCT FROM join in the oracle)."""
+    from ray.data.aggregate import Sum
+    from .stages.selection import grouped_exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    per_group = grouped_exact_quantiles_disc(
+        ds, "event_type", "value", [0.05, 0.95])
+
+    # NULL-safe group coding: index_in over a sentinel-filled key list
+    sentinel = "\x00<null>"
+    groups = [g for g, (_, vals) in per_group.items() if vals is not None]
+    keys = pa.array([sentinel if g is None else g for g in groups])
+    lo = np.array([per_group[g][1][0] for g in groups], np.float64)
+    hi = np.array([per_group[g][1][1] for g in groups], np.float64)
+
+    def tail_partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["value"]))
+        et = pc.fill_null(t["event_type"], sentinel)
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        pos = pc.index_in(et, value_set=keys) \
+            .to_numpy(zero_copy_only=False)
+        # every non-null value's group has bounds by construction; an
+        # unseen group here would mean non-deterministic partials
+        if np.isnan(pos.astype(np.float64)).any():
+            raise ValueError("winsorize_by_event_type: group without "
+                             "quantile bounds in a value-bearing row")
+        p = pos.astype(np.int64)
+        v = t["value"].to_numpy(zero_copy_only=False)
+        below = (v < lo[p]).astype(np.int64)
+        above = (v > hi[p]).astype(np.int64)
+        # group by the integer slot code, never by the raw string key:
+        # a null-bearing STRING key breaks Ray's sort-based shuffle
+        # (numpy object-compare of None vs str)
+        g = (pa.table({"slot": pa.array(p),
+                       "n_below": pa.array(below),
+                       "n_above": pa.array(above)})
+             .group_by("slot")
+             .aggregate([("n_below", "sum"), ("n_above", "sum")]))
+        return g.rename_columns(["slot", "n_below", "n_above"])
+
+    agg = (ds.map_batches(tail_partial, batch_format="pyarrow")
+             .groupby("slot")
+             .aggregate(Sum("n_below", alias_name="n_below"),
+                        Sum("n_above", alias_name="n_above")))
+    t = _collect(agg)
+    pos = t["slot"].combine_chunks().to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    out = pa.table({
+        "event_type": pa.array(
+            [groups[i] for i in pos], pa.string()),
+        "n_below": pc.cast(t["n_below"], pa.int64()),
+        "n_above": pc.cast(t["n_above"], pa.int64()),
+        "lo_cents": pa.array(np.floor(lo[pos] * 100 + 0.5).astype(np.int64)),
+        "hi_cents": pa.array(np.floor(hi[pos] * 100 + 0.5).astype(np.int64)),
+    })
+    return out.sort_by("event_type")
+
+
+@query(
+    "running_customer_spend_orders",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) OVER (
+                PARTITION BY o_custkey
+                ORDER BY o_orderdate, o_orderkey
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_cents
+    FROM orders WHERE o_orderdate IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def running_customer_spend_orders(sf_dir: str) -> pa.Table:
+    """Running total per partition (SQL ROWS UNBOUNDED PRECEDING):
+    cumulative customer spend over their order history. Reuses the
+    ROWS-window kernel (stages/windows.py rolling_window_sum) with a
+    window wider than any partition — the ``max(pos+1-window,
+    seg_start)`` frame edge degenerates to the segment start, i.e. an
+    exact int64 prefix sum with per-customer restarts. One bucket
+    shuffle, one vectorized sort per bucket."""
+    from .stages.windows import rolling_window_sum
+
+    ds = _t(sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": b["o_orderkey"],
+            "o_custkey": b["o_custkey"],
+            "o_orderdate": b["o_orderdate"],
+            "cents": _cents(b["o_totalprice"]),
+        })
+
+    out = rolling_window_sum(
+        ds.map_batches(project, batch_format="pyarrow"),
+        key_col="o_custkey", ts_col="o_orderdate", id_col="o_orderkey",
+        value_col="cents", window=1 << 40)
+    t = _collect(out).sort_by("o_orderkey")
+    return pa.table({"o_orderkey": t["o_orderkey"],
+                     "o_custkey": t["o_custkey"],
+                     "run_cents": t["roll_sum"]})

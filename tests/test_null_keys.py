@@ -72,10 +72,37 @@ def test_window_queries_null_partition_keys(ray_session, tmp_path):
     for q in ["rolling_sum_events", "range_window_sum_events",
               "max_gap_events_per_user", "session_window_events",
               "mode_event_type_per_user",
-              "event_sequence_signature_events"]:
+              "event_sequence_signature_events",
+              "first_last_event_per_user"]:
         problems = compare(QUERIES[q](d),
                            con.execute(ORACLE_SQL[q]).fetchdf())
         assert not problems, (q, problems)
+
+
+def test_winsorize_by_event_type_null_groups(ray_session, tmp_path):
+    """winsorize_by_event_type vs oracle with NULL event_types (their
+    rows form ONE group of their own) and NULL values (excluded from
+    quantiles and tail counts on both sides)."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    ev = _events_with_null_users()
+    et = ev["event_type"].to_pylist()
+    val = ev["value"].to_pylist()
+    for i in range(0, len(et), 7):
+        et[i] = None
+    for i in range(0, len(val), 13):
+        val[i] = None
+    ev = ev.set_column(ev.schema.get_field_index("event_type"),
+                       "event_type", pa.array(et, pa.string()))
+    ev = ev.set_column(ev.schema.get_field_index("value"),
+                       "value", pa.array(val, pa.float64()))
+    d = _write_dir(tmp_path, ev)
+    con = duckdb_con(d)
+    q = "winsorize_by_event_type"
+    problems = compare(QUERIES[q](d), con.execute(ORACLE_SQL[q]).fetchdf())
+    assert not problems, problems
 
 
 def test_sequence_signature_large_ids(ray_session, tmp_path):
