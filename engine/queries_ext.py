@@ -5217,26 +5217,37 @@ def winsorize_by_event_type(sf_dir: str) -> pa.Table:
     per_group = grouped_exact_quantiles_disc(
         ds, "event_type", "value", [0.05, 0.95])
 
-    # NULL-safe group coding: index_in over a sentinel-filled key list
-    sentinel = "\x00<null>"
-    groups = [g for g, (_, vals) in per_group.items() if vals is not None]
-    keys = pa.array([sentinel if g is None else g for g in groups])
+    # groups with at least one non-null value (an all-null group's
+    # quantiles are [None, ...]; it can never contribute a tail row)
+    groups = [g for g, (_, vals) in per_group.items()
+              if vals is not None and vals[0] is not None]
     lo = np.array([per_group[g][1][0] for g in groups], np.float64)
     hi = np.array([per_group[g][1][1] for g in groups], np.float64)
+    # NULL-safe group coding: explicit is_null mask, never a sentinel
+    # fill (a real key equal to any sentinel would collide — the
+    # selection.py _codes rationale)
+    nn_groups = [g for g in groups if g is not None]
+    nn_slots = np.array([groups.index(g) for g in nn_groups], np.int64)
+    nn_keys = pa.array(nn_groups, pa.string())
+    null_slot = groups.index(None) if None in groups else -1
 
     def tail_partial(b: pa.Table) -> pa.Table:
         t = b.filter(pc.is_valid(b["value"]))
-        et = pc.fill_null(t["event_type"], sentinel)
+        et = t["event_type"]
         if isinstance(et, pa.ChunkedArray):
             et = et.combine_chunks()
-        pos = pc.index_in(et, value_set=keys) \
-            .to_numpy(zero_copy_only=False)
+        ia = pc.index_in(et, value_set=nn_keys)
+        nulls = pc.is_null(et).to_numpy(zero_copy_only=False)
         # every non-null value's group has bounds by construction; an
         # unseen group here would mean non-deterministic partials
-        if np.isnan(pos.astype(np.float64)).any():
+        if ia.null_count != int(nulls.sum()) or (nulls.any()
+                                                 and null_slot < 0):
             raise ValueError("winsorize_by_event_type: group without "
                              "quantile bounds in a value-bearing row")
-        p = pos.astype(np.int64)
+        p = pc.fill_null(ia, 0).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p = nn_slots[p] if len(nn_slots) else p
+        p[nulls] = null_slot
         v = t["value"].to_numpy(zero_copy_only=False)
         below = (v < lo[p]).astype(np.int64)
         above = (v > hi[p]).astype(np.int64)
@@ -5255,6 +5266,12 @@ def winsorize_by_event_type(sf_dir: str) -> pa.Table:
              .aggregate(Sum("n_below", alias_name="n_below"),
                         Sum("n_above", alias_name="n_above")))
     t = _collect(agg)
+    if t.num_rows == 0:  # no value-bearing rows at all: typed empty
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n_below": pa.array([], pa.int64()),
+                         "n_above": pa.array([], pa.int64()),
+                         "lo_cents": pa.array([], pa.int64()),
+                         "hi_cents": pa.array([], pa.int64())})
     pos = t["slot"].combine_chunks().to_numpy(zero_copy_only=False) \
         .astype(np.int64)
     out = pa.table({
@@ -5305,7 +5322,12 @@ def running_customer_spend_orders(sf_dir: str) -> pa.Table:
         ds.map_batches(project, batch_format="pyarrow"),
         key_col="o_custkey", ts_col="o_orderdate", id_col="o_orderkey",
         value_col="cents", window=1 << 40)
-    t = _collect(out).sort_by("o_orderkey")
+    t = _collect(out)
+    if t.num_rows == 0:  # every orderdate NULL: typed empty
+        return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                         "o_custkey": pa.array([], pa.int64()),
+                         "run_cents": pa.array([], pa.int64())})
+    t = t.sort_by("o_orderkey")
     return pa.table({"o_orderkey": t["o_orderkey"],
                      "o_custkey": t["o_custkey"],
                      "run_cents": t["roll_sum"]})

@@ -251,3 +251,66 @@ def test_first_k_per_group_null_run_is_one_group(ray_session):
     out = _first_k_per_group(t, ["g"], [("g", "ascending"),
                                         ("id", "ascending")], 1)
     assert sorted(out["id"].to_pylist()) == [1, 4]
+
+
+def test_winsorize_all_null_values_empty(ray_session, tmp_path):
+    """Every value NULL -> quantiles undefined for every group -> the
+    oracle yields 0 rows; the Ray side must return a typed empty table
+    (zero-column _collect hazard)."""
+    import engine.queries_ext as qe
+
+    ev = _events_with_null_users()
+    ev = ev.set_column(ev.schema.get_field_index("value"), "value",
+                       pa.array([None] * ev.num_rows, pa.float64()))
+    d = _write_dir(tmp_path, ev)
+    out = qe.winsorize_by_event_type(d)
+    assert out.num_rows == 0
+    assert out.column_names == [
+        "event_type", "n_below", "n_above", "lo_cents", "hi_cents"]
+
+
+def test_winsorize_sentinel_like_group_value(ray_session, tmp_path):
+    """A REAL event_type equal to a would-be null sentinel must stay a
+    distinct group from the NULL group (is_null-mask coding, no
+    sentinel collision)."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    ev = _events_with_null_users()
+    et = ev["event_type"].to_pylist()
+    for i in range(0, len(et), 5):
+        et[i] = "\x00<null>"
+    for i in range(1, len(et), 11):
+        et[i] = None
+    ev = ev.set_column(ev.schema.get_field_index("event_type"),
+                       "event_type", pa.array(et, pa.string()))
+    d = _write_dir(tmp_path, ev)
+    con = duckdb_con(d)
+    q = "winsorize_by_event_type"
+    problems = compare(QUERIES[q](d), con.execute(ORACLE_SQL[q]).fetchdf())
+    assert not problems, problems
+
+
+def test_running_spend_all_null_dates_empty(ray_session, tmp_path):
+    """All o_orderdate NULL -> the oracle's WHERE keeps 0 rows; the Ray
+    side must return a typed empty table, not KeyError on sort_by."""
+    import shutil as _sh
+
+    import pyarrow.parquet as _pq
+
+    import engine.queries_ext as qe
+
+    d = tmp_path / "sfnullorders"
+    d.mkdir()
+    for t in OTHER_TABLES + ["events"]:
+        if t != "orders":
+            _sh.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    orders = _pq.read_table(f"{SF}/orders.parquet")
+    orders = orders.set_column(
+        orders.schema.get_field_index("o_orderdate"), "o_orderdate",
+        pa.array([None] * orders.num_rows, pa.timestamp("us")))
+    _pq.write_table(orders, d / "orders.parquet")
+    out = qe.running_customer_spend_orders(str(d))
+    assert out.num_rows == 0
+    assert out.column_names == ["o_orderkey", "o_custkey", "run_cents"]
