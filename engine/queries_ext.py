@@ -4618,21 +4618,31 @@ def promo_revenue_lineitem_part(sf_dir: str,
             ["l_partkey", "l_extendedprice", "l_discount"])
 
     if n_part <= mb:
-        promo = part.map_batches(
-            lambda b: b.filter(pc.fill_null(
-                pc.equal(b["p_type"], "PROMO"), False))
-            .select(["p_partkey"]),
-            batch_format="pyarrow")
-        promo_keys = _collect(promo)["p_partkey"].combine_chunks()
+        pt = _collect(part)
+        # NULL p_partkey can never equal-join; keep the key sets
+        # null-free so a NULL probe misses (SQL join semantics)
+        pt = pt.filter(pc.is_valid(pt["p_partkey"]))
+        all_keys = pt["p_partkey"].combine_chunks()
+        promo_keys = pt.filter(pc.fill_null(
+            pc.equal(pt["p_type"], "PROMO"), False))["p_partkey"] \
+            .combine_chunks()
 
         def partial(b: pa.Table) -> pa.Table:
             rev = rev_of(b).to_numpy(zero_copy_only=False)
-            is_promo = pc.is_in(b["l_partkey"], value_set=promo_keys) \
+            # the inner join against part applies to BOTH sums — the
+            # total is over part-matched rows only, like the SQL and
+            # the distributed tier
+            in_part = pc.fill_null(
+                pc.is_in(b["l_partkey"], value_set=all_keys), False) \
+                .to_numpy(zero_copy_only=False)
+            is_promo = pc.fill_null(
+                pc.is_in(b["l_partkey"], value_set=promo_keys), False) \
                 .to_numpy(zero_copy_only=False)
             return pa.table({
-                "promo_c100": pa.array([int(rev[is_promo].sum())],
+                "promo_c100": pa.array([int(rev[is_promo & in_part].sum())],
                                        pa.int64()),
-                "total_c100": pa.array([int(rev.sum())], pa.int64()),
+                "total_c100": pa.array([int(rev[in_part].sum())],
+                                       pa.int64()),
             })
 
         parts = _collect(li.map_batches(partial, batch_format="pyarrow"))
@@ -4640,16 +4650,20 @@ def promo_revenue_lineitem_part(sf_dir: str,
                     total_c100=sum(parts["total_c100"].to_pylist()))
 
     # distributed fallback: reduce the fact to part cardinality first,
-    # then ONE hash join against the part dimension
+    # then ONE hash join against the part dimension. NULL l_partkey
+    # rows drop up front (they can never join).
     def per_part_partial(b: pa.Table) -> pa.Table:
         t = pa.table({"l_partkey": b["l_partkey"], "rev": rev_of(b)})
+        t = t.filter(pc.is_valid(t["l_partkey"]))
         g = t.group_by("l_partkey").aggregate([("rev", "sum")])
         return g.rename_columns(["l_partkey", "rev"])
 
     agg = (li.map_batches(per_part_partial, batch_format="pyarrow")
              .groupby("l_partkey").aggregate(Sum("rev", alias_name="rev")))
+    # compact() only the aggregate (its blocks can be empty); the raw
+    # part read has no empty blocks and must NOT be materialized
     joined = compact(agg, 16).join(
-        compact(part, 16), join_type="inner",
+        part, join_type="inner",
         num_partitions=join_partitions(),
         on=("l_partkey",), right_on=("p_partkey",))
 
@@ -4716,6 +4730,9 @@ def returned_items_top_customers(sf_dir: str,
 
     if n_ord <= mb:
         omap = _collect(orders)
+        # a NULL o_orderkey can never equal-join, and index_in's
+        # null-matches-null would wrongly attach NULL fact keys to it
+        omap = omap.filter(pc.is_valid(omap["o_orderkey"]))
         okeys = omap["o_orderkey"].combine_chunks()
         if pc.count_distinct(okeys).as_py() != len(okeys):
             raise ValueError("o_orderkey must be unique")
@@ -4744,8 +4761,11 @@ def returned_items_top_customers(sf_dir: str,
             .rename_columns(["l_orderkey", "rev"]),
             batch_format="pyarrow")
             .groupby("l_orderkey").aggregate(Sum("rev", alias_name="rev")))
+        # compact() only the pre-aggregate (its blocks can be empty);
+        # the raw orders read has no empty blocks and must NOT be
+        # materialized at scale
         joined = compact(per_order, 16).join(
-            compact(orders, 16), join_type="inner",
+            orders, join_type="inner",
             num_partitions=join_partitions(),
             on=("l_orderkey",), right_on=("o_orderkey",))
         agg = (joined.map_batches(
@@ -4762,9 +4782,11 @@ def returned_items_top_customers(sf_dir: str,
     cust = _collect(_t(sf_dir, "customer",
                        ["c_custkey", "c_name", "c_nationkey"]))
     nat = _collect(_t(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    cust = cust.filter(pc.is_valid(cust["c_custkey"]))  # null never joins
     ckeys = cust["c_custkey"].combine_chunks()
     if pc.count_distinct(ckeys).as_py() != len(ckeys):
         raise ValueError("c_custkey must be unique")
+    nat = nat.filter(pc.is_valid(nat["n_nationkey"]))  # null never joins
     npos = pc.index_in(cust["c_nationkey"].combine_chunks(),
                        value_set=nat["n_nationkey"].combine_chunks())
     # customers without a nation row can never appear in the SQL inner
@@ -4843,22 +4865,27 @@ def large_volume_customers(sf_dir: str,
                .groupby("l_orderkey")
                .aggregate(Sum("total_qty", alias_name="total_qty"))
                .map_batches(
-                   lambda b, _th=threshold: b.filter(
+                   lambda b, _th=threshold: b.filter(pc.and_(
                        pc.greater(b["total_qty"],
-                                  pa.scalar(_th, pa.int64()))),
+                                  pa.scalar(_th, pa.int64())),
+                       # a NULL l_orderkey can never equal-join orders
+                       pc.is_valid(b["l_orderkey"]))),
                    batch_format="pyarrow").materialize())
     n_heavy = heavy.count()
 
     orders = _t(sf_dir, "orders",
                 ["o_orderkey", "o_custkey", "o_orderdate"])
 
-    if n_heavy == 0:
-        # typed empty (the expected outcome when no order crosses the
-        # threshold) — _collect on an empty stream is zero-column
+    def _empty() -> pa.Table:
         return pa.table({"c_custkey": pa.array([], pa.int64()),
                          "o_orderkey": pa.array([], pa.int64()),
                          "o_orderdate": pa.array([], pa.timestamp("us")),
                          "total_qty": pa.array([], pa.int64())})
+
+    if n_heavy == 0:
+        # typed empty (the expected outcome when no order crosses the
+        # threshold) — _collect on an empty stream is zero-column
+        return _empty()
     if n_heavy <= mb:
         h = _collect(heavy)
         hkeys = h["l_orderkey"].combine_chunks()
@@ -4868,19 +4895,23 @@ def large_volume_customers(sf_dir: str,
         def attach(b: pa.Table) -> pa.Table:
             mkeys, mqty = ray.get(href)
             pos = pc.index_in(b["o_orderkey"], value_set=mkeys)
-            t = b.filter(pc.is_valid(pos))
-            pos = pc.index_in(t["o_orderkey"], value_set=mkeys)
+            valid = pc.is_valid(pos)
+            t = b.filter(valid)
             return pa.table({
                 "c_custkey": t["o_custkey"],
                 "o_orderkey": t["o_orderkey"],
                 "o_orderdate": t["o_orderdate"],
-                "total_qty": pc.cast(mqty.take(pos), pa.int64()),
+                "total_qty": pc.cast(mqty.take(pos.filter(valid)),
+                                     pa.int64()),
             })
 
         out = _collect(orders.map_batches(attach, batch_format="pyarrow"))
     else:  # pragma: no cover - scale path, exercised via max_broadcast=0
+        # compact() only the survivor set (filtered -> can carry empty
+        # blocks); the raw orders read has none and must NOT be
+        # materialized at scale
         joined = compact(heavy, 16).join(
-            compact(orders, 16), join_type="inner",
+            orders, join_type="inner",
             num_partitions=join_partitions(),
             on=("l_orderkey",), right_on=("o_orderkey",))
         out = _collect(joined.map_batches(
@@ -4891,10 +4922,7 @@ def large_volume_customers(sf_dir: str,
                 "total_qty": pc.cast(b["total_qty"], pa.int64()),
             }), batch_format="pyarrow"))
     if out.num_rows == 0:  # every heavy orderkey was an orphan
-        return pa.table({"c_custkey": pa.array([], pa.int64()),
-                         "o_orderkey": pa.array([], pa.int64()),
-                         "o_orderdate": pa.array([], pa.timestamp("us")),
-                         "total_qty": pa.array([], pa.int64())})
+        return _empty()
     idx = pc.sort_indices(out, sort_keys=[
         ("total_qty", "descending"), ("o_orderkey", "ascending")])
     return out.take(idx).select(
@@ -4953,6 +4981,9 @@ def late_shipment_priority_orders(sf_dir: str,
 
     if n_ord <= mb:
         omap = _collect(orders)
+        # NULL o_orderkey never equal-joins (and would wrongly catch
+        # NULL fact keys through index_in's null-matches-null)
+        omap = omap.filter(pc.is_valid(omap["o_orderkey"]))
         okeys = omap["o_orderkey"].combine_chunks()
         if pc.count_distinct(okeys).as_py() != len(okeys):
             raise ValueError("o_orderkey must be unique")
@@ -4972,12 +5003,12 @@ def late_shipment_priority_orders(sf_dir: str,
                 .filter(pc.fill_null(late, False))
             return _vc_partial(prio, "o_orderpriority", "n")
 
-        out = (mx.map_batches(late_partial, batch_format="pyarrow")
-                 .groupby("o_orderpriority")
-                 .aggregate(Sum("n", alias_name="n_late")))
+        partials = mx.map_batches(late_partial, batch_format="pyarrow")
     else:  # pragma: no cover - scale path, exercised via max_broadcast=0
+        # compact() only the groupby output; the raw orders read has no
+        # empty blocks and must NOT be materialized at scale
         joined = compact(mx, 16).join(
-            compact(orders, 16), join_type="inner",
+            orders, join_type="inner",
             num_partitions=join_partitions(),
             on=("l_orderkey",), right_on=("o_orderkey",))
 
@@ -4996,13 +5027,18 @@ def late_shipment_priority_orders(sf_dir: str,
                 prio = prio.combine_chunks()
             return _vc_partial(prio.filter(late), "o_orderpriority", "n")
 
-        out = (joined.map_batches(late_partial_j, batch_format="pyarrow")
-                     .groupby("o_orderpriority")
-                     .aggregate(Sum("n", alias_name="n_late")))
-    t = _collect(out)
+        partials = joined.map_batches(late_partial_j,
+                                      batch_format="pyarrow")
+    # merge the priority-cardinality partials ON THE DRIVER (bounded:
+    # <= n_priorities rows per block) — Ray's sort shuffle crashes on a
+    # null-bearing STRING group key, and SQL keeps the NULL priority
+    # as a real group
+    t = _collect(partials)
     if t.num_rows == 0:
         return pa.table({"o_orderpriority": pa.array([], pa.string()),
                          "n_late": pa.array([], pa.int64())})
+    t = (t.group_by("o_orderpriority").aggregate([("n", "sum")])
+         .rename_columns(["o_orderpriority", "n_late"]))
     return t.sort_by("o_orderpriority").select(
         ["o_orderpriority", "n_late"])
 
@@ -5045,6 +5081,11 @@ def small_quantity_revenue_part(sf_dir: str,
         t = pa.table({"l_partkey": b["l_partkey"],
                       "sq": _cents(b["l_quantity"], 1.0),
                       "n": pa.array(np.ones(b.num_rows, np.int64))})
+        # NULL l_partkey never survives the SQL USING join — drop it
+        # here so the aggregate keys stay null-free (index_in's
+        # null-matches-null would otherwise count those rows, and a
+        # null-keyed block breaks _collect's concat)
+        t = t.filter(pc.is_valid(t["l_partkey"]))
         return (t.group_by("l_partkey")
                 .aggregate([("sq", "sum"), ("n", "sum")])
                 .rename_columns(["l_partkey", "sq", "n"]))
@@ -5083,7 +5124,9 @@ def small_quantity_revenue_part(sf_dir: str,
         parts = _collect(li2.map_batches(small_partial,
                                          batch_format="pyarrow"))
     else:  # pragma: no cover - scale path, exercised via max_broadcast=0
-        joined = compact(li2, 16).join(
+        # compact() only the aggregate; the raw lineitem read has no
+        # empty blocks and must NOT be materialized at scale
+        joined = li2.join(
             compact(agg, 16), join_type="inner",
             num_partitions=join_partitions(),
             on=("l_partkey",), right_on=("l_partkey",))

@@ -44,3 +44,66 @@ def test_large_volume_empty_threshold(ray_session):
     assert out.num_rows == 0
     assert out.column_names == [
         "c_custkey", "o_orderkey", "o_orderdate", "total_qty"]
+
+
+def _plant_nulls_and_orphans(tmp_path):
+    """sf0.001 copy with NULL l_partkey / l_orderkey, orphan partkeys
+    and orderkeys, a NULL o_orderkey order and a NULL o_orderpriority:
+    SQL inner joins drop NULL keys and orphans; index_in's
+    null-matches-null must not resurrect them."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "sfnulljoin"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings", "events"]:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet")
+    pk = li["l_partkey"].to_pylist()
+    ok = li["l_orderkey"].to_pylist()
+    for i in range(0, len(pk), 17):
+        pk[i] = None
+    for i in range(1, len(pk), 23):
+        pk[i] = 10**9 + i  # orphan: no part row
+    for i in range(2, len(ok), 19):
+        ok[i] = None
+    for i in range(3, len(ok), 29):
+        ok[i] = 10**9 + i  # orphan: no orders row
+    li = li.set_column(li.schema.get_field_index("l_partkey"),
+                       "l_partkey", pa.array(pk, pa.int64()))
+    li = li.set_column(li.schema.get_field_index("l_orderkey"),
+                       "l_orderkey", pa.array(ok, pa.int64()))
+    pq.write_table(li, d / "lineitem.parquet", row_group_size=500)
+
+    orders = pq.read_table(f"{SF_DIR}/orders.parquet")
+    okeys = orders["o_orderkey"].to_pylist()
+    prios = orders["o_orderpriority"].to_pylist()
+    okeys[7] = None
+    for i in range(0, len(prios), 13):
+        prios[i] = None
+    orders = orders.set_column(
+        orders.schema.get_field_index("o_orderkey"), "o_orderkey",
+        pa.array(okeys, pa.int64()))
+    orders = orders.set_column(
+        orders.schema.get_field_index("o_orderpriority"),
+        "o_orderpriority", pa.array(prios, pa.string()))
+    pq.write_table(orders, d / "orders.parquet", row_group_size=500)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", FALLBACK_QUERIES)
+@pytest.mark.parametrize("mb", [None, 0])
+def test_null_and_orphan_join_keys(ray_session, tmp_path, name, mb):
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    d = _plant_nulls_and_orphans(tmp_path)
+    con = duckdb_con(d)
+    kwargs = {} if mb is None else {"max_broadcast": 0}
+    problems = compare(QUERIES[name](d, **kwargs),
+                       con.execute(ORACLE_SQL[name]).fetchdf())
+    assert not problems, problems
