@@ -109,11 +109,14 @@ def asof_join(
         # row comes out unmatched — no extra passthrough scan needed
         ts = pc.fill_null(_micros(batch[left_ts_col]),
                           pa.scalar(_NULL_TS, pa.int64()))
+        lid = batch[left_id_col]
+        if isinstance(lid, pa.ChunkedArray):
+            lid = lid.combine_chunks()
         return pa.table({
             "key": key,
             "ts": ts,
             "side": pa.array(np.ones(n, np.int8)),   # left sorts after right
-            "left_id": batch[left_id_col],
+            "left_id": lid.cast(lid_type),  # pin type (all-null blocks)
             "rval": pa.nulls(n, rval_type),
             "_bucket": pa.array(_bucket_of(key, num_buckets)),
         })
@@ -129,12 +132,18 @@ def asof_join(
                                      pc.is_valid(batch[key_col])))
         key = batch[key_col]
         n = batch.num_rows
+        rv = batch[right_value_col]
+        if isinstance(rv, pa.ChunkedArray):
+            rv = rv.combine_chunks()
         return pa.table({
             "key": key,
             "ts": _micros(batch[right_ts_col]),
             "side": pa.array(np.zeros(n, np.int8)),
             "left_id": pa.nulls(n, lid_type),
-            "rval": batch[right_value_col],
+            # cast pins the declared type even when a whole block's
+            # values are null (an untyped null column would make this
+            # block's schema diverge and break the local-path concat)
+            "rval": rv.cast(rval_type),
             "_bucket": pa.array(_bucket_of(key, num_buckets)),
         })
 
