@@ -68,6 +68,8 @@ QUERY_SET = [
     "duplicate_spans_documents",
     "strip_spans_documents",
     "incremental_exact_dedup_documents",
+    "gopher_quality_documents",
+    "returned_items_top_customers",
 ]
 
 
