@@ -98,6 +98,7 @@ _SWEEP_FIRST = (
     "semdedup_embeddings",
     "ivf_knn_embeddings",
     "pq_knn_embeddings",
+    "ivfpq_knn_embeddings",
     "approx_distinct_orderkeys",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",

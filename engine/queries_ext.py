@@ -5374,3 +5374,26 @@ def running_customer_spend_orders(sf_dir: str) -> pa.Table:
     return pa.table({"o_orderkey": t["o_orderkey"],
                      "o_custkey": t["o_custkey"],
                      "run_cents": t["roll_sum"]})
+
+
+@query("ivfpq_knn_embeddings")
+def ivfpq_knn_embeddings(sf_dir: str) -> pa.Table:
+    """Composed IVF + PQ ANN (stages/pq.py ivfpq_topk): coarse cell
+    prune (nprobe nearest of 16 sampled centroids), then compressed-
+    domain ADC scoring of only the probed rows — the production ANN
+    shape at corpus scale. Equality to plain PQ at nprobe=n_lists and
+    parallelism invariance are tested; ADC distance emitted as x1e6
+    int (no oracle SQL: approximate search is not SQL-expressible)."""
+    from .stages.pq import ivfpq_topk
+
+    ds = _t(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qvec = np.asarray(
+        ds.filter(expr="vec_id == 0").take_all()[0]["embedding"])
+    out = ivfpq_topk(ds, qvec.reshape(1, -1), k=10, nprobe=4,
+                     n_lists=16, m=8, ks=16)
+    adc = pc.multiply(pc.negate(out["sim"]), 1_000_000.0)
+    return pa.table({
+        "rank": out["rank"],
+        "vec_id": out["key"],
+        "adc_x1e6": pc.cast(pc.floor(pc.add(adc, 0.5)), pa.int64()),
+    })

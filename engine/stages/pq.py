@@ -203,3 +203,83 @@ def pq_topk_codes(codes_ds, query_vectors: np.ndarray,
 
     partials = codes_ds.map_batches(partial, batch_format="pyarrow").take_all()
     return _merge_partials(partials, k)
+
+
+def _adc_partial_masked(keys: np.ndarray, codes: np.ndarray,
+                        lut: np.ndarray, keep: np.ndarray,
+                        k: int) -> pa.Table:
+    """Per-batch masked ADC top-k: like `_adc_partial` but each query
+    only scores its kept rows (IVF cell prune). `keep` is (n_q, n)
+    bool. Tie policy identical: full (dist asc, key asc) order."""
+    n_q, m, _ = lut.shape
+    out_qi, out_key, out_sim = [], [], []
+    for qi in range(n_q):
+        sel = np.flatnonzero(keep[qi])
+        if not len(sel):
+            continue
+        kk = keys[sel]
+        row = np.zeros(len(sel), dtype=np.float64)
+        for j in range(m):
+            row += lut[qi, j, codes[sel, j]]
+        take = min(k, len(sel))
+        idx = np.lexsort((kk, row))[:take]
+        out_qi.extend([qi] * take)
+        out_key.extend(kk[idx].tolist())
+        out_sim.extend((-row[idx]).tolist())
+    return pa.table({
+        "query_idx": pa.array(out_qi, pa.int32()),
+        "key": pa.array(out_key, pa.int64()),
+        "sim": pa.array(out_sim, pa.float64()),
+    })
+
+
+def ivfpq_topk(ds, query_vectors: np.ndarray, k: int = 10,
+               nprobe: int = 4, vec_col: str = "embedding",
+               key_col: str = "vec_id", m: int = 8, ks: int = 16,
+               n_lists: int = 16, sample_size: int = 65536,
+               seed: int = 42, codebooks: np.ndarray | None = None,
+               centroids: np.ndarray | None = None) -> pa.Table:
+    """Composed IVF + PQ search (the production ANN shape at corpus
+    scale: coarse cell prune, then compressed-domain scoring): both
+    models fit on bounded deterministic samples and broadcast once; per
+    batch, rows assign themselves to cells, only rows in a query's
+    ``nprobe`` nearest cells are PQ-encoded and ADC-scored, and tiny
+    partial top-k rows reach the driver. With ``nprobe == n_lists``
+    the candidate set is every row, so the result is IDENTICAL to
+    :func:`pq_topk` (tested) — the prune only ever removes candidates,
+    exactly like IVF over exact distances."""
+    import ray
+
+    from .similarity import fit_centroids_sample
+
+    if centroids is None:
+        centroids = fit_centroids_sample(ds, vec_col, n_lists,
+                                         sample_size, seed,
+                                         key_col=key_col)
+    if codebooks is None:
+        codebooks = pq_fit_sample(ds, vec_col, m, ks, sample_size,
+                                  key_col=key_col)
+    q = _normalize(np.asarray(query_vectors, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1,
+                       kind="stable")[:, :nprobe]
+    ref = ray.put((centroids, codebooks, _lut(q, codebooks), probe))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c, cb, lut, pr = ray.get(ref)
+        keys = _col_np(batch[key_col])
+        mat = _normalize(_vecs_np(batch[vec_col]))
+        cell = np.argmax(mat @ c.T, axis=1)
+        keep = (pr[:, :, None] == cell[None, None, :]).any(axis=1)
+        sel = keep.any(axis=0)  # encode only rows some query probes
+        if not sel.any():
+            return pa.table({
+                "query_idx": pa.array([], pa.int32()),
+                "key": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            })
+        codes = _encode(mat[sel], cb)
+        return _adc_partial_masked(keys[sel], codes, lut,
+                                   keep[:, sel], k)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    return _merge_partials(partials, k)

@@ -1652,3 +1652,49 @@ def test_ntile_by_group_brute_force(ray_session):
         out = ntile_by_group(ds, "grp", "v", "id", 4, num_buckets=8)
         got = {r["id"]: r["tile"] for r in out.take_all()}
         assert got == expect, nparts
+
+
+def test_ivfpq_topk_composition(ray_session):
+    """Composed IVF+PQ: (a) with nprobe == n_lists the candidate set is
+    every row, so output is IDENTICAL to plain pq_topk with the same
+    codebooks; (b) parallelism-invariant; (c) recall@10 vs exact cosine
+    stays sane at nprobe=4."""
+    import ray.data as rd
+
+    from engine.stages.pq import ivfpq_topk, pq_fit_sample, pq_topk
+    from engine.stages.similarity import (fit_centroids_sample,
+                                          knn_brute_force)
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 32
+    base = rng.normal(size=(8, d))
+    vecs = (base[rng.integers(0, 8, n)] + 0.1 * rng.normal(size=(n, d)))
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(n)]
+    q = vecs[:3]
+
+    ds = rd.from_items(rows).repartition(6)
+    cb = pq_fit_sample(ds, m=16, ks=64)
+    cent = fit_centroids_sample(ds, n_lists=8)
+
+    full = ivfpq_topk(ds, q, k=10, nprobe=8, n_lists=8,
+                      codebooks=cb, centroids=cent)
+    assert full.equals(pq_topk(ds, q, k=10, codebooks=cb))
+
+    outs = []
+    for nparts in (1, 6, 24):
+        dsp = rd.from_items(rows).repartition(nparts)
+        outs.append(ivfpq_topk(dsp, q, k=10, nprobe=3, n_lists=8,
+                               codebooks=cb, centroids=cent))
+    assert outs[0].equals(outs[1]) and outs[0].equals(outs[2])
+
+    exact = knn_brute_force(ds, q, k=10)
+    pruned = outs[0]
+    hit = tot = 0
+    for qi in range(3):
+        e = {r["key"] for r in exact.filter(
+            pa.compute.equal(exact["query_idx"], qi)).to_pylist()}
+        g = {r["key"] for r in pruned.filter(
+            pa.compute.equal(pruned["query_idx"], qi)).to_pylist()}
+        hit += len(e & g)
+        tot += len(e)
+    assert hit / tot >= 0.6, hit / tot
