@@ -52,11 +52,13 @@ def _lloyd(x: np.ndarray, ks: int, iters: int) -> np.ndarray:
 
 def pq_fit_sample(ds, vec_col: str = "embedding", m: int = 8, ks: int = 16,
                   sample_size: int = 65536, iters: int = 8,
-                  key_col: str = "vec_id") -> np.ndarray:
+                  key_col: str = "vec_id",
+                  sample: np.ndarray | None = None) -> np.ndarray:
     """Fit PQ codebooks on a bounded deterministic sample (seeded
     hash-threshold row sample — uniform across the corpus, unlike a
     ``limit(n)`` that sees only the first files; identical at any
-    parallelism).
+    parallelism). Pass ``sample`` (raw vectors) to reuse one sampling
+    pass across several model fits.
 
     Returns (m, ks, d/m) float64 codebooks. ``d`` must divide by ``m``;
     ``ks <= 256`` (codes are uint8).
@@ -65,7 +67,8 @@ def pq_fit_sample(ds, vec_col: str = "embedding", m: int = 8, ks: int = 16,
 
     if ks > 256:
         raise ValueError("ks > 256 does not fit uint8 codes")
-    raw = hash_sample_vectors(ds, vec_col, key_col, sample_size)
+    raw = sample if sample is not None else hash_sample_vectors(
+        ds, vec_col, key_col, sample_size)
     if len(raw) < ks:
         raise ValueError(f"sample has {len(raw)} rows < ks={ks}")
     vecs = _normalize(raw)
@@ -128,22 +131,36 @@ def _lut(q: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
 
 
 def _adc_partial(keys: np.ndarray, codes: np.ndarray, lut: np.ndarray,
-                 k: int) -> pa.Table:
+                 k: int, keep: np.ndarray | None = None) -> pa.Table:
     """Per-batch ADC top-k: dist = sum of m LUT gathers; emitted as
     ``sim = -dist`` so `_merge_partials`'s (sim desc, key asc) tie policy
-    yields (dist asc, key asc) — batch-boundary-independent."""
+    yields (dist asc, key asc) — batch-boundary-independent. Optional
+    ``keep`` (n_q, n) bool restricts each query to its rows (the IVF
+    cell-prune hook, mirroring similarity._partial_topk_rows): the
+    per-element ``+=`` accumulation order over ``j`` is unchanged, so
+    pruning never perturbs a surviving row's distance."""
     n_q, m, _ = lut.shape
-    n = len(keys)
-    d = np.zeros((n_q, n), dtype=np.float64)
-    for j in range(m):
-        d += lut[:, j, codes[:, j]]
     out_qi, out_key, out_sim = [], [], []
+    if keep is None:
+        n = len(keys)
+        d = np.zeros((n_q, n), dtype=np.float64)
+        for j in range(m):
+            d += lut[:, j, codes[:, j]]
     for qi in range(n_q):
-        row = d[qi]
-        kk = min(k, n)
-        idx = np.lexsort((keys, row))[:kk]  # full order: exact tie policy
-        out_qi.extend([qi] * kk)
-        out_key.extend(keys[idx].tolist())
+        if keep is None:
+            kk_keys, row = keys, d[qi]
+        else:
+            sel = np.flatnonzero(keep[qi])
+            if not len(sel):
+                continue
+            kk_keys = keys[sel]
+            row = np.zeros(len(sel), dtype=np.float64)
+            for j in range(m):
+                row += lut[qi, j, codes[sel, j]]
+        take = min(k, len(kk_keys))
+        idx = np.lexsort((kk_keys, row))[:take]  # exact tie policy
+        out_qi.extend([qi] * take)
+        out_key.extend(kk_keys[idx].tolist())
         out_sim.extend((-row[idx]).tolist())
     return pa.table({
         "query_idx": pa.array(out_qi, pa.int32()),
@@ -205,34 +222,6 @@ def pq_topk_codes(codes_ds, query_vectors: np.ndarray,
     return _merge_partials(partials, k)
 
 
-def _adc_partial_masked(keys: np.ndarray, codes: np.ndarray,
-                        lut: np.ndarray, keep: np.ndarray,
-                        k: int) -> pa.Table:
-    """Per-batch masked ADC top-k: like `_adc_partial` but each query
-    only scores its kept rows (IVF cell prune). `keep` is (n_q, n)
-    bool. Tie policy identical: full (dist asc, key asc) order."""
-    n_q, m, _ = lut.shape
-    out_qi, out_key, out_sim = [], [], []
-    for qi in range(n_q):
-        sel = np.flatnonzero(keep[qi])
-        if not len(sel):
-            continue
-        kk = keys[sel]
-        row = np.zeros(len(sel), dtype=np.float64)
-        for j in range(m):
-            row += lut[qi, j, codes[sel, j]]
-        take = min(k, len(sel))
-        idx = np.lexsort((kk, row))[:take]
-        out_qi.extend([qi] * take)
-        out_key.extend(kk[idx].tolist())
-        out_sim.extend((-row[idx]).tolist())
-    return pa.table({
-        "query_idx": pa.array(out_qi, pa.int32()),
-        "key": pa.array(out_key, pa.int64()),
-        "sim": pa.array(out_sim, pa.float64()),
-    })
-
-
 def ivfpq_topk(ds, query_vectors: np.ndarray, k: int = 10,
                nprobe: int = 4, vec_col: str = "embedding",
                key_col: str = "vec_id", m: int = 8, ks: int = 16,
@@ -250,15 +239,18 @@ def ivfpq_topk(ds, query_vectors: np.ndarray, k: int = 10,
     exactly like IVF over exact distances."""
     import ray
 
-    from .similarity import fit_centroids_sample
+    from .similarity import fit_centroids_sample, hash_sample_vectors
 
-    if centroids is None:
-        centroids = fit_centroids_sample(ds, vec_col, n_lists,
-                                         sample_size, seed,
-                                         key_col=key_col)
-    if codebooks is None:
-        codebooks = pq_fit_sample(ds, vec_col, m, ks, sample_size,
-                                  key_col=key_col)
+    if centroids is None or codebooks is None:
+        # ONE sampling pass shared by both model fits
+        raw = hash_sample_vectors(ds, vec_col, key_col, sample_size)
+        if centroids is None:
+            centroids = fit_centroids_sample(ds, vec_col, n_lists,
+                                             sample_size, seed,
+                                             key_col=key_col, sample=raw)
+        if codebooks is None:
+            codebooks = pq_fit_sample(ds, vec_col, m, ks, sample_size,
+                                      key_col=key_col, sample=raw)
     q = _normalize(np.asarray(query_vectors, dtype=np.float64))
     probe = np.argsort(-(q @ centroids.T), axis=1,
                        kind="stable")[:, :nprobe]
@@ -271,15 +263,8 @@ def ivfpq_topk(ds, query_vectors: np.ndarray, k: int = 10,
         cell = np.argmax(mat @ c.T, axis=1)
         keep = (pr[:, :, None] == cell[None, None, :]).any(axis=1)
         sel = keep.any(axis=0)  # encode only rows some query probes
-        if not sel.any():
-            return pa.table({
-                "query_idx": pa.array([], pa.int32()),
-                "key": pa.array([], pa.int64()),
-                "sim": pa.array([], pa.float64()),
-            })
         codes = _encode(mat[sel], cb)
-        return _adc_partial_masked(keys[sel], codes, lut,
-                                   keep[:, sel], k)
+        return _adc_partial(keys[sel], codes, lut, k, keep=keep[:, sel])
 
     partials = ds.map_batches(partial, batch_format="pyarrow").take_all()
     return _merge_partials(partials, k)

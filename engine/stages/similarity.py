@@ -402,13 +402,16 @@ def hash_sample_vectors(ds, vec_col: str = "embedding",
 
 def fit_centroids_sample(ds, vec_col: str = "embedding", n_lists: int = 16,
                          sample_size: int = 65536, seed: int = 42,
-                         key_col: str = "vec_id") -> np.ndarray:
+                         key_col: str = "vec_id",
+                         sample: np.ndarray | None = None) -> np.ndarray:
     """Fit the IVF coarse quantizer on a BOUNDED deterministic sample
     (seeded hash-threshold row sample — uniform across the corpus, not
     the first files), never the whole dataset: at 100 TB the quantizer
     sees a fixed-size unbiased sample while cell assignment streams
-    over everything."""
-    vecs = hash_sample_vectors(ds, vec_col, key_col, sample_size)
+    over everything. Pass ``sample`` (raw, unnormalized vectors) to
+    reuse one sampling pass across several model fits (ivfpq_topk)."""
+    vecs = sample if sample is not None else hash_sample_vectors(
+        ds, vec_col, key_col, sample_size)
     index = IVFIndex(n_lists=n_lists, seed=seed)
     index.fit(vecs)
     return index.centroids
