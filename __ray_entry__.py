@@ -62,6 +62,7 @@ _SWEEP_FIRST = (
     "first_last_event_per_user",
     "winsorize_by_event_type",
     "running_customer_spend_orders",
+    "value_ranks_events_per_user",
     # -- new this round: cross-doc repeated-span detection + incremental
     # shard-vs-index near-dedup (rows-only) --
     "duplicate_spans_documents",

@@ -5397,3 +5397,72 @@ def ivfpq_knn_embeddings(sf_dir: str) -> pa.Table:
         "vec_id": out["key"],
         "adc_x1e6": pc.cast(pc.floor(pc.add(adc, 0.5)), pa.int64()),
     })
+
+
+# ===========================================================================
+# RANK / DENSE_RANK window functions (peer-aware positional ranks)
+# ===========================================================================
+
+@query(
+    "value_ranks_events_per_user",
+    """
+    SELECT event_id, user_id,
+           CAST(rank() OVER (PARTITION BY user_id ORDER BY value)
+                AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER (PARTITION BY user_id ORDER BY value)
+                AS BIGINT) AS dense_rnk
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def value_ranks_events_per_user(sf_dir: str) -> pa.Table:
+    """RANK and DENSE_RANK per partition — the peer-aware positional
+    window functions (NTILE/ROW_NUMBER siblings): one coarse-bucket
+    shuffle on the user key, one vectorized (user, value) sort per
+    bucket, then both ranks fall out of two boolean masks — new-user
+    (null-aware segment starts) and new-peer (null-aware value change)
+    — via cumsum/maximum.accumulate arithmetic; no per-user Python.
+    NULL users are their own partition; NULL values sort last and are
+    mutual peers (DuckDB's default NULLS LAST window order)."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_bucket_of(b["user_id"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("value", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        users = g["user_id"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        vals = g["value"]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        new_user = new_segment_mask(users, n)
+        new_peer = new_user | new_segment_mask(vals, n)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_user, pos, 0))
+        peer_start = np.maximum.accumulate(np.where(new_peer, pos, 0))
+        rnk = peer_start - seg_start + 1
+        cp = np.cumsum(new_peer)
+        base = np.maximum.accumulate(np.where(new_user, cp - 1, 0))
+        dense = cp - base
+        return pa.table({
+            "event_id": g["event_id"],
+            "user_id": users,
+            "rnk": pa.array(rnk, pa.int64()),
+            "dense_rnk": pa.array(dense, pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(pick, batch_format="pyarrow"))
+    return _collect(out).sort_by("event_id").select(
+        ["event_id", "user_id", "rnk", "dense_rnk"])

@@ -314,3 +314,26 @@ def test_running_spend_all_null_dates_empty(ray_session, tmp_path):
     out = qe.running_customer_spend_orders(str(d))
     assert out.num_rows == 0
     assert out.column_names == ["o_orderkey", "o_custkey", "run_cents"]
+
+
+def test_value_ranks_null_users_values_and_ties(ray_session, tmp_path):
+    """RANK/DENSE_RANK vs oracle with NULL users (own partition), NULL
+    values (sort last, mutual peers) and planted value ties (peers
+    share rank; rank gaps, dense_rank none)."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    ev = _events_with_null_users()
+    val = ev["value"].to_pylist()
+    for i in range(0, len(val), 6):
+        val[i] = None
+    for i in range(1, len(val), 4):
+        val[i] = round(val[i])  # force peer ties
+    ev = ev.set_column(ev.schema.get_field_index("value"), "value",
+                       pa.array(val, pa.float64()))
+    d = _write_dir(tmp_path, ev)
+    con = duckdb_con(d)
+    q = "value_ranks_events_per_user"
+    problems = compare(QUERIES[q](d), con.execute(ORACLE_SQL[q]).fetchdf())
+    assert not problems, problems
