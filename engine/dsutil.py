@@ -101,3 +101,41 @@ def key_bucket(t, columns, num_buckets: int):
             hc = _hash64_strings(pc.fill_null(pc.cast(col, pa.string()), ""))
         h = (h * np.uint64(0x100000001B3)) ^ hc
     return ((h >> np.uint64(3)) % np.uint64(num_buckets)).astype(np.int64)
+
+
+def null_key_companion(t, col: str, flag: str = "_knull"):
+    """Encode a possibly-null STRING group key for a Ray groupby: Ray
+    2.49's sort shuffle crashes on a null-bearing string key (numpy
+    object-compare of None < str inside the range partitioner), while
+    SQL GROUP BY keeps NULL as a real group. Fill with "" and add a
+    boolean companion column; group by ``[col, flag]`` (composite keys
+    with no nulls shuffle fine), then invert with
+    :func:`restore_null_key`. The pair ("", False) and ("", True) stay
+    distinct groups, so a REAL empty string never collides with NULL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    k = t[col]
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    isn = pc.is_null(k)
+    i = t.schema.get_field_index(col)
+    return (t.set_column(i, col, pc.fill_null(k, ""))
+            .append_column(flag, isn))
+
+
+def restore_null_key(t, col: str, flag: str = "_knull"):
+    """Invert :func:`null_key_companion` after the groupby: rows whose
+    companion flag is true get their NULL key back; the flag drops."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    k = t[col]
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    isn = t[flag]
+    if isinstance(isn, pa.ChunkedArray):
+        isn = isn.combine_chunks()
+    i = t.schema.get_field_index(col)
+    restored = pc.if_else(isn, pa.scalar(None, k.type), k)
+    return t.set_column(i, col, restored).drop_columns([flag])

@@ -367,6 +367,10 @@ def topk_dup_customer_segment(sf_dir: str) -> pa.Table:
 
     grouped = (
         _t(sf_dir, "customer", ["c_mktsegment"])
+        # the SQL excludes NULL segments up front — and a null-bearing
+        # string group key would crash Ray's sort shuffle anyway
+        .map_batches(lambda b: b.filter(pc.is_valid(b["c_mktsegment"])),
+                     batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Count(alias_name="cnt"))
         .filter(expr="cnt > 1")

@@ -33,7 +33,9 @@ def _ts_us(col):
 # broadcast-side row guard for cross-table probes (tests shrink it to
 # exercise the distributed-join fallback); one shared knob in dsutil
 from .dsutil import DEFAULT_MAX_BROADCAST_KEYS as MAX_BROADCAST_ROWS  # noqa: E402
-from .dsutil import new_segment_mask  # noqa: E402
+from .dsutil import (  # noqa: E402
+    new_segment_mask, null_key_companion, restore_null_key,
+)
 
 
 # ===========================================================================
@@ -225,14 +227,14 @@ def lang_rollup_documents(sf_dir: str) -> pa.Table:
 
     ds = _t(sf_dir, "documents", ["lang", "text"])
     proj = ds.map_batches(
-        lambda b: pa.table({"lang": b["lang"],
-                            "n": pc.utf8_length(b["text"]).cast(pa.int64())}),
+        lambda b: null_key_companion(pa.table(
+            {"lang": b["lang"],
+             "n": pc.utf8_length(b["text"]).cast(pa.int64())}), "lang"),
         batch_format="pyarrow",
     )
-    g = proj.groupby("lang").aggregate(
-        Count(alias_name="doc_count"), Sum("n", alias_name="total_chars")
-    ).sort("lang")
-    t = _collect(g)
+    g = proj.groupby(["lang", "_knull"]).aggregate(
+        Count(alias_name="doc_count"), Sum("n", alias_name="total_chars"))
+    t = restore_null_key(_collect(g), "lang").sort_by("lang")
     avg = pc.divide(pc.cast(t["total_chars"], pa.float64()),
                     pc.cast(t["doc_count"], pa.float64()))
     return pa.table({
@@ -857,28 +859,34 @@ def pricing_summary_lineitem(sf_dir: str) -> pa.Table:
         b = batch.filter(keep)
         disc_price = pc.multiply(b["l_extendedprice"],
                                  pc.subtract(1.0, b["l_discount"]))
-        return pa.table({
+        # companion on EVERY string key: the range partitioner's
+        # boundary search object-compares whole key tuples, so a null
+        # string in ANY position can crash it
+        return null_key_companion(null_key_companion(pa.table({
             "l_returnflag": b["l_returnflag"],
             "l_linestatus": b["l_linestatus"],
             "qty_cents": _cents(b["l_quantity"]),
             "price_cents": _cents(b["l_extendedprice"]),
             "disc_cents": _cents(disc_price),
-        })
+        }), "l_returnflag"), "l_linestatus", flag="_knull2")
 
     g = (
         ds.map_batches(project, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
+        .groupby(["l_returnflag", "_knull", "l_linestatus", "_knull2"])
         .aggregate(
             Sum("qty_cents", alias_name="sum_qty_cents"),
             Sum("price_cents", alias_name="sum_base_price_cents"),
             Sum("disc_cents", alias_name="sum_disc_price_cents"),
             Count(alias_name="count_order"),
         )
-        .sort(["l_returnflag", "l_linestatus"])
     )
-    return _collect(g).select(
-        ["l_returnflag", "l_linestatus", "sum_qty_cents",
-         "sum_base_price_cents", "sum_disc_price_cents", "count_order"])
+    t = restore_null_key(_collect(g), "l_returnflag")
+    t = restore_null_key(t, "l_linestatus", flag="_knull2")
+    return t.sort_by([("l_returnflag", "ascending"),
+                      ("l_linestatus", "ascending")]) \
+        .select(["l_returnflag", "l_linestatus", "sum_qty_cents",
+                 "sum_base_price_cents", "sum_disc_price_cents",
+                 "count_order"])
 
 
 @query("ivf_knn_embeddings")
@@ -905,16 +913,25 @@ def ivf_knn_embeddings(sf_dir: str) -> pa.Table:
     """,
 )
 def top_sources_documents(sf_dir: str) -> pa.Table:
-    """Heavy-hitter profile (skew diagnosis input): exact top-k groups."""
+    """Heavy-hitter profile (skew diagnosis input): exact top-k groups.
+    A NULL source is a real SQL group: the null-key companion rides the
+    shuffle (Ray's sort crashes on null-bearing string keys) and the
+    distributed sort orders (count DESC, flag ASC, source ASC) — real
+    sources before the NULL group at equal counts, matching DuckDB's
+    NULLS LAST."""
     from ray.data.aggregate import Count
-
     g = (
         _t(sf_dir, "documents", ["source"])
-        .groupby("source").aggregate(Count(alias_name="doc_count"))
-        .sort(["doc_count", "source"], descending=[True, False])
+        .map_batches(lambda b: null_key_companion(
+            b.select(["source"]), "source"), batch_format="pyarrow")
+        .groupby(["source", "_knull"])
+        .aggregate(Count(alias_name="doc_count"))
+        .sort(["doc_count", "_knull", "source"],
+              descending=[True, False, False])
         .limit(5)
     )
-    return _collect(g).select(["source", "doc_count"])
+    return restore_null_key(_collect(g), "source") \
+        .select(["source", "doc_count"])
 
 
 @query("approx_distinct_orderkeys")
@@ -2293,16 +2310,17 @@ def json_props_rollup_events(sf_dir: str) -> pa.Table:
     def extract(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(batch["props"], r'"k": (?P<k>-?\d+)')
         k = pc.cast(pc.struct_field(m, "k"), pa.int64())
-        return pa.table({"event_type": batch["event_type"], "k": k,
-                         "one": pa.array(np.ones(batch.num_rows,
-                                                 dtype=np.int64))})
+        return null_key_companion(pa.table(
+            {"event_type": batch["event_type"], "k": k,
+             "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}),
+            "event_type")
 
     out = (ds.map_batches(extract, batch_format="pyarrow")
-             .groupby("event_type")
+             .groupby(["event_type", "_knull"])
              .aggregate(Sum("k", alias_name="sum_k"),
                         Sum("one", alias_name="n_events")))
-    return _collect(out).sort_by("event_type").select(
-        ["event_type", "sum_k", "n_events"])
+    return restore_null_key(_collect(out), "event_type") \
+        .sort_by("event_type").select(["event_type", "sum_k", "n_events"])
 
 
 # ===========================================================================
@@ -2803,35 +2821,42 @@ def users_per_event_type(sf_dir: str) -> pa.Table:
     |types x users|, not corpus rows (approx_distinct_orderkeys is the
     sketch alternative when even that is too wide)."""
     from ray.data.aggregate import Sum
-
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"event_type": batch["event_type"],
                       "user_id": batch["user_id"]})
         g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
-        return g.rename_columns(["event_type", "user_id", "c"])
+        # the companion keeps the LEADING shuffle key non-null (a
+        # null-bearing string there crashes Ray's range partitioner;
+        # null second keys are fine)
+        return null_key_companion(
+            g.rename_columns(["event_type", "user_id", "c"]), "event_type")
 
     pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["event_type", "user_id"])
+               .groupby(["event_type", "_knull", "user_id"])
                .aggregate(Sum("c", alias_name="c")))
 
     def type_partial(batch: pa.Table) -> pa.Table:
         # a NULL user is a real (type, NULL) pair for the event count
         # (count(*)) but contributes 0 to count(DISTINCT user_id)
         t = pa.table({"event_type": batch["event_type"],
+                      "_knull": batch["_knull"],
                       "u": pc.cast(pc.is_valid(batch["user_id"]),
                                    pa.int64()),
                       "c": batch["c"]})
-        g = t.group_by(["event_type"]).aggregate([("u", "sum"), ("c", "sum")])
-        return g.rename_columns(["event_type", "n_users", "n_events"])
+        g = t.group_by(["event_type", "_knull"]).aggregate(
+            [("u", "sum"), ("c", "sum")])
+        return g.rename_columns(["event_type", "_knull",
+                                 "n_users", "n_events"])
 
     out = (pairs.map_batches(type_partial, batch_format="pyarrow")
-                .groupby("event_type")
+                .groupby(["event_type", "_knull"])
                 .aggregate(Sum("n_users", alias_name="n_users"),
                            Sum("n_events", alias_name="n_events")))
-    return _collect(out).sort_by("event_type").select(
-        ["event_type", "n_users", "n_events"])
+    return restore_null_key(_collect(out), "event_type") \
+        .sort_by("event_type").select(
+            ["event_type", "n_users", "n_events"])
 
 
 # ===========================================================================
@@ -2971,8 +2996,10 @@ def zscore_events_value(sf_dir: str) -> pa.Table:
 @query(
     "rollup_events_grouping_sets",
     """
-    SELECT coalesce(event_type, '<all>') AS event_type,
-           coalesce(CAST(CAST(ts AS DATE) AS VARCHAR), '<all>') AS event_date,
+    SELECT CASE WHEN GROUPING(event_type) = 1 THEN '<all>'
+                ELSE event_type END AS event_type,
+           CASE WHEN GROUPING(CAST(ts AS DATE)) = 1 THEN '<all>'
+                ELSE CAST(CAST(ts AS DATE) AS VARCHAR) END AS event_date,
            count(*) AS n_events,
            CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS value_cents
@@ -3010,13 +3037,22 @@ def rollup_events_grouping_sets(sf_dir: str) -> pa.Table:
             "event_type": pa.array(["<all>"] * g.num_rows),
             "event_date": pa.array(["<all>"] * g.num_rows),
             "n": g["n"], "cents": g["cents"]})
-        return pa.concat_tables([g, lvl1, lvl2])
+        # companions on BOTH string keys: a NULL event_type (and a NULL
+        # event_date from a NULL ts) is a real finest-level group in
+        # SQL GROUPING SETS — distinct from '<all>' (the oracle uses
+        # GROUPING() so the sentinel never collides) — and any
+        # null-bearing string key can crash Ray's range partitioner
+        return null_key_companion(null_key_companion(
+            pa.concat_tables([g, lvl1, lvl2]), "event_type"),
+            "event_date", flag="_knull2")
 
     out = (ds.map_batches(finest, batch_format="pyarrow")
-             .groupby(["event_type", "event_date"])
+             .groupby(["event_type", "_knull", "event_date", "_knull2"])
              .aggregate(Sum("n", alias_name="n_events"),
                         Sum("cents", alias_name="value_cents")))
-    return _collect(out).sort_by([
+    t = restore_null_key(_collect(out), "event_type")
+    t = restore_null_key(t, "event_date", flag="_knull2")
+    return t.sort_by([
         ("event_type", "ascending"), ("event_date", "ascending")]).select(
         ["event_type", "event_date", "n_events", "value_cents"])
 
@@ -3155,18 +3191,25 @@ def balance_langs_documents(sf_dir: str) -> pa.Table:
     back as index_in lookup arrays; the corpus itself streams through
     a single filter pass."""
     from ray.data.aggregate import Sum
-
     ds = _t(sf_dir, "documents", ["doc_id", "lang"])
 
     def count_partial(batch: pa.Table) -> pa.Table:
-        return _vc_partial(batch["lang"], "lang", "n")
+        return null_key_companion(
+            _vc_partial(batch["lang"], "lang", "n"), "lang")
 
-    counts = _collect(
+    counts = restore_null_key(_collect(
         ds.map_batches(count_partial, batch_format="pyarrow")
-          .groupby("lang").aggregate(Sum("n", alias_name="n")))
-    langs = counts["lang"].combine_chunks()
-    ns = counts["n"].combine_chunks()
-    n_min = pc.min(ns).as_py()
+          .groupby(["lang", "_knull"]).aggregate(Sum("n", alias_name="n"))),
+        "lang")
+    # n_min spans EVERY stratum including a NULL lang (the SQL min is
+    # over the whole GROUP BY), but the lookup set must be null-free:
+    # the USING join drops NULL-lang docs, and index_in's null-matches-
+    # null would otherwise keep them
+    ns_all = counts["n"].combine_chunks()
+    n_min = pc.min(ns_all).as_py()
+    nn = counts.filter(pc.is_valid(counts["lang"]))
+    langs = nn["lang"].combine_chunks()
+    ns = nn["n"].combine_chunks()
 
     def keep_count(batch: pa.Table) -> pa.Table:
         idx = pc.index_in(batch["lang"], langs)
@@ -3506,13 +3549,15 @@ def share_of_total_events_by_type(sf_dir: str) -> pa.Table:
     basis points — the count*10000.0/total double expression is
     identical on both sides before the half-up floor."""
     from ray.data.aggregate import Sum
-
     ds = _t(sf_dir, "events", ["event_type"])
     out = (ds.map_batches(
-               lambda b: _vc_partial(b["event_type"], "event_type", "n"),
+               lambda b: null_key_companion(
+                   _vc_partial(b["event_type"], "event_type", "n"),
+                   "event_type"),
                batch_format="pyarrow")
-             .groupby("event_type").aggregate(Sum("n", alias_name="n")))
-    t = _collect(out).sort_by("event_type")
+             .groupby(["event_type", "_knull"])
+             .aggregate(Sum("n", alias_name="n")))
+    t = restore_null_key(_collect(out), "event_type").sort_by("event_type")
     n = t["n"].to_numpy(zero_copy_only=False)
     total = int(n.sum())
     share = np.floor(n * 10000.0 / total + 0.5).astype(np.int64)
@@ -3549,12 +3594,26 @@ def doc_embedding_label_stats(sf_dir: str,
     docs = _t(sf_dir, "documents", ["doc_id", "n_chars"])
     emb = _t(sf_dir, "embeddings", ["vec_id", "label"])
 
+    ltype = dict(zip(emb.schema().names, emb.schema().types))["label"]
+
     def finish(keyed):
+        # label is int32 — null INTEGER group keys shuffle fine (only
+        # null-bearing STRING keys crash Ray's range partitioner) —
+        # but the all-NULL group's OUTPUT block arrives with an
+        # untyped null key column: re-pin the type before the concat
         out = keyed.groupby("label").aggregate(
             Sum("one", alias_name="n_docs"),
             Sum("n_chars", alias_name="total_chars"))
-        return _collect(out).sort_by("label").select(
-            ["label", "n_docs", "total_chars"])
+
+        def pin(b: pa.Table) -> pa.Table:
+            lab = b["label"]
+            if isinstance(lab, pa.ChunkedArray):
+                lab = lab.combine_chunks()
+            return b.set_column(b.schema.get_field_index("label"),
+                                "label", lab.cast(ltype))
+
+        return _collect(out.map_batches(pin, batch_format="pyarrow")) \
+            .sort_by("label").select(["label", "n_docs", "total_chars"])
 
     mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
     use_broadcast = emb.count() <= mb
@@ -3585,9 +3644,15 @@ def doc_embedding_label_stats(sf_dir: str,
 
     j = docs.join(emb, "inner", num_partitions=join_partitions(),
                   on=("doc_id",), right_on=("vec_id",))
+    # pin the label type: a join block whose labels are ALL null
+    # arrives as an untyped null column and breaks the collect concat
+    # (the asof tagged-union hazard)
 
     def add_one(batch: pa.Table) -> pa.Table:
-        return pa.table({"label": batch["label"],
+        lab = batch["label"]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        return pa.table({"label": lab.cast(ltype),
                          "n_chars": batch["n_chars"],
                          "one": pa.array(np.ones(batch.num_rows,
                                                  dtype=np.int64))})

@@ -337,3 +337,45 @@ def test_value_ranks_null_users_values_and_ties(ray_session, tmp_path):
     q = "value_ranks_events_per_user"
     problems = compare(QUERIES[q](d), con.execute(ORACLE_SQL[q]).fetchdf())
     assert not problems, problems
+
+
+def test_string_group_keys_null_everywhere(ray_session, tmp_path):
+    """Every query that groups on a parquet-sourced STRING key matches
+    its oracle when that key carries NULLs: SQL GROUP BY keeps NULL as
+    a real group, while a null-bearing string lead key would crash
+    Ray's range partitioner without the null-key companion."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    d = tmp_path / "sfnullstr"
+    d.mkdir()
+    for t in OTHER_TABLES + ["events"]:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+
+    def plant(table, col, every, val=None):
+        t = pq.read_table(d / f"{table}.parquet")
+        v = t[col].to_pylist()
+        for i in range(0, len(v), every):
+            v[i] = val
+        t = t.set_column(t.schema.get_field_index(col), col,
+                         pa.array(v, t.schema.field(col).type))
+        pq.write_table(t, d / f"{table}.parquet", row_group_size=200)
+
+    plant("events", "event_type", 7)
+    plant("documents", "lang", 5)
+    plant("documents", "source", 6)
+    plant("customer", "c_mktsegment", 9)
+    plant("lineitem", "l_returnflag", 11)
+    plant("lineitem", "l_linestatus", 13)
+    plant("embeddings", "label", 8)
+
+    con = duckdb_con(str(d))
+    for q in ["lang_rollup_documents", "top_sources_documents",
+              "json_props_rollup_events", "users_per_event_type",
+              "share_of_total_events_by_type", "balance_langs_documents",
+              "pricing_summary_lineitem", "rollup_events_grouping_sets",
+              "topk_dup_customer_segment", "doc_embedding_label_stats"]:
+        problems = compare(QUERIES[q](str(d)),
+                           con.execute(ORACLE_SQL[q]).fetchdf())
+        assert not problems, (q, problems)
