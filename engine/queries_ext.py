@@ -2827,9 +2827,10 @@ def users_per_event_type(sf_dir: str) -> pa.Table:
         t = pa.table({"event_type": batch["event_type"],
                       "user_id": batch["user_id"]})
         g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
-        # the companion keeps the LEADING shuffle key non-null (a
-        # null-bearing string there crashes Ray's range partitioner;
-        # null second keys are fine)
+        # the companion keeps the string shuffle key non-null (a
+        # null-bearing STRING key crashes Ray's range partitioner in
+        # any tuple position; the null-bearing second key here is
+        # user_id — INTEGER, which shuffles fine)
         return null_key_companion(
             g.rename_columns(["event_type", "user_id", "c"]), "event_type")
 
@@ -3221,7 +3222,11 @@ def balance_langs_documents(sf_dir: str) -> pa.Table:
 
     out = (ds.map_batches(keep_count, batch_format="pyarrow")
              .groupby("lang").aggregate(Sum("n_kept", alias_name="n_kept")))
-    return _collect(out).sort_by("lang").select(["lang", "n_kept"])
+    t = _collect(out)
+    if t.num_rows == 0:  # every lang NULL: the USING join keeps 0 rows
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_kept": pa.array([], pa.int64())})
+    return t.sort_by("lang").select(["lang", "n_kept"])
 
 
 # ===========================================================================
@@ -3596,24 +3601,28 @@ def doc_embedding_label_stats(sf_dir: str,
 
     ltype = dict(zip(emb.schema().names, emb.schema().types))["label"]
 
-    def finish(keyed):
+    def _pin_label(b: pa.Table) -> pa.Table:
+        # a block whose labels are ALL null arrives with an untyped
+        # null column and breaks the collect concat — re-pin the type
+        lab = b["label"]
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        return b.set_column(b.schema.get_field_index("label"),
+                            "label", lab.cast(ltype))
+
+    def finish(keyed, pin_label: bool = False):
         # label is int32 — null INTEGER group keys shuffle fine (only
         # null-bearing STRING keys crash Ray's range partitioner) —
-        # but the all-NULL group's OUTPUT block arrives with an
-        # untyped null key column: re-pin the type before the concat
+        # but on the join path the all-NULL group's OUTPUT block needs
+        # its key type re-pinned (the broadcast path can't produce
+        # one: its guard requires null-free labels)
         out = keyed.groupby("label").aggregate(
             Sum("one", alias_name="n_docs"),
             Sum("n_chars", alias_name="total_chars"))
-
-        def pin(b: pa.Table) -> pa.Table:
-            lab = b["label"]
-            if isinstance(lab, pa.ChunkedArray):
-                lab = lab.combine_chunks()
-            return b.set_column(b.schema.get_field_index("label"),
-                                "label", lab.cast(ltype))
-
-        return _collect(out.map_batches(pin, batch_format="pyarrow")) \
-            .sort_by("label").select(["label", "n_docs", "total_chars"])
+        if pin_label:
+            out = out.map_batches(_pin_label, batch_format="pyarrow")
+        return _collect(out).sort_by("label").select(
+            ["label", "n_docs", "total_chars"])
 
     mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
     use_broadcast = emb.count() <= mb
@@ -3649,15 +3658,13 @@ def doc_embedding_label_stats(sf_dir: str,
     # (the asof tagged-union hazard)
 
     def add_one(batch: pa.Table) -> pa.Table:
-        lab = batch["label"]
-        if isinstance(lab, pa.ChunkedArray):
-            lab = lab.combine_chunks()
-        return pa.table({"label": lab.cast(ltype),
-                         "n_chars": batch["n_chars"],
-                         "one": pa.array(np.ones(batch.num_rows,
-                                                 dtype=np.int64))})
+        return _pin_label(pa.table({
+            "label": batch["label"],
+            "n_chars": batch["n_chars"],
+            "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}))
 
-    return finish(j.map_batches(add_one, batch_format="pyarrow"))
+    return finish(j.map_batches(add_one, batch_format="pyarrow"),
+                  pin_label=True)
 
 
 # ===========================================================================
@@ -5488,7 +5495,11 @@ def value_ranks_events_per_user(sf_dir: str) -> pa.Table:
     (null-aware segment starts) and new-peer (null-aware value change)
     — via cumsum/maximum.accumulate arithmetic; no per-user Python.
     NULL users are their own partition; NULL values sort last and are
-    mutual peers (DuckDB's default NULLS LAST window order)."""
+    mutual peers (DuckDB's default NULLS LAST window order). Contract:
+    no NaN in the value column (Arrow's NaN != NaN would split NaN
+    peers that DuckDB's total order merges — same class as the
+    documented decontam/fuzzy ASCII contracts; the corpus generator
+    never emits NaN)."""
     from .stages.windows import _bucket_of
 
     ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])

@@ -379,3 +379,22 @@ def test_string_group_keys_null_everywhere(ray_session, tmp_path):
         problems = compare(QUERIES[q](str(d)),
                            con.execute(ORACLE_SQL[q]).fetchdf())
         assert not problems, (q, problems)
+
+
+def test_balance_langs_all_null_empty(ray_session, tmp_path):
+    """Every lang NULL -> the USING join keeps zero docs -> typed empty
+    (not a KeyError on the zero-column _collect table)."""
+    import engine.queries_ext as qe
+
+    d = tmp_path / "sfalllang"
+    d.mkdir()
+    for t in OTHER_TABLES + ["events"]:
+        if t != "documents":
+            shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    docs = pq.read_table(f"{SF}/documents.parquet")
+    docs = docs.set_column(docs.schema.get_field_index("lang"), "lang",
+                           pa.array([None] * docs.num_rows, pa.string()))
+    pq.write_table(docs, d / "documents.parquet")
+    out = qe.balance_langs_documents(str(d))
+    assert out.num_rows == 0
+    assert out.column_names == ["lang", "n_kept"]
