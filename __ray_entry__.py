@@ -63,6 +63,8 @@ _SWEEP_FIRST = (
     "winsorize_by_event_type",
     "running_customer_spend_orders",
     "value_ranks_events_per_user",
+    "forecast_revenue_change",
+    "top_supplier_revenue",
     # -- new this round: cross-doc repeated-span detection + incremental
     # shard-vs-index near-dedup (rows-only) --
     "duplicate_spans_documents",

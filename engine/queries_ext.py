@@ -5542,3 +5542,164 @@ def value_ranks_events_per_user(sf_dir: str) -> pa.Table:
              .map_groups(pick, batch_format="pyarrow"))
     return _collect(out).sort_by("event_id").select(
         ["event_id", "user_id", "rnk", "dense_rnk"])
+
+
+@query(
+    "forecast_revenue_change",
+    """
+    SELECT CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_c,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(floor(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(sf_dir: str) -> pa.Table:
+    """Forecast-revenue-change (TPC-H Q6 shape): the canonical
+    prune-at-the-read scan — three columns, one streaming filter +
+    partial-sum pass, zero shuffle, one-row output. The discount band
+    compares in integer percent (floor(x*100+0.5)) on both sides, so
+    the float-representation edge (0.07 stored as 0.069...) can't
+    split the band differently between engines."""
+    import datetime as _dt
+
+    lo = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ship = _ts_us(b["l_shipdate"].combine_chunks()
+                      if isinstance(b["l_shipdate"], pa.ChunkedArray)
+                      else b["l_shipdate"])
+        disc = _cents(b["l_discount"])
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi)),
+            pc.and_(
+                pc.and_(pc.greater_equal(disc, pa.scalar(5, pa.int64())),
+                        pc.less_equal(disc, pa.scalar(7, pa.int64()))),
+                pc.less(b["l_quantity"], 24.0)))
+        t = b.filter(pc.fill_null(keep, False))
+        rev = pc.multiply(_cents(t["l_extendedprice"]),
+                          _cents(t["l_discount"]))
+        rv = rev.to_numpy(zero_copy_only=False)
+        return pa.table({
+            "revenue_c": pa.array([int(rv.sum())], pa.int64()),
+            "n_rows": pa.array([t.num_rows], pa.int64()),
+        })
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    return _row(revenue_c=sum(parts["revenue_c"].to_pylist()),
+                n_rows=sum(parts["n_rows"].to_pylist()))
+
+
+@query(
+    "top_supplier_revenue",
+    """
+    WITH r AS (SELECT l_suppkey,
+                      CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                    AS BIGINT)
+                               * (100 - CAST(floor(l_discount * 100 + 0.5)
+                                             AS BIGINT)))
+                           AS BIGINT) AS total_c100
+               FROM lineitem
+               WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                 AND l_shipdate < TIMESTAMP '1997-07-01'
+               GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_c100
+    FROM supplier JOIN r ON s_suppkey = l_suppkey
+    WHERE total_c100 = (SELECT max(total_c100) FROM r)
+    ORDER BY s_suppkey
+    """,
+)
+def top_supplier_revenue(sf_dir: str,
+                         max_broadcast: int | None = None) -> pa.Table:
+    """Top supplier (TPC-H Q15 shape): per-supplier revenue over a
+    date window, keep EVERY supplier tied at the maximum (the
+    view+max formulation, not a LIMIT 1). Scale plan: per-batch
+    (suppkey, revenue) combiner + ONE supplier-cardinality groupby;
+    the max and the tied winners are per-block partials (each block
+    emits its own maxima) merged on the driver — winner-set-sized,
+    never supplier-cardinality; the name attach probes the supplier
+    dimension with an is_in semi-join filter. Beyond the guard the
+    attach is a distributed hash join (parity-tested). NULL suppkeys
+    drop up front (they never equal-join supplier)."""
+    import datetime as _dt
+
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    lo = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 7, 1), pa.timestamp("us"))
+
+    li = _t(sf_dir, "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"])
+
+    def rev_partial(b: pa.Table) -> pa.Table:
+        ship = _ts_us(b["l_shipdate"].combine_chunks()
+                      if isinstance(b["l_shipdate"], pa.ChunkedArray)
+                      else b["l_shipdate"])
+        keep = pc.and_(pc.and_(pc.greater_equal(ship, lo),
+                               pc.less(ship, hi)),
+                       pc.is_valid(b["l_suppkey"]))
+        t = b.filter(pc.fill_null(keep, False))
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(100, pa.int64()), _cents(t["l_discount"])))
+        return (pa.table({"l_suppkey": t["l_suppkey"], "rev": rev})
+                .group_by("l_suppkey").aggregate([("rev", "sum")])
+                .rename_columns(["l_suppkey", "total_c100"]))
+
+    agg = (li.map_batches(rev_partial, batch_format="pyarrow")
+             .groupby("l_suppkey")
+             .aggregate(Sum("total_c100", alias_name="total_c100")))
+
+    def block_max(b: pa.Table) -> pa.Table:
+        mx = pc.max(b["total_c100"])
+        return b.filter(pc.equal(b["total_c100"], mx))
+
+    winners = _collect(agg.map_batches(block_max, batch_format="pyarrow"))
+    if winners.num_rows == 0:  # empty date window
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_c100": pa.array([], pa.int64())})
+    gmax = pc.max(winners["total_c100"])
+    winners = winners.filter(pc.equal(winners["total_c100"], gmax))
+    wkeys = winners["l_suppkey"].combine_chunks()
+
+    sup = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    if winners.num_rows <= mb:
+        attach = _collect(sup.map_batches(
+            lambda b: b.filter(pc.fill_null(
+                pc.is_in(b["s_suppkey"], value_set=wkeys), False)),
+            batch_format="pyarrow"))
+    else:  # pragma: no cover - scale path, exercised via max_broadcast=0
+        wds = __import__("ray").data.from_arrow(winners)
+        attach = _collect(compact(wds, 4).join(
+            sup, join_type="inner", num_partitions=join_partitions(),
+            on=("l_suppkey",), right_on=("s_suppkey",))
+            .map_batches(lambda b: pa.table(
+                {"s_suppkey": b["l_suppkey"], "s_name": b["s_name"]}),
+                batch_format="pyarrow"))
+    if attach.num_rows == 0:
+        # every tied winner was an orphan suppkey: the SQL inner join
+        # against supplier yields zero rows
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_c100": pa.array([], pa.int64())})
+    pos = pc.index_in(attach["s_suppkey"].combine_chunks(),
+                      value_set=wkeys)
+    out = pa.table({
+        "s_suppkey": attach["s_suppkey"],
+        "s_name": attach["s_name"],
+        "total_c100": pc.cast(
+            winners["total_c100"].combine_chunks().take(pos), pa.int64()),
+    })
+    return out.sort_by("s_suppkey")

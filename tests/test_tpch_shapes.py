@@ -17,6 +17,7 @@ FALLBACK_QUERIES = [
     "large_volume_customers",
     "late_shipment_priority_orders",
     "small_quantity_revenue_part",
+    "top_supplier_revenue",
 ]
 
 
@@ -65,6 +66,7 @@ def _plant_nulls_and_orphans(tmp_path):
     li = pq.read_table(f"{SF_DIR}/lineitem.parquet")
     pk = li["l_partkey"].to_pylist()
     ok = li["l_orderkey"].to_pylist()
+    sk = li["l_suppkey"].to_pylist()
     for i in range(0, len(pk), 17):
         pk[i] = None
     for i in range(1, len(pk), 23):
@@ -73,10 +75,16 @@ def _plant_nulls_and_orphans(tmp_path):
         ok[i] = None
     for i in range(3, len(ok), 29):
         ok[i] = 10**9 + i  # orphan: no orders row
+    for i in range(4, len(sk), 13):
+        sk[i] = None
+    for i in range(5, len(sk), 31):
+        sk[i] = 10**9 + i  # orphan: no supplier row
     li = li.set_column(li.schema.get_field_index("l_partkey"),
                        "l_partkey", pa.array(pk, pa.int64()))
     li = li.set_column(li.schema.get_field_index("l_orderkey"),
                        "l_orderkey", pa.array(ok, pa.int64()))
+    li = li.set_column(li.schema.get_field_index("l_suppkey"),
+                       "l_suppkey", pa.array(sk, pa.int64()))
     pq.write_table(li, d / "lineitem.parquet", row_group_size=500)
 
     orders = pq.read_table(f"{SF_DIR}/orders.parquet")
