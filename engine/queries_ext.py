@@ -4785,7 +4785,20 @@ def returned_items_top_customers(sf_dir: str,
     from ray.data.aggregate import Sum
     from .dsutil import compact, join_partitions
 
+    from concurrent.futures import ThreadPoolExecutor
+
     mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+
+    # the two attach dimensions are needed only AFTER the fact
+    # aggregation — collect them on threads so their read passes
+    # overlap the main pipeline (sequential _collect serializes; the
+    # calendar-partials lesson). Datasets are CONSTRUCTED on the main
+    # thread: read_parquet's lazy fsspec import is not thread-safe
+    cust_ds = _t(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nat_ds = _t(sf_dir, "nation", ["n_nationkey", "n_name"])
+    pool = ThreadPoolExecutor(max_workers=2)
+    cust_f = pool.submit(_collect, cust_ds)
+    nat_f = pool.submit(_collect, nat_ds)
 
     orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     n_ord = orders.count()
@@ -4851,9 +4864,9 @@ def returned_items_top_customers(sf_dir: str,
 
     # customer -> (name, nation-name) attach: dimension-sized, broadcast
     # (same contract as doc_embedding_label_stats: unique keys checked)
-    cust = _collect(_t(sf_dir, "customer",
-                       ["c_custkey", "c_name", "c_nationkey"]))
-    nat = _collect(_t(sf_dir, "nation", ["n_nationkey", "n_name"]))
+    cust = cust_f.result()
+    nat = nat_f.result()
+    pool.shutdown(wait=False)
     cust = cust.filter(pc.is_valid(cust["c_custkey"]))  # null never joins
     ckeys = cust["c_custkey"].combine_chunks()
     if pc.count_distinct(ckeys).as_py() != len(ckeys):
