@@ -51,6 +51,8 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    # -- session-5 additions --
+    "linestatus_priority_counts",
     # -- session-4 additions: Gopher-style quality rules, TPC-H
     # Q14/Q10/Q18/Q4/Q17 shapes, FIRST/LAST_VALUE window --
     "gopher_quality_documents",

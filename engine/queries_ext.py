@@ -3610,17 +3610,17 @@ def doc_embedding_label_stats(sf_dir: str,
         return b.set_column(b.schema.get_field_index("label"),
                             "label", lab.cast(ltype))
 
-    def finish(keyed, pin_label: bool = False):
+    def finish(keyed):
         # label is int32 — null INTEGER group keys shuffle fine (only
         # null-bearing STRING keys crash Ray's range partitioner) —
-        # but on the join path the all-NULL group's OUTPUT block needs
-        # its key type re-pinned (the broadcast path can't produce
-        # one: its guard requires null-free labels)
+        # but the groupby OUTPUT key type needs re-pinning on BOTH
+        # paths: the join path can emit an untyped all-NULL block (the
+        # asof tagged-union hazard) and Ray's aggregate may promote
+        # int32 keys to int64, which made the two tiers diverge
         out = keyed.groupby("label").aggregate(
             Sum("one", alias_name="n_docs"),
             Sum("n_chars", alias_name="total_chars"))
-        if pin_label:
-            out = out.map_batches(_pin_label, batch_format="pyarrow")
+        out = out.map_batches(_pin_label, batch_format="pyarrow")
         return _collect(out).sort_by("label").select(
             ["label", "n_docs", "total_chars"])
 
@@ -3663,8 +3663,7 @@ def doc_embedding_label_stats(sf_dir: str,
             "n_chars": batch["n_chars"],
             "one": pa.array(np.ones(batch.num_rows, dtype=np.int64))}))
 
-    return finish(j.map_batches(add_one, batch_format="pyarrow"),
-                  pin_label=True)
+    return finish(j.map_batches(add_one, batch_format="pyarrow"))
 
 
 # ===========================================================================
@@ -5716,3 +5715,166 @@ def top_supplier_revenue(sf_dir: str,
             winners["total_c100"].combine_chunks().take(pos), pa.int64()),
     })
     return out.sort_by("s_suppkey")
+
+
+# ===========================================================================
+# Session-5 TPC-H shapes: Q12 / Q13 / Q19 / Q22 over the available columns
+# (the testdata schema has no l_shipmode / l_commitdate / l_receiptdate /
+# c_phone / partsupp, so each keeps the canonical physical plan while
+# standing its predicates on existing columns; reference parity target is
+# the same rule surface as the other TPC-H shapes: aggregate checks over
+# joined fact/dim tables, src/checker/aggregate_checker.py).
+# ===========================================================================
+
+@query(
+    "linestatus_priority_counts",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_line_count,
+           count(*) FILTER (WHERE o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def linestatus_priority_counts(sf_dir: str,
+                               max_broadcast: int | None = None) -> pa.Table:
+    """Priority-split line counts per linestatus (TPC-H Q12 shape:
+    fact x order-priority dimension, two conditional counters; the
+    schema has no l_shipmode so l_linestatus carries the GROUP BY).
+    Scale plan: the orderkey->priority hop is broadcast once and the
+    two counters fold INSIDE the fact partial, so nothing shuffles at
+    all (the final groupby is linestatus-cardinality, merged on the
+    driver). Beyond the order-map guard: per-(orderkey, linestatus)
+    pre-aggregation + ONE distributed hash join (parity-tested).
+    NULL linestatus groups survive (SQL GROUP BY keeps them); NULL
+    priorities count in NEITHER counter (NOT IN on NULL is NULL)."""
+    import datetime as _dt
+
+    import ray
+    from ray.data.aggregate import Sum
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1997, 1, 1), pa.timestamp("us"))
+    HIGH = pa.array(["1-URGENT", "2-HIGH"], pa.string())
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_linestatus", "l_shipdate"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def window(b: pa.Table) -> pa.Table:
+        ship = _ts_us(b["l_shipdate"].combine_chunks()
+                      if isinstance(b["l_shipdate"], pa.ChunkedArray)
+                      else b["l_shipdate"])
+        keep = pc.and_(pc.greater_equal(ship, lo), pc.less(ship, hi))
+        return b.filter(pc.fill_null(keep, False))
+
+    def finish(parts: pa.Table) -> pa.Table:
+        from .dsutil import null_key_companion, restore_null_key
+
+        if parts.num_rows == 0:  # empty ship window
+            return pa.table({"l_linestatus": pa.array([], pa.string()),
+                             "high_line_count": pa.array([], pa.int64()),
+                             "low_line_count": pa.array([], pa.int64())})
+        t = null_key_companion(parts, "l_linestatus")
+        g = (t.group_by(["l_linestatus", "_knull"])
+             .aggregate([("high_line_count", "sum"),
+                         ("low_line_count", "sum")])
+             .rename_columns(["l_linestatus", "_knull",
+                              "high_line_count", "low_line_count"]))
+        g = restore_null_key(g, "l_linestatus")
+        return (g.sort_by("l_linestatus")
+                 .select(["l_linestatus", "high_line_count",
+                          "low_line_count"]))
+
+    if orders.count() <= mb:
+        omap = _collect(orders)
+        omap = omap.filter(pc.is_valid(omap["o_orderkey"]))
+        okeys = omap["o_orderkey"].combine_chunks()
+        oprio = omap["o_orderpriority"].combine_chunks()
+        if pc.count_distinct(okeys).as_py() != len(okeys):
+            raise ValueError("linestatus_priority_counts: duplicate "
+                             "o_orderkey — broadcast map needs a PK")
+        dim_ref = ray.put((okeys, oprio))
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = window(b)
+            keys, prio = ray.get(dim_ref)
+            idx = pc.index_in(t["l_orderkey"], keys)
+            p = pc.take(prio, idx)
+            # inner join: unmatched/null orderkeys drop entirely
+            t = t.filter(pc.is_valid(idx))
+            p = p.filter(pc.is_valid(idx))
+            is_high = pc.fill_null(pc.is_in(p, value_set=HIGH), False)
+            is_low = pc.and_(pc.is_valid(p), pc.invert(
+                pc.fill_null(pc.is_in(p, value_set=HIGH), True)))
+            out = pa.table({
+                "l_linestatus": t["l_linestatus"],
+                "high_line_count": pc.cast(is_high, pa.int64()),
+                "low_line_count": pc.cast(is_low, pa.int64()),
+            })
+            g = (out.group_by(["l_linestatus"])
+                 .aggregate([("high_line_count", "sum"),
+                             ("low_line_count", "sum")]))
+            return g.rename_columns(
+                ["l_linestatus", "high_line_count", "low_line_count"])
+
+        return finish(_collect(li.map_batches(partial,
+                                              batch_format="pyarrow")))
+
+    # distributed tier: reduce the fact to (orderkey, linestatus)
+    # cardinality first (possibly-null linestatus rides as a
+    # null_key_companion pair per the SCALE.md shuffle contract), then
+    # ONE hash join against orders
+    from ray.data.aggregate import Sum as _Sum
+
+    from .dsutil import null_key_companion as _nkc
+    from .dsutil import restore_null_key as _rnk
+
+    def per_order_partial(b: pa.Table) -> pa.Table:
+        t = window(b)
+        t = t.filter(pc.is_valid(t["l_orderkey"]))
+        g = (_nkc(pa.table({"l_orderkey": t["l_orderkey"],
+                            "l_linestatus": t["l_linestatus"],
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+                  "l_linestatus")
+             .group_by(["l_orderkey", "l_linestatus", "_knull"])
+             .aggregate([("n", "sum")]))
+        return g.rename_columns(
+            ["l_orderkey", "l_linestatus", "_knull", "n"])
+
+    agg = (li.map_batches(per_order_partial, batch_format="pyarrow")
+             .groupby(["l_orderkey", "l_linestatus", "_knull"])
+             .aggregate(Sum("n", alias_name="n")))
+    joined = compact(agg, join_partitions()).join(
+        orders, join_type="inner", num_partitions=join_partitions(),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def fold(b: pa.Table) -> pa.Table:
+        b = _rnk(b, "l_linestatus")
+        p = b["o_orderpriority"]
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        n = b["n"]
+        is_high = pc.fill_null(pc.is_in(p, value_set=HIGH), False)
+        is_low = pc.and_(pc.is_valid(p), pc.invert(
+            pc.fill_null(pc.is_in(p, value_set=HIGH), True)))
+        out = pa.table({
+            "l_linestatus": b["l_linestatus"],
+            "high_line_count": pc.multiply(pc.cast(is_high, pa.int64()), n),
+            "low_line_count": pc.multiply(pc.cast(is_low, pa.int64()), n),
+        })
+        g = (out.group_by(["l_linestatus"])
+             .aggregate([("high_line_count", "sum"),
+                         ("low_line_count", "sum")]))
+        return g.rename_columns(
+            ["l_linestatus", "high_line_count", "low_line_count"])
+
+    return finish(_collect(joined.map_batches(fold,
+                                              batch_format="pyarrow")))

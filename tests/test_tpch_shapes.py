@@ -18,6 +18,7 @@ FALLBACK_QUERIES = [
     "late_shipment_priority_orders",
     "small_quantity_revenue_part",
     "top_supplier_revenue",
+    "linestatus_priority_counts",
 ]
 
 
@@ -67,6 +68,9 @@ def _plant_nulls_and_orphans(tmp_path):
     pk = li["l_partkey"].to_pylist()
     ok = li["l_orderkey"].to_pylist()
     sk = li["l_suppkey"].to_pylist()
+    ls = li["l_linestatus"].to_pylist()
+    for i in range(6, len(ls), 11):
+        ls[i] = None  # NULL group key: GROUP BY must keep it
     for i in range(0, len(pk), 17):
         pk[i] = None
     for i in range(1, len(pk), 23):
@@ -85,6 +89,8 @@ def _plant_nulls_and_orphans(tmp_path):
                        "l_orderkey", pa.array(ok, pa.int64()))
     li = li.set_column(li.schema.get_field_index("l_suppkey"),
                        "l_suppkey", pa.array(sk, pa.int64()))
+    li = li.set_column(li.schema.get_field_index("l_linestatus"),
+                       "l_linestatus", pa.array(ls, pa.string()))
     pq.write_table(li, d / "lineitem.parquet", row_group_size=500)
 
     orders = pq.read_table(f"{SF_DIR}/orders.parquet")
