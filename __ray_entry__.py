@@ -51,6 +51,10 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
+    "order_count_distribution",
+    "disjunctive_revenue_part",
+    "idle_high_balance_customers",
     # -- session-5 additions --
     "linestatus_priority_counts",
     # -- session-4 additions: Gopher-style quality rules, TPC-H

@@ -5878,3 +5878,433 @@ def linestatus_priority_counts(sf_dir: str,
 
     return finish(_collect(joined.map_batches(fold,
                                               batch_format="pyarrow")))
+
+
+@query(
+    "order_count_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey AS c_custkey, count(o.o_custkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def order_count_distribution(sf_dir: str,
+                             max_broadcast: int | None = None) -> pa.Table:
+    """Customer order-count distribution (TPC-H Q13 shape: LEFT OUTER
+    JOIN with an ON-clause predicate, double aggregation; reference
+    parity surface: the FK-coverage profile, src/checker/
+    transform_checker.py:187-229, generalized to a full histogram).
+
+    Scale plan: the per-customer counts are per-block ``value_counts``
+    partials + ONE custkey groupby (never row-level join fan-out); the
+    histogram over counts is tiny (max orders per customer) so it
+    merges on the driver. Customers with zero matching orders never
+    enter the shuffle at all — their bucket is customer-arithmetic
+    (n_customer_groups - sum(custdist)). LEFT JOIN semantics pinned by
+    tests: NULL o_custkey joins nothing; orphan order custkeys (no
+    customer row) are dropped (broadcast ``is_in`` under the guard, ONE
+    distributed hash join above it); NULL c_custkey customers form ONE
+    SQL group with c_count 0; customers whose every order is 1-URGENT
+    land in the zero bucket (the ON-clause filter). Assumes c_custkey
+    is a PK (verified under the broadcast guard; documented above it —
+    same contract as the reference's FK checks)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+
+    cust = _t(sf_dir, "customer", ["c_custkey"])
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    # pass 1 (customer side, metadata-cheap): group arithmetic for the
+    # zero bucket — distinct non-null keys (PK: = non-null rows) plus
+    # one group for any NULL keys
+    def cust_partial(b: pa.Table) -> pa.Table:
+        k = b["c_custkey"]
+        return pa.table({
+            "n_nonnull": pa.array([b.num_rows - k.null_count], pa.int64()),
+            "n_null": pa.array([k.null_count], pa.int64()),
+        })
+
+    cp = _collect(cust.map_batches(cust_partial, batch_format="pyarrow"))
+    n_nonnull = pc.sum(cp["n_nonnull"]).as_py() or 0
+    n_groups = n_nonnull + (1 if (pc.sum(cp["n_null"]).as_py() or 0) else 0)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        prio = b["o_orderpriority"]
+        keep = pc.and_(
+            pc.fill_null(pc.not_equal(prio, "1-URGENT"), False),
+            pc.is_valid(b["o_custkey"]))
+        return _vc_partial(b.filter(keep)["o_custkey"], "c_custkey", "n")
+
+    counts = (orders.map_batches(count_partial, batch_format="pyarrow")
+                    .groupby("c_custkey")
+                    .aggregate(Sum("n", alias_name="c_count")))
+
+    def finish(hist_parts: pa.Table) -> pa.Table:
+        if hist_parts.num_rows:
+            g = (hist_parts.group_by(["c_count"])
+                           .aggregate([("custdist", "sum")])
+                           .rename_columns(["c_count", "custdist"]))
+        else:
+            g = pa.table({"c_count": pa.array([], pa.int64()),
+                          "custdist": pa.array([], pa.int64())})
+        n_zero = n_groups - (pc.sum(g["custdist"]).as_py() or 0)
+        if n_zero:
+            g = pa.concat_tables([g, pa.table({
+                "c_count": pa.array([0], pa.int64()),
+                "custdist": pa.array([n_zero], pa.int64())})])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("custdist", "descending"), ("c_count", "descending")])
+        return g.take(idx).select(["c_count", "custdist"])
+
+    if n_nonnull <= mb:
+        ckeys = _collect(cust)["c_custkey"]
+        if isinstance(ckeys, pa.ChunkedArray):
+            ckeys = ckeys.combine_chunks()
+        ckeys = pc.drop_null(ckeys)
+        if pc.count_distinct(ckeys).as_py() != len(ckeys):
+            raise ValueError("order_count_distribution: duplicate "
+                             "c_custkey — Q13 grouping needs a PK")
+        keys_ref = ray.put(ckeys)
+
+        def hist_partial(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            t = b.filter(pc.fill_null(
+                pc.is_in(b["c_custkey"], value_set=ks), False))
+            return _vc_partial(t["c_count"], "c_count", "custdist")
+
+        return finish(_collect(counts.map_batches(
+            hist_partial, batch_format="pyarrow")))
+
+    # distributed tier: ONE hash join of the custkey-cardinality counts
+    # against the customer keys (orphan drop), then per-block histogram
+    # partials merged on the driver
+    joined = compact(counts, join_partitions()).join(
+        cust, join_type="inner", num_partitions=join_partitions(),
+        on=("c_custkey",), right_on=("c_custkey",))
+
+    def hist_partial_j(b: pa.Table) -> pa.Table:
+        return _vc_partial(b["c_count"], "c_count", "custdist")
+
+    return finish(_collect(joined.map_batches(
+        hist_partial_j, batch_format="pyarrow")))
+
+
+@query(
+    "disjunctive_revenue_part",
+    """
+    SELECT COALESCE(CAST(sum(CAST(floor(
+               l_extendedprice * (1 - l_discount) * 100 + 0.5
+           ) AS BIGINT)) AS BIGINT), 0) AS revenue_c100
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND ((p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+            AND l_quantity >= 1 AND l_quantity <= 11)
+        OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+            AND l_quantity >= 10 AND l_quantity <= 20)
+        OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 15
+            AND l_quantity >= 20 AND l_quantity <= 30))
+    """,
+)
+def disjunctive_revenue_part(sf_dir: str,
+                             max_broadcast: int | None = None) -> pa.Table:
+    """Revenue under a disjunction of (brand, size, quantity-band)
+    clauses (TPC-H Q19 shape; reference parity surface: the aggregate
+    checker's filtered SUM, src/checker/aggregate_checker.py, with a
+    multi-clause predicate). Money in integer cents per the oracle
+    float policy.
+
+    Scale plan: the part side is pre-filtered to rows matching ANY
+    (brand, size) clause — a tiny fraction of parts — and carried as a
+    partkey -> clause-bitmask map; lineitem is pre-filtered to the
+    UNION of the quantity bands before anything joins. Under the guard
+    the mask map broadcasts once (``ray.put``) and the disjunction
+    folds inside per-block partial sums (zero shuffle); above it, ONE
+    distributed hash join of the band-filtered fact against the
+    filtered part subset, then the same per-block fold. NULL join keys
+    and NULL quantities/prices satisfy no clause (SQL comparison
+    semantics) and are dropped by the prefilter."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    CLAUSES = [("Brand#13", 1, 5, 1.0, 11.0),
+               ("Brand#23", 1, 10, 10.0, 20.0),
+               ("Brand#19", 1, 15, 20.0, 30.0)]
+    QLO = min(c[3] for c in CLAUSES)
+    QHI = max(c[4] for c in CLAUSES)
+
+    part = _t(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def part_mask(b: pa.Table) -> pa.Table:
+        brand = b["p_brand"]
+        size = b["p_size"]
+        mask = np.zeros(b.num_rows, dtype=np.int64)
+        for i, (br, slo, shi, _, _) in enumerate(CLAUSES):
+            hit = pc.and_(pc.equal(brand, br), pc.and_(
+                pc.greater_equal(size, slo), pc.less_equal(size, shi)))
+            mask |= np.where(
+                pc.fill_null(hit, False).to_numpy(zero_copy_only=False),
+                1 << i, 0)
+        keep = pc.and_(pa.array(mask != 0), pc.is_valid(b["p_partkey"]))
+        t = b.filter(keep)
+        return pa.table({
+            "p_partkey": t["p_partkey"],
+            "clause_mask": pa.array(mask[np.asarray(
+                pc.fill_null(keep, False).to_numpy(zero_copy_only=False))],
+                pa.int64()),
+        })
+
+    pmask = part.map_batches(part_mask, batch_format="pyarrow")
+
+    def band_filter(b: pa.Table) -> pa.Table:
+        q = b["l_quantity"]
+        keep = pc.and_(
+            pc.fill_null(pc.and_(pc.greater_equal(q, QLO),
+                                 pc.less_equal(q, QHI)), False),
+            pc.is_valid(b["l_partkey"]))
+        return b.filter(keep)
+
+    def fold(t: pa.Table, mask_col) -> int:
+        q = t["l_quantity"]
+        if isinstance(mask_col, pa.ChunkedArray):
+            mask_col = mask_col.combine_chunks()
+        m = mask_col.to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(t), dtype=bool)
+        for i, (_, _, _, qlo, qhi) in enumerate(CLAUSES):
+            inband = pc.fill_null(pc.and_(
+                pc.greater_equal(q, qlo), pc.less_equal(q, qhi)),
+                False).to_numpy(zero_copy_only=False)
+            ok |= ((m >> i) & 1).astype(bool) & inband
+        t = t.filter(pa.array(ok))
+        rev = _cents(pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(1.0, t["l_discount"])))
+        return pc.sum(rev).as_py() or 0
+
+    if part.count() <= mb:
+        pm = _collect(pmask)
+        pk = pm["p_partkey"].combine_chunks()
+        cm = pm["clause_mask"].combine_chunks()
+        if pc.count_distinct(pk).as_py() != len(pk):
+            raise ValueError("disjunctive_revenue_part: duplicate "
+                             "p_partkey — broadcast map needs a PK")
+        map_ref = ray.put((pk, cm))
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = band_filter(b)
+            keys, masks = ray.get(map_ref)
+            idx = pc.index_in(t["l_partkey"], keys)
+            t = t.filter(pc.is_valid(idx))
+            m = pc.take(masks, idx.filter(pc.is_valid(idx)))
+            return _row(revenue_c100=fold(t, m))
+
+        parts = _collect(li.map_batches(partial, batch_format="pyarrow"))
+        return _row(revenue_c100=pc.sum(parts["revenue_c100"]).as_py() or 0)
+
+    # distributed tier: band-filtered fact JOIN clause-filtered parts
+    joined = compact(li.map_batches(band_filter, batch_format="pyarrow"),
+                     join_partitions()).join(
+        pmask, join_type="inner", num_partitions=join_partitions(),
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def partial_j(b: pa.Table) -> pa.Table:
+        return _row(revenue_c100=fold(b, b["clause_mask"]))
+
+    parts = _collect(joined.map_batches(partial_j, batch_format="pyarrow"))
+    return _row(revenue_c100=pc.sum(parts["revenue_c100"]).as_py() or 0)
+
+
+@query(
+    "idle_high_balance_customers",
+    """
+    WITH s AS (
+      SELECT CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS tot,
+             count(*) AS n
+      FROM customer
+      WHERE c_acctbal > 0
+        AND c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+    )
+    SELECT c_mktsegment, count(*) AS numcust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS totacctbal_c100
+    FROM customer, s
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
+      AND CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * s.n > s.tot
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def idle_high_balance_customers(sf_dir: str,
+                                max_broadcast: int | None = None
+                                ) -> pa.Table:
+    """Customers in target segments with an above-average balance and no
+    orders (TPC-H Q22 shape: scalar-subquery average + anti-join +
+    segment rollup; reference parity surface: threshold check + FK
+    orphan check composed, src/checker/threshold_checker.py +
+    transform_checker.py:187-229).
+
+    Float policy: the average-balance comparison is integer-exact on
+    both sides — ``bal > avg`` is evaluated as ``bal_cents * n >
+    total_cents`` (no float division, so Ray partial-sum order and
+    DuckDB agree bit-for-bit at the boundary). Scale plan: pass 1 is a
+    two-scalar per-block partial (total, n) merged on the driver; the
+    anti-join probes the distinct order custkeys — broadcast once under
+    the guard, else the same bucketed set-difference shape as
+    checks.existence_check (distinct keys per side, ONE coarse-bucket
+    shuffle, per-bucket ``is_in``) carrying the row payload; the
+    segment rollup is a 3-group driver merge. NULL semantics pinned by
+    tests: NULL c_custkey matches no order (NOT EXISTS keeps it), NULL
+    o_custkey probes nothing, NULL segment/balance fail their
+    predicates."""
+    import ray
+
+    from .dsutil import key_bucket
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    SEGS = pa.array(["AUTOMOBILE", "BUILDING", "MACHINERY"], pa.string())
+
+    cust = _t(sf_dir, "customer",
+              ["c_custkey", "c_mktsegment", "c_acctbal"])
+    orders = _t(sf_dir, "orders", ["o_custkey"])
+
+    def in_segs(b: pa.Table) -> pa.Table:
+        keep = pc.fill_null(
+            pc.is_in(b["c_mktsegment"], value_set=SEGS), False)
+        return b.filter(keep)
+
+    # pass 1: exact integer (total_cents, n) over positive balances
+    def avg_partial(b: pa.Table) -> pa.Table:
+        t = in_segs(b)
+        pos = pc.fill_null(pc.greater(t["c_acctbal"], 0.0), False)
+        t = t.filter(pos)
+        return pa.table({
+            "tot": pa.array([pc.sum(_cents(t["c_acctbal"])).as_py() or 0],
+                            pa.int64()),
+            "n": pa.array([t.num_rows], pa.int64()),
+        })
+
+    ap = _collect(cust.map_batches(avg_partial, batch_format="pyarrow"))
+    tot = pc.sum(ap["tot"]).as_py() or 0
+    n = pc.sum(ap["n"]).as_py() or 0
+
+    empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                      "numcust": pa.array([], pa.int64()),
+                      "totacctbal_c100": pa.array([], pa.int64())})
+    if n == 0:  # SQL: bal * 0 > NULL is never true
+        return empty
+
+    def qualify(b: pa.Table) -> pa.Table:
+        """Segment + above-average filter; emits (key, seg, bal_cents)."""
+        t = in_segs(b)
+        bal = _cents(pc.fill_null(t["c_acctbal"], -1.0))  # null fails '>'
+        keep = pc.greater(pc.multiply(bal, n), tot)
+        t = t.filter(keep)
+        return pa.table({"c_custkey": t["c_custkey"],
+                         "c_mktsegment": t["c_mktsegment"],
+                         "bal_cents": bal.filter(keep)})
+
+    def rollup(t: pa.Table) -> pa.Table:
+        g = (t.group_by(["c_mktsegment"])
+              .aggregate([("bal_cents", "count"), ("bal_cents", "sum")])
+              .rename_columns(["c_mktsegment", "numcust",
+                               "totacctbal_c100"]))
+        return g
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        g = (parts.group_by(["c_mktsegment"])
+                  .aggregate([("numcust", "sum"),
+                              ("totacctbal_c100", "sum")])
+                  .rename_columns(["c_mktsegment", "numcust",
+                                   "totacctbal_c100"]))
+        return (g.sort_by("c_mktsegment")
+                 .select(["c_mktsegment", "numcust", "totacctbal_c100"]))
+
+    qual = cust.map_batches(qualify, batch_format="pyarrow")
+
+    def okey_partial(b: pa.Table) -> pa.Table:
+        k = b["o_custkey"]
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        return pa.table({"o_custkey": pc.unique(k.drop_null())})
+
+    okeys_ds = orders.map_batches(okey_partial, batch_format="pyarrow")
+
+    if orders.count() <= mb:
+        ok = _collect(okeys_ds)["o_custkey"]
+        if isinstance(ok, pa.ChunkedArray):
+            ok = ok.combine_chunks()
+        ok = pc.unique(ok)
+        keys_ref = ray.put(ok)
+
+        def anti(b: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            # NULL custkey: is_in -> null -> fill_null(True) keeps it
+            miss = pc.fill_null(
+                pc.invert(pc.is_in(b["c_custkey"], value_set=ks)), True)
+            return rollup(b.filter(miss))
+
+        return finish(_collect(qual.map_batches(anti,
+                                                batch_format="pyarrow")))
+
+    # distributed tier: bucketed set-difference with payload — customer
+    # rows (side 0) and distinct order keys (side 1) co-bucketed by key
+    # hash, per-bucket is_in anti-filter, per-bucket 3-group rollup
+    NBUCKETS = 64
+
+    def tag_cust(b: pa.Table) -> pa.Table:
+        t = b.append_column("_side", pa.array(
+            np.zeros(b.num_rows, np.int8)))
+        return t.append_column("_b", pa.array(
+            key_bucket(b.select(["c_custkey"]), ["c_custkey"], NBUCKETS)))
+
+    def tag_orders(b: pa.Table) -> pa.Table:
+        t = pa.table({
+            "c_custkey": b["o_custkey"],
+            "c_mktsegment": pa.nulls(b.num_rows, pa.string()),
+            "bal_cents": pa.nulls(b.num_rows, pa.int64()),
+        })
+        t = t.append_column("_side", pa.array(
+            np.ones(b.num_rows, np.int8)))
+        return t.append_column("_b", pa.array(
+            key_bucket(t.select(["c_custkey"]), ["c_custkey"], NBUCKETS)))
+
+    both = (qual.map_batches(tag_cust, batch_format="pyarrow")
+            .union(okeys_ds.map_batches(tag_orders,
+                                        batch_format="pyarrow")))
+
+    def bucket_anti(group: pa.Table) -> pa.Table:
+        side = group["_side"]
+        if isinstance(side, pa.ChunkedArray):
+            side = side.combine_chunks()
+        crows = group.filter(pc.equal(side, 0))
+        okeys = group.filter(pc.equal(side, 1))["c_custkey"]
+        if isinstance(okeys, pa.ChunkedArray):
+            okeys = okeys.combine_chunks()
+        miss = pc.fill_null(pc.invert(
+            pc.is_in(crows["c_custkey"], value_set=okeys)), True)
+        return rollup(crows.filter(miss)
+                      .select(["c_mktsegment", "bal_cents"]))
+
+    parts = _collect(both.groupby("_b")
+                     .map_groups(bucket_anti, batch_format="pyarrow"))
+    return finish(parts)

@@ -19,6 +19,9 @@ FALLBACK_QUERIES = [
     "small_quantity_revenue_part",
     "top_supplier_revenue",
     "linestatus_priority_counts",
+    "order_count_distribution",
+    "disjunctive_revenue_part",
+    "idle_high_balance_customers",
 ]
 
 
@@ -60,9 +63,27 @@ def _plant_nulls_and_orphans(tmp_path):
 
     d = tmp_path / "sfnulljoin"
     d.mkdir()
-    for t in ["region", "nation", "customer", "supplier", "part",
+    for t in ["region", "nation", "supplier", "part",
               "documents", "embeddings", "events"]:
         shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+
+    cust = pq.read_table(f"{SF_DIR}/customer.parquet")
+    ck = cust["c_custkey"].to_pylist()
+    cb = cust["c_acctbal"].to_pylist()
+    cm = cust["c_mktsegment"].to_pylist()
+    for i in range(8, len(ck), 37):
+        ck[i] = None  # NULL PK: joins nothing, NOT EXISTS keeps it
+    for i in range(9, len(cb), 41):
+        cb[i] = None  # NULL balance fails every comparison
+    for i in range(10, len(cm), 43):
+        cm[i] = None  # NULL segment fails IN (...)
+    cust = cust.set_column(cust.schema.get_field_index("c_custkey"),
+                           "c_custkey", pa.array(ck, pa.int64()))
+    cust = cust.set_column(cust.schema.get_field_index("c_acctbal"),
+                           "c_acctbal", pa.array(cb, pa.float64()))
+    cust = cust.set_column(cust.schema.get_field_index("c_mktsegment"),
+                           "c_mktsegment", pa.array(cm, pa.string()))
+    pq.write_table(cust, d / "customer.parquet", row_group_size=500)
 
     li = pq.read_table(f"{SF_DIR}/lineitem.parquet")
     pk = li["l_partkey"].to_pylist()
@@ -96,9 +117,17 @@ def _plant_nulls_and_orphans(tmp_path):
     orders = pq.read_table(f"{SF_DIR}/orders.parquet")
     okeys = orders["o_orderkey"].to_pylist()
     prios = orders["o_orderpriority"].to_pylist()
+    ocust = orders["o_custkey"].to_pylist()
     okeys[7] = None
     for i in range(0, len(prios), 13):
         prios[i] = None
+    for i in range(1, len(ocust), 21):
+        ocust[i] = None  # NULL FK: joins no customer, probes nothing
+    for i in range(2, len(ocust), 33):
+        ocust[i] = 10**9 + i  # orphan: no customer row
+    orders = orders.set_column(
+        orders.schema.get_field_index("o_custkey"), "o_custkey",
+        pa.array(ocust, pa.int64()))
     orders = orders.set_column(
         orders.schema.get_field_index("o_orderkey"), "o_orderkey",
         pa.array(okeys, pa.int64()))
