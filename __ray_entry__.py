@@ -51,6 +51,10 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    # -- session-7 additions: TPC-H Q5/Q7/Q8 star-join shapes --
+    "local_supplier_volume",
+    "volume_shipping_nations",
+    "market_share_nation",
     # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
     "order_count_distribution",
     "disjunctive_revenue_part",

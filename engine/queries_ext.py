@@ -6308,3 +6308,565 @@ def idle_high_balance_customers(sf_dir: str,
     parts = _collect(both.groupby("_b")
                      .map_groups(bucket_anti, batch_format="pyarrow"))
     return finish(parts)
+
+
+# ===========================================================================
+# TPC-H Q5/Q7/Q8 shapes: multi-dimension star joins with locality/market
+# predicates (reference parity surface: the aggregate checker's grouped
+# SUM, src/checker/aggregate_checker.py, composed over multi-hop FK chains)
+# ===========================================================================
+
+def _rev_c100(batch: pa.Table) -> pa.Array:
+    """Integer money idiom shared by the star-join shapes: price cents
+    x (100 - discount percent) — exact on both engines."""
+    return pc.multiply(_cents(batch["l_extendedprice"]),
+                       pc.subtract(pa.scalar(100, pa.int64()),
+                                   _cents(batch["l_discount"])))
+
+
+def _valid_keys(*cols):
+    """map_batches fn factory: drop rows with NULL in any named column
+    (SQL inner-join keys never match NULL; Ray's hash join must see the
+    same key stream)."""
+    def f(b: pa.Table) -> pa.Table:
+        keep = pc.is_valid(b[cols[0]])
+        for c in cols[1:]:
+            keep = pc.and_(keep, pc.is_valid(b[c]))
+        return b.filter(keep)
+    return f
+
+
+def _ts_col(b: pa.Table, name: str) -> pa.Array:
+    col = b[name]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return _ts_us(col)
+
+
+def _nation_map(sf_dir: str, region: str | None = None):
+    """(n_nationkey, n_name) broadcast map, optionally region-filtered.
+    Country-sized — always collectable. Raises loudly on duplicate keys
+    (every caller resolves nations via index_in, which takes the FIRST
+    match where the SQL join would fan out — same contract as
+    revenue_by_nation)."""
+    nat = _collect(_t(sf_dir, "nation",
+                      ["n_nationkey", "n_name", "n_regionkey"]))
+    nat = nat.filter(pc.is_valid(nat["n_nationkey"]))
+    if region is not None:
+        reg = _collect(_t(sf_dir, "region", ["r_regionkey", "r_name"]))
+        reg = reg.filter(pc.and_(
+            pc.fill_null(pc.equal(reg["r_name"], region), False),
+            pc.is_valid(reg["r_regionkey"])))
+        rk = reg["r_regionkey"].combine_chunks()
+        if pc.count_distinct(rk).as_py() != len(rk):
+            raise ValueError("region keys must be unique (the region "
+                             "restriction is applied as a semi-join)")
+        nat = nat.filter(pc.fill_null(
+            pc.is_in(nat["n_regionkey"], value_set=rk), False))
+    keys = nat["n_nationkey"].combine_chunks()
+    if pc.count_distinct(keys).as_py() != len(keys):
+        raise ValueError("nation keys must be unique and non-null "
+                         "(index_in is first-match; the SQL join fans out)")
+    return keys, nat["n_name"].combine_chunks()
+
+
+def _pk_valid(tbl: pa.Table, col: str) -> pa.Table | None:
+    """Drop NULL-key rows (SQL inner joins never match them), then
+    return the table only if the key is unique — callers fall back to a
+    real distributed join when it is not, because index_in is
+    first-match where the SQL join fans out."""
+    t = tbl.filter(pc.is_valid(tbl[col]))
+    k = t[col]
+    if isinstance(k, pa.ChunkedArray):
+        k = k.combine_chunks()
+    return t if pc.count_distinct(k).as_py() == t.num_rows else None
+
+
+@query(
+    "local_supplier_volume",
+    """
+    SELECT n_name AS nation,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)))
+                AS BIGINT) AS revenue_c100
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def local_supplier_volume(sf_dir: str,
+                          max_broadcast: int | None = None) -> pa.Table:
+    """Local-supplier revenue per nation (TPC-H Q5 shape: the full
+    customer x orders x lineitem x supplier star with the c_nationkey
+    = s_nationkey locality predicate and a region filter).
+
+    Scale plan: nation x region compose driver-side (country-sized —
+    always broadcastable). Under the guard the date-filtered orderkey
+    -> customer-nation hop and the suppkey -> supplier-nation hop
+    broadcast ONCE via ``ray.put``; the fact pass folds the locality +
+    region predicates per batch and pre-aggregates to nation
+    cardinality, merged on the driver — ZERO shuffles. Above the guard:
+    per-block (orderkey, suppkey) revenue combiner partials, then a
+    3-join chain (orders, customer, supplier) at the reduced
+    cardinality, same per-batch fold. NULL join keys drop up front on
+    every path; duplicate dim keys fall back to the real joins
+    (index_in is first-match, the SQL join fans out)."""
+    import datetime as _dt
+
+    import ray
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+    nat_keys, nat_names = _nation_map(sf_dir, region="ASIA")
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def owindow(b: pa.Table) -> pa.Table:
+        od = _ts_col(b, "o_orderdate")
+        keep = pc.and_(pc.greater_equal(od, lo), pc.less(od, hi))
+        keep = pc.and_(pc.fill_null(keep, False),
+                       pc.and_(pc.is_valid(b["o_orderkey"]),
+                               pc.is_valid(b["o_custkey"])))
+        return b.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    empty = pa.table({"nation": pa.array([], pa.string()),
+                      "revenue_c100": pa.array([], pa.int64())})
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        g = (parts.group_by(["nation"]).aggregate([("rev", "sum")])
+                  .rename_columns(["nation", "revenue_c100"]))
+        return g.sort_by("nation").select(["nation", "revenue_c100"])
+
+    def fold(name, cnat, snat, rev) -> pa.Table:
+        # locality predicate: NULL on either side satisfies nothing;
+        # a null name means the supplier nation fell outside the
+        # region (or a join hop missed) — the SQL inner join drops it
+        keep = pc.and_(pc.fill_null(pc.equal(cnat, snat), False),
+                       pc.is_valid(name))
+        t = pa.table({"nation": name, "rev": rev}).filter(keep)
+        return (t.group_by(["nation"]).aggregate([("rev", "sum")])
+                 .rename_columns(["nation", "rev"]))
+
+    if orders.count() <= mb and cust.count() <= mb and supp.count() <= mb:
+        om = _pk_valid(_collect(orders.map_batches(
+            owindow, batch_format="pyarrow")), "o_orderkey")
+        cm = _pk_valid(_collect(cust), "c_custkey")
+        sm = _pk_valid(_collect(supp), "s_suppkey")
+        if om is not None and cm is not None and sm is not None:
+            cnat_per_order = pc.take(
+                cm["c_nationkey"].combine_chunks(),
+                pc.index_in(om["o_custkey"].combine_chunks(),
+                            cm["c_custkey"].combine_chunks()))
+            dim_ref = ray.put((om["o_orderkey"].combine_chunks(),
+                               cnat_per_order,
+                               sm["s_suppkey"].combine_chunks(),
+                               sm["s_nationkey"].combine_chunks()))
+
+            def to_nation(b: pa.Table) -> pa.Table:
+                okeys, cnat, skeys, snat = ray.get(dim_ref)
+                cn = pc.take(cnat, pc.index_in(b["l_orderkey"], okeys))
+                sn = pc.take(snat, pc.index_in(b["l_suppkey"], skeys))
+                name = pc.take(nat_names, pc.index_in(sn, nat_keys))
+                return fold(name, cn, sn, _rev_c100(b))
+
+            return finish(_collect(li.map_batches(
+                to_nation, batch_format="pyarrow")))
+
+    # distributed tier: per-block (orderkey, suppkey) revenue combiner
+    # partials (order-pair cardinality, not row cardinality), then the
+    # 3-join chain; join fan-out on duplicate dim keys matches SQL
+    def li_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["l_orderkey"]),
+                       pc.is_valid(b["l_suppkey"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "rev": _rev_c100(b)}).filter(keep)
+        return (t.group_by(["l_orderkey", "l_suppkey"])
+                 .aggregate([("rev", "sum")])
+                 .rename_columns(["l_orderkey", "l_suppkey", "rev"]))
+
+    jp = join_partitions()
+    j = compact(li.map_batches(li_partial, batch_format="pyarrow"),
+                jp).join(
+        orders.map_batches(owindow, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j = compact(j, jp).join(
+        cust.map_batches(_valid_keys("c_custkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("o_custkey",), right_on=("c_custkey",))
+    j = compact(j, jp).join(
+        supp.map_batches(_valid_keys("s_suppkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def to_nation_j(b: pa.Table) -> pa.Table:
+        name = pc.take(nat_names, pc.index_in(b["s_nationkey"], nat_keys))
+        return fold(name, b["c_nationkey"], b["s_nationkey"], b["rev"])
+
+    return finish(_collect(j.map_batches(to_nation_j,
+                                         batch_format="pyarrow")))
+
+
+@query(
+    "volume_shipping_nations",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(sum(rev) AS BIGINT) AS revenue_c100
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey
+        AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_2'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def volume_shipping_nations(sf_dir: str,
+                            max_broadcast: int | None = None) -> pa.Table:
+    """Bilateral shipping volume (TPC-H Q7 shape): revenue between a
+    pair of nations, per direction per ship-year. Same physical plan as
+    local_supplier_volume — broadcast dimension-hop maps + per-batch
+    fold to (2 x 2 x years) cardinality under the guard, per-block
+    (orderkey, suppkey, year) combiner partials + the 3-join chain
+    above it. The year is extracted from l_shipdate AFTER the window
+    filter, so the group key can never be null on either engine."""
+    import datetime as _dt
+
+    import ray
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    lo = pa.scalar(_dt.datetime(1996, 1, 1), pa.timestamp("us"))
+    hi = pa.scalar(_dt.datetime(1998, 1, 1), pa.timestamp("us"))
+    N1, N2 = "NATION_2", "NATION_7"
+    nat_keys, nat_names = _nation_map(sf_dir)
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    OUT = ["supp_nation", "cust_nation", "l_year", "revenue_c100"]
+    empty = pa.table({"supp_nation": pa.array([], pa.string()),
+                      "cust_nation": pa.array([], pa.string()),
+                      "l_year": pa.array([], pa.int64()),
+                      "revenue_c100": pa.array([], pa.int64())})
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        g = (parts.group_by(["supp_nation", "cust_nation", "l_year"])
+                  .aggregate([("rev", "sum")])
+                  .rename_columns(OUT))
+        return g.sort_by([("supp_nation", "ascending"),
+                          ("cust_nation", "ascending"),
+                          ("l_year", "ascending")]).select(OUT)
+
+    def fold(s_name, c_name, year, rev) -> pa.Table:
+        fwd = pc.and_(pc.fill_null(pc.equal(s_name, N1), False),
+                      pc.fill_null(pc.equal(c_name, N2), False))
+        bwd = pc.and_(pc.fill_null(pc.equal(s_name, N2), False),
+                      pc.fill_null(pc.equal(c_name, N1), False))
+        t = pa.table({"supp_nation": s_name, "cust_nation": c_name,
+                      "l_year": pc.cast(year, pa.int64()),
+                      "rev": rev}).filter(pc.or_(fwd, bwd))
+        return (t.group_by(["supp_nation", "cust_nation", "l_year"])
+                 .aggregate([("rev", "sum")])
+                 .rename_columns(["supp_nation", "cust_nation",
+                                  "l_year", "rev"]))
+
+    def window_mask(b: pa.Table):
+        ship = _ts_col(b, "l_shipdate")
+        return pc.fill_null(pc.and_(pc.greater_equal(ship, lo),
+                                    pc.less(ship, hi)), False)
+
+    if orders.count() <= mb and cust.count() <= mb and supp.count() <= mb:
+        om = _pk_valid(_collect(orders.map_batches(
+            _valid_keys("o_orderkey", "o_custkey"),
+            batch_format="pyarrow")), "o_orderkey")
+        cm = _pk_valid(_collect(cust), "c_custkey")
+        sm = _pk_valid(_collect(supp), "s_suppkey")
+        if om is not None and cm is not None and sm is not None:
+            cname_per_cust = pc.take(nat_names, pc.index_in(
+                cm["c_nationkey"].combine_chunks(), nat_keys))
+            cname_per_order = pc.take(cname_per_cust, pc.index_in(
+                om["o_custkey"].combine_chunks(),
+                cm["c_custkey"].combine_chunks()))
+            sname_per_supp = pc.take(nat_names, pc.index_in(
+                sm["s_nationkey"].combine_chunks(), nat_keys))
+            dim_ref = ray.put((om["o_orderkey"].combine_chunks(),
+                               cname_per_order,
+                               sm["s_suppkey"].combine_chunks(),
+                               sname_per_supp))
+
+            def to_pairs(b: pa.Table) -> pa.Table:
+                okeys, cname, skeys, sname = ray.get(dim_ref)
+                t = b.filter(window_mask(b))
+                c_n = pc.take(cname, pc.index_in(t["l_orderkey"], okeys))
+                s_n = pc.take(sname, pc.index_in(t["l_suppkey"], skeys))
+                year = pc.year(_ts_col(t, "l_shipdate"))
+                return fold(s_n, c_n, year, _rev_c100(t))
+
+            return finish(_collect(li.map_batches(
+                to_pairs, batch_format="pyarrow")))
+
+    # distributed tier: window filter at the read, per-block
+    # (orderkey, suppkey, year) combiner, then the 3-join chain
+    def li_partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(window_mask(b),
+                       pc.and_(pc.is_valid(b["l_orderkey"]),
+                               pc.is_valid(b["l_suppkey"])))
+        t = b.filter(keep)
+        tt = pa.table({
+            "l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+            "l_year": pc.cast(pc.year(_ts_col(t, "l_shipdate")),
+                              pa.int64()),
+            "rev": _rev_c100(t)})
+        return (tt.group_by(["l_orderkey", "l_suppkey", "l_year"])
+                  .aggregate([("rev", "sum")])
+                  .rename_columns(["l_orderkey", "l_suppkey",
+                                   "l_year", "rev"]))
+
+    jp = join_partitions()
+    j = compact(li.map_batches(li_partial, batch_format="pyarrow"),
+                jp).join(
+        orders.map_batches(_valid_keys("o_orderkey", "o_custkey"),
+                           batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j = compact(j, jp).join(
+        cust.map_batches(_valid_keys("c_custkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("o_custkey",), right_on=("c_custkey",))
+    j = compact(j, jp).join(
+        supp.map_batches(_valid_keys("s_suppkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def to_pairs_j(b: pa.Table) -> pa.Table:
+        c_n = pc.take(nat_names, pc.index_in(b["c_nationkey"], nat_keys))
+        s_n = pc.take(nat_names, pc.index_in(b["s_nationkey"], nat_keys))
+        return fold(s_n, c_n, b["l_year"], b["rev"])
+
+    return finish(_collect(j.map_batches(to_pairs_j,
+                                         batch_format="pyarrow")))
+
+
+@query(
+    "market_share_nation",
+    """
+    SELECT o_year,
+           CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+                AS BIGINT) AS nation_volume_c100,
+           CAST(sum(volume) AS BIGINT) AS total_volume_c100
+    FROM (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+               AS volume,
+             n2.n_name AS nation
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey
+        AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey
+        AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND s_nationkey = n2.n_nationkey
+        AND p_type = 'ECONOMY'
+    )
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def market_share_nation(sf_dir: str,
+                        max_broadcast: int | None = None) -> pa.Table:
+    """Market share (TPC-H Q8 shape): a target supplier-nation's share
+    of the regional market for one part type, per order-year. The share
+    itself is a float ratio, so the query emits the exact integer
+    numerator and denominator (nation volume / total volume in cents x
+    percent) — hash-stable; the consumer divides.
+
+    Scale plan mirrors local_supplier_volume, plus a part-type
+    restriction that is applied as a broadcast key-set semi-join under
+    the guard (type-filtered partkeys, a small fraction of the dim) and
+    as the FIRST distributed join above it so the fact stream shrinks
+    before the order/customer/supplier hops. The market (region)
+    membership test is a country-sized ``is_in``; the supplier-nation
+    name resolves over the full nation map. NULL o_orderdate can reach
+    the group key only through a real order row, and forms its own
+    group on both engines (Arrow group_by and SQL GROUP BY both keep
+    NULL; sorts place it last)."""
+    import datetime as _dt  # noqa: F401  (kept for parity with siblings)
+
+    import ray
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    TARGET, PTYPE = "NATION_2", "ECONOMY"
+    rnat_keys, _rnames = _nation_map(sf_dir, region="ASIA")
+    nat_keys, nat_names = _nation_map(sf_dir)
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_orderkey", "l_suppkey",
+             "l_extendedprice", "l_discount"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def econ(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.fill_null(pc.equal(b["p_type"], PTYPE), False),
+                       pc.is_valid(b["p_partkey"]))
+        return b.filter(keep).select(["p_partkey"])
+
+    OUT = ["o_year", "nation_volume_c100", "total_volume_c100"]
+    empty = pa.table({"o_year": pa.array([], pa.int64()),
+                      "nation_volume_c100": pa.array([], pa.int64()),
+                      "total_volume_c100": pa.array([], pa.int64())})
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        g = (parts.group_by(["o_year"])
+                  .aggregate([("natvol", "sum"), ("vol", "sum")])
+                  .rename_columns(OUT))
+        return g.sort_by("o_year").select(OUT)
+
+    def fold(year, s_name, cnat, vol, extra_keep=None) -> pa.Table:
+        # market membership (customer nation in region) + supplier
+        # nation resolved; join-miss rows carry nulls and drop here
+        keep = pc.and_(pc.fill_null(pc.is_in(cnat, value_set=rnat_keys),
+                                    False),
+                       pc.is_valid(s_name))
+        if extra_keep is not None:
+            keep = pc.and_(keep, extra_keep)
+        natvol = pc.if_else(pc.fill_null(pc.equal(s_name, TARGET), False),
+                            vol, pa.scalar(0, pa.int64()))
+        t = pa.table({"o_year": pc.cast(year, pa.int64()),
+                      "natvol": natvol, "vol": vol}).filter(keep)
+        return (t.group_by(["o_year"])
+                 .aggregate([("natvol", "sum"), ("vol", "sum")])
+                 .rename_columns(["o_year", "natvol", "vol"]))
+
+    if (orders.count() <= mb and cust.count() <= mb
+            and supp.count() <= mb and part.count() <= mb):
+        pm = _pk_valid(_collect(part), "p_partkey")
+        om = _pk_valid(_collect(orders.map_batches(
+            _valid_keys("o_orderkey", "o_custkey"),
+            batch_format="pyarrow")), "o_orderkey")
+        cm = _pk_valid(_collect(cust), "c_custkey")
+        sm = _pk_valid(_collect(supp), "s_suppkey")
+        if all(x is not None for x in (pm, om, cm, sm)):
+            ek_col = econ(pm)["p_partkey"]
+            if isinstance(ek_col, pa.ChunkedArray):
+                ek_col = ek_col.combine_chunks()
+            ekeys = pc.drop_null(ek_col)
+            oyear = pc.year(_ts_us(om["o_orderdate"].combine_chunks()))
+            cnat_per_order = pc.take(
+                cm["c_nationkey"].combine_chunks(),
+                pc.index_in(om["o_custkey"].combine_chunks(),
+                            cm["c_custkey"].combine_chunks()))
+            sname_per_supp = pc.take(nat_names, pc.index_in(
+                sm["s_nationkey"].combine_chunks(), nat_keys))
+            dim_ref = ray.put((ekeys,
+                               om["o_orderkey"].combine_chunks(),
+                               oyear, cnat_per_order,
+                               sm["s_suppkey"].combine_chunks(),
+                               sname_per_supp))
+
+            def to_share(b: pa.Table) -> pa.Table:
+                ek, okeys, oy, cnat, skeys, sname = ray.get(dim_ref)
+                t = b.filter(pc.fill_null(
+                    pc.is_in(b["l_partkey"], value_set=ek), False))
+                oi = pc.index_in(t["l_orderkey"], okeys)
+                year = pc.take(oy, oi)
+                cn = pc.take(cnat, oi)
+                s_n = pc.take(sname, pc.index_in(t["l_suppkey"], skeys))
+                # a NULL year can mean "no order row" (drop) or "order
+                # with NULL date" (keep as the SQL NULL group): gate on
+                # join success, not year validity
+                return fold(year, s_n, cn, _rev_c100(t),
+                            extra_keep=pc.is_valid(oi))
+
+            return finish(_collect(li.map_batches(
+                to_share, batch_format="pyarrow")))
+
+    # distributed tier: part restriction joins FIRST (biggest fan-in
+    # cut), then per-block (orderkey, suppkey) combiner, then the chain
+    jp = join_partitions()
+    j = compact(li.map_batches(
+        _valid_keys("l_partkey", "l_orderkey", "l_suppkey"),
+        batch_format="pyarrow"), jp).join(
+        part.map_batches(econ, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "vol": _rev_c100(b)})
+        return (t.group_by(["l_orderkey", "l_suppkey"])
+                 .aggregate([("vol", "sum")])
+                 .rename_columns(["l_orderkey", "l_suppkey", "vol"]))
+
+    j = compact(j.map_batches(pair_partial, batch_format="pyarrow"),
+                jp).join(
+        orders.map_batches(_valid_keys("o_orderkey", "o_custkey"),
+                           batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j = compact(j, jp).join(
+        cust.map_batches(_valid_keys("c_custkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("o_custkey",), right_on=("c_custkey",))
+    j = compact(j, jp).join(
+        supp.map_batches(_valid_keys("s_suppkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def to_share_j(b: pa.Table) -> pa.Table:
+        s_n = pc.take(nat_names, pc.index_in(b["s_nationkey"], nat_keys))
+        year = pc.year(_ts_col(b, "o_orderdate"))
+        return fold(year, s_n, b["c_nationkey"], b["vol"])
+
+    return finish(_collect(j.map_batches(to_share_j,
+                                         batch_format="pyarrow")))

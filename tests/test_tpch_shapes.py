@@ -22,6 +22,9 @@ FALLBACK_QUERIES = [
     "order_count_distribution",
     "disjunctive_revenue_part",
     "idle_high_balance_customers",
+    "local_supplier_volume",
+    "volume_shipping_nations",
+    "market_share_nation",
 ]
 
 
