@@ -51,10 +51,15 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
-    # -- session-7 additions: TPC-H Q5/Q7/Q8 star-join shapes --
+    # -- session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
     "local_supplier_volume",
     "volume_shipping_nations",
     "market_share_nation",
+    "widget_revenue_nations",
+    "waiting_suppliers",
+    "important_parts_value",
+    "part_supplier_counts",
+    "excess_share_suppliers",
     # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
     "order_count_distribution",
     "disjunctive_revenue_part",

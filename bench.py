@@ -70,6 +70,9 @@ QUERY_SET = [
     "incremental_exact_dedup_documents",
     "gopher_quality_documents",
     "returned_items_top_customers",
+    # round-4 session-7 additions (star-join + two-shuffle shapes)
+    "local_supplier_volume",
+    "waiting_suppliers",
 ]
 
 

@@ -6374,7 +6374,11 @@ def _pk_valid(tbl: pa.Table, col: str) -> pa.Table | None:
     """Drop NULL-key rows (SQL inner joins never match them), then
     return the table only if the key is unique — callers fall back to a
     real distributed join when it is not, because index_in is
-    first-match where the SQL join fans out."""
+    first-match where the SQL join fans out. A fully-filtered-out
+    dimension collects as a ZERO-COLUMN table (the _collect contract);
+    that also falls back (no typed columns to broadcast)."""
+    if tbl.num_columns == 0:
+        return None
     t = tbl.filter(pc.is_valid(tbl[col]))
     k = t[col]
     if isinstance(k, pa.ChunkedArray):
@@ -6870,3 +6874,773 @@ def market_share_nation(sf_dir: str,
 
     return finish(_collect(j.map_batches(to_share_j,
                                          batch_format="pyarrow")))
+
+
+# ===========================================================================
+# TPC-H Q9/Q21/Q11 shapes (adapted: the testdata schema has no partsupp
+# table and no l_commitdate/l_receiptdate, so Q9 drops the supplycost
+# term and Q21 defines "late" against o_orderdate; reference parity
+# surface: the aggregate checker's grouped SUM and the reference's
+# multi-hop FK chains, src/checker/aggregate_checker.py)
+# ===========================================================================
+
+@query(
+    "widget_revenue_nations",
+    """
+    SELECT nation, o_year,
+           CAST(sum(rev) AS BIGINT) AS revenue_c100
+    FROM (
+      SELECT n_name AS nation,
+             EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) AS rev
+      FROM part, supplier, lineitem, orders, nation
+      WHERE s_suppkey = l_suppkey
+        AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey
+        AND s_nationkey = n_nationkey
+        AND p_name LIKE '%widget%'
+    )
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def widget_revenue_nations(sf_dir: str,
+                           max_broadcast: int | None = None) -> pa.Table:
+    """Product-line revenue per supplier nation per order-year (TPC-H
+    Q9 shape, minus the partsupp supplycost term the testdata schema
+    lacks). Part restriction is a substring match on p_name.
+
+    Scale plan mirrors market_share_nation: under the guard the
+    name-filtered partkey set, the orderkey -> year map and the
+    suppkey -> nation-name map broadcast once via ``ray.put`` and the
+    fact pass folds to (nations x years) cardinality per batch — ZERO
+    shuffles. Above the guard the part semi-join runs FIRST (biggest
+    fan-in cut), then per-block (orderkey, suppkey) revenue combiner
+    partials, then the orders and supplier joins. NULL o_orderdate
+    reaches the group key only through a real order row and forms its
+    own group on both engines."""
+    import ray
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    NEEDLE = "widget"
+    nat_keys, nat_names = _nation_map(sf_dir)
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_orderkey", "l_suppkey",
+             "l_extendedprice", "l_discount"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    orders = _t(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+
+    def named(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.match_substring(b["p_name"], NEEDLE), False),
+            pc.is_valid(b["p_partkey"]))
+        return b.filter(keep).select(["p_partkey"])
+
+    OUT = ["nation", "o_year", "revenue_c100"]
+    empty = pa.table({"nation": pa.array([], pa.string()),
+                      "o_year": pa.array([], pa.int64()),
+                      "revenue_c100": pa.array([], pa.int64())})
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        g = (parts.group_by(["nation", "o_year"])
+                  .aggregate([("rev", "sum")]).rename_columns(OUT))
+        return g.sort_by([("nation", "ascending"),
+                          ("o_year", "descending")]).select(OUT)
+
+    def fold(name, year, rev, extra_keep=None) -> pa.Table:
+        keep = pc.is_valid(name)  # supplier-join miss rows drop
+        if extra_keep is not None:
+            keep = pc.and_(keep, extra_keep)
+        t = pa.table({"nation": name,
+                      "o_year": pc.cast(year, pa.int64()),
+                      "rev": rev}).filter(keep)
+        return (t.group_by(["nation", "o_year"])
+                 .aggregate([("rev", "sum")])
+                 .rename_columns(["nation", "o_year", "rev"]))
+
+    if (orders.count() <= mb and supp.count() <= mb
+            and part.count() <= mb):
+        pm = _pk_valid(_collect(part), "p_partkey")
+        om = _pk_valid(_collect(orders.map_batches(
+            _valid_keys("o_orderkey"), batch_format="pyarrow")),
+            "o_orderkey")
+        sm = _pk_valid(_collect(supp), "s_suppkey")
+        if all(x is not None for x in (pm, om, sm)):
+            nk_col = named(pm)["p_partkey"]
+            if isinstance(nk_col, pa.ChunkedArray):
+                nk_col = nk_col.combine_chunks()
+            oyear = pc.year(_ts_us(om["o_orderdate"].combine_chunks()))
+            sname_per_supp = pc.take(nat_names, pc.index_in(
+                sm["s_nationkey"].combine_chunks(), nat_keys))
+            dim_ref = ray.put((nk_col,
+                               om["o_orderkey"].combine_chunks(), oyear,
+                               sm["s_suppkey"].combine_chunks(),
+                               sname_per_supp))
+
+            def to_nation(b: pa.Table) -> pa.Table:
+                nk, okeys, oy, skeys, sname = ray.get(dim_ref)
+                t = b.filter(pc.fill_null(
+                    pc.is_in(b["l_partkey"], value_set=nk), False))
+                oi = pc.index_in(t["l_orderkey"], okeys)
+                name = pc.take(sname, pc.index_in(t["l_suppkey"], skeys))
+                # NULL year can mean "no order row" (drop) or "order
+                # with NULL date" (keep, the SQL NULL group)
+                return fold(name, pc.take(oy, oi), _rev_c100(t),
+                            extra_keep=pc.is_valid(oi))
+
+            return finish(_collect(li.map_batches(
+                to_nation, batch_format="pyarrow")))
+
+    # distributed tier: part semi-join first, per-block (orderkey,
+    # suppkey) combiner, then the orders/supplier joins
+    jp = join_partitions()
+    j = compact(li.map_batches(
+        _valid_keys("l_partkey", "l_orderkey", "l_suppkey"),
+        batch_format="pyarrow"), jp).join(
+        part.map_batches(named, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": b["l_orderkey"],
+                      "l_suppkey": b["l_suppkey"],
+                      "rev": _rev_c100(b)})
+        return (t.group_by(["l_orderkey", "l_suppkey"])
+                 .aggregate([("rev", "sum")])
+                 .rename_columns(["l_orderkey", "l_suppkey", "rev"]))
+
+    j = compact(j.map_batches(pair_partial, batch_format="pyarrow"),
+                jp).join(
+        orders.map_batches(_valid_keys("o_orderkey"),
+                           batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j = compact(j, jp).join(
+        supp.map_batches(_valid_keys("s_suppkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def to_nation_j(b: pa.Table) -> pa.Table:
+        name = pc.take(nat_names, pc.index_in(b["s_nationkey"], nat_keys))
+        return fold(name, pc.year(_ts_col(b, "o_orderdate")), b["rev"])
+
+    return finish(_collect(j.map_batches(to_nation_j,
+                                         batch_format="pyarrow")))
+
+
+@query(
+    "waiting_suppliers",
+    """
+    WITH per AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 1400 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F' AND l_suppkey IS NOT NULL
+      GROUP BY l_orderkey, l_suppkey
+    ), agg AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM per GROUP BY l_orderkey
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM per JOIN agg USING (l_orderkey)
+             JOIN supplier ON per.l_suppkey = s_suppkey
+    WHERE per.is_late = 1 AND agg.n_supp >= 2 AND agg.n_late = 1
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def waiting_suppliers(sf_dir: str,
+                      max_broadcast: int | None = None) -> pa.Table:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape, adapted:
+    the schema has no l_commitdate/l_receiptdate, so "late" is
+    l_shipdate more than 1400 days after o_orderdate — the synthetic
+    ship lags are huge, p90 ~1400d). A supplier waits an order when it
+    is the ONLY late supplier on a finalized multi-supplier order.
+
+    Scale plan: the per-(order, supplier) late flag pre-aggregates
+    inside each block, then ONE orderkey-hash groupby runs the
+    per-order kernel (groups are order-sized — bounded by order width,
+    never corpus-sized). Qualifying rows are waiting events (<= one
+    per order); their per-name counts pre-aggregate per block into a
+    second, name-cardinality groupby, and the global top-10 merges
+    per-block top-10 partials on the driver (each name lives in
+    exactly one post-shuffle block, so the union of block top-10s
+    contains the global top-10). The F-order date map broadcasts under
+    the guard; above it the order attach is a distributed hash join.
+    NULL l_shipdate / o_orderdate are never late (SQL CASE yields 0);
+    NULL l_suppkey is excluded up front on both engines (it would
+    otherwise form its own SQL group and skew n_supp)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dsutil import (DEFAULT_KEY_BUCKETS, compact, join_partitions,
+                         key_bucket)
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    LATE_US = 1400 * 86_400_000_000  # 1400 days in microseconds
+
+    li = _t(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _t(sf_dir, "orders",
+                ["o_orderkey", "o_orderdate", "o_orderstatus"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def forders(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.equal(b["o_orderstatus"], "F"), False),
+            pc.is_valid(b["o_orderkey"]))
+        return b.filter(keep).select(["o_orderkey", "o_orderdate"])
+
+    def late_flags(okey, skey, ship_us, odate_us) -> pa.Table:
+        """(orderkey, suppkey, max late) block partial, carrying the
+        coarse orderkey bucket the one shuffle groups on (bucket-then-
+        vectorize: ~256 kernel calls, not one Python call per order).
+        NULL dates on either side compare to NULL -> fill_null False
+        (never late)."""
+        late = pc.cast(pc.fill_null(pc.greater(
+            ship_us, pc.add(odate_us, pa.scalar(LATE_US, pa.int64()))),
+            False), pa.int64())
+        t = (pa.table({"l_orderkey": okey, "l_suppkey": skey,
+                       "late": late})
+             .group_by(["l_orderkey", "l_suppkey"])
+             .aggregate([("late", "max")])
+             .rename_columns(["l_orderkey", "l_suppkey", "is_late"]))
+        return t.append_column(
+            "_b", pa.array(key_bucket(t, ["l_orderkey"],
+                                      DEFAULT_KEY_BUCKETS)))
+
+    def order_kernel(g: pa.Table) -> pa.Table:
+        """Per-bucket groups (whole orders co-bucketed): re-max per
+        supplier (block partials may split a (order, supplier) pair),
+        then emit the lone late supplier of each multi-supplier
+        order."""
+        per = (g.group_by(["l_orderkey", "l_suppkey"])
+                .aggregate([("is_late", "max")])
+                .rename_columns(["l_orderkey", "l_suppkey", "is_late"]))
+        agg = (per.group_by(["l_orderkey"])
+                  .aggregate([("is_late", "sum"), ("l_suppkey", "count")])
+                  .rename_columns(["l_orderkey", "n_late", "n_supp"]))
+        ai = pc.index_in(per["l_orderkey"], agg["l_orderkey"])
+        keep = pc.and_(
+            pc.equal(per["is_late"], 1),
+            pc.and_(pc.equal(pc.take(agg["n_late"], ai), 1),
+                    pc.greater_equal(pc.take(agg["n_supp"], ai), 2)))
+        return per.filter(keep).select(["l_suppkey"])
+
+    def name_partial(b: pa.Table, names, keys) -> pa.Table:
+        si = pc.index_in(b["l_suppkey"], keys)
+        # join-miss rows drop (SQL inner join); a FOUND supplier with a
+        # NULL name stays and forms the SQL NULL-name group, riding the
+        # shuffle as a null_key_companion pair (null string group keys
+        # crash Ray's sort shuffle)
+        nm = pc.take(names, si.filter(pc.is_valid(si)))
+        t = null_key_companion(pa.table({"s_name": nm}), "s_name")
+        return (t.group_by(["s_name", "_knull"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["s_name", "_knull", "numwait"]))
+
+    def top_partial(b: pa.Table) -> pa.Table:
+        t = restore_null_key(b, "s_name")
+        t = t.sort_by([("numwait", "descending"), ("s_name", "ascending")])
+        return t.slice(0, 10)
+
+    empty = pa.table({"s_name": pa.array([], pa.string()),
+                      "numwait": pa.array([], pa.int64())})
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        t = parts.sort_by([("numwait", "descending"),
+                           ("s_name", "ascending")]).slice(0, 10)
+        return pa.table({"s_name": t["s_name"],
+                         "numwait": pc.cast(t["numwait"], pa.int64())})
+
+    use_bcast = orders.count() <= mb and supp.count() <= mb
+    om = sm = None
+    if use_bcast:
+        om = _pk_valid(_collect(orders.map_batches(
+            forders, batch_format="pyarrow")), "o_orderkey")
+        sm = _pk_valid(_collect(supp), "s_suppkey")
+    if om is not None and sm is not None:
+        odate_us = pc.cast(_ts_us(om["o_orderdate"].combine_chunks()),
+                           pa.int64())
+        dim_ref = ray.put((om["o_orderkey"].combine_chunks(), odate_us))
+        skeys = sm["s_suppkey"].combine_chunks()
+        snames = sm["s_name"].combine_chunks()
+
+        def flags_bcast(b: pa.Table) -> pa.Table:
+            okeys, od = ray.get(dim_ref)
+            keep = pc.and_(pc.is_valid(b["l_orderkey"]),
+                           pc.is_valid(b["l_suppkey"]))
+            t = b.filter(keep)
+            oi = pc.index_in(t["l_orderkey"], okeys)
+            t = t.filter(pc.is_valid(oi))  # inner join to F orders
+            oi = pc.index_in(t["l_orderkey"], okeys)
+            ship = pc.cast(_ts_col(t, "l_shipdate"), pa.int64())
+            return late_flags(t["l_orderkey"], t["l_suppkey"],
+                              ship, pc.take(od, oi))
+
+        flagged = li.map_batches(flags_bcast, batch_format="pyarrow")
+        quals = (flagged.groupby("_b")
+                 .map_groups(order_kernel, batch_format="pyarrow"))
+        counted = (quals.map_batches(
+            lambda b: name_partial(b, snames, skeys),
+            batch_format="pyarrow")
+            .groupby(["s_name", "_knull"])
+            .aggregate(Sum("numwait", alias_name="numwait")))
+        return finish(_collect(counted.map_batches(
+            top_partial, batch_format="pyarrow")))
+
+    # distributed tier: hash-join the F-order dates onto the fact
+    # stream, same kernel chain, name attach as a distributed join
+    jp = join_partitions()
+    j = compact(li.map_batches(
+        _valid_keys("l_orderkey", "l_suppkey"),
+        batch_format="pyarrow"), jp).join(
+        orders.map_batches(forders, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_orderkey",), right_on=("o_orderkey",))
+
+    def flags_j(b: pa.Table) -> pa.Table:
+        ship = pc.cast(_ts_col(b, "l_shipdate"), pa.int64())
+        od = pc.cast(_ts_col(b, "o_orderdate"), pa.int64())
+        return late_flags(b["l_orderkey"], b["l_suppkey"], ship, od)
+
+    quals = (j.map_batches(flags_j, batch_format="pyarrow")
+              .groupby("_b")
+              .map_groups(order_kernel, batch_format="pyarrow"))
+    named = compact(quals, jp).join(
+        supp.map_batches(_valid_keys("s_suppkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+    counted = (named.map_batches(
+        lambda b: null_key_companion(pa.table({"s_name": b["s_name"]}),
+                                     "s_name")
+        .group_by(["s_name", "_knull"]).aggregate([([], "count_all")])
+        .rename_columns(["s_name", "_knull", "numwait"]),
+        batch_format="pyarrow")
+        .groupby(["s_name", "_knull"])
+        .aggregate(Sum("numwait", alias_name="numwait")))
+    return finish(_collect(counted.map_batches(
+        top_partial, batch_format="pyarrow")))
+
+
+@query(
+    "important_parts_value",
+    """
+    WITH v AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                  AS BIGINT) AS value_c
+      FROM lineitem
+      WHERE l_partkey IS NOT NULL
+      GROUP BY l_partkey
+    )
+    SELECT p_partkey, value_c
+    FROM v
+    WHERE value_c * 10000 > (SELECT sum(value_c) FROM v)
+    ORDER BY value_c DESC, p_partkey
+    """,
+)
+def important_parts_value(sf_dir: str) -> pa.Table:
+    """Important-stock screen (TPC-H Q11 shape, adapted: no partsupp
+    table, so "value" is price x quantity summed from lineitem): parts
+    whose total value exceeds 1/10000 of the grand total.
+
+    Scale plan: per-block (partkey, value) combiner partials + ONE
+    partkey groupby; the grouped dataset is materialized ONCE (it is
+    the reduced part-cardinality aggregate, resident in the object
+    store — never the fact table) because two passes consume it: a
+    per-block sum partial for the grand total (blocks-sized driver
+    merge in exact Python ints, no int64 overflow at any scale) and
+    the threshold filter. The integer threshold ``value_c >
+    total // 10000`` is exactly equivalent to the SQL
+    ``value_c * 10000 > total`` for non-negative totals without the
+    x10000 overflow. The result is bounded by construction (< 10000
+    rows can each hold > 1/10000 of the total), so the final collect +
+    driver sort is share-bounded, not part-bounded."""
+    from ray.data.aggregate import Sum
+
+    li = _t(sf_dir, "lineitem",
+            ["l_partkey", "l_extendedprice", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["l_partkey"]))
+        val = pc.multiply(_cents(t["l_extendedprice"]),
+                          _cents(t["l_quantity"], scale=1.0))
+        return (pa.table({"p_partkey": t["l_partkey"], "value_c": val})
+                .group_by(["p_partkey"]).aggregate([("value_c", "sum")])
+                .rename_columns(["p_partkey", "value_c"]))
+
+    v = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("p_partkey")
+           .aggregate(Sum("value_c", alias_name="value_c"))
+           .materialize())
+
+    def sum_partial(b: pa.Table) -> pa.Table:
+        s = pc.sum(b["value_c"]).as_py()
+        return pa.table({"s": pa.array([0 if s is None else int(s)],
+                                       pa.int64())})
+
+    totals = _collect(v.map_batches(sum_partial, batch_format="pyarrow"))
+    total = sum(totals["s"].to_pylist())  # exact Python int
+    thresh = total // 10000
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pc.greater(b["value_c"],
+                                   pa.scalar(thresh, pa.int64())))
+
+    out = _collect(v.map_batches(keep, batch_format="pyarrow"))
+    if out.num_rows == 0:
+        return pa.table({"p_partkey": pa.array([], pa.int64()),
+                         "value_c": pa.array([], pa.int64())})
+    return (out.sort_by([("value_c", "descending"),
+                         ("p_partkey", "ascending")])
+               .select(["p_partkey", "value_c"]))
+
+
+@query(
+    "part_supplier_counts",
+    """
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey IS NOT NULL
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_name LIKE '%3%'
+                              AND s_suppkey IS NOT NULL)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def part_supplier_counts(sf_dir: str,
+                         max_broadcast: int | None = None) -> pa.Table:
+    """Distinct-supplier census per part attribute class with a
+    supplier blacklist (TPC-H Q16 shape; the lineitem stream stands in
+    for the missing partsupp relation). The blacklist subquery keeps
+    only non-null keys so the SQL NOT IN can never collapse to
+    UNKNOWN-for-everything.
+
+    Scale plan: COUNT(DISTINCT) never ships raw rows — each block
+    pre-dedups its (brand, type, size, suppkey) 4-tuples BEFORE the one
+    4-tuple-hash shuffle, so shuffle volume is bounded by distinct
+    combinations, not fact rows. Post-shuffle each distinct 4-tuple
+    lives in exactly one block; per-block (brand, type, size) partial
+    counts merge on the driver (attribute-combination cardinality is
+    domain-bounded — brands x types x the 6 sizes — never data-sized).
+    The part attribute map and the name-filtered blacklist broadcast
+    under the guard; above it the part attach is a distributed hash
+    join and the blacklist a left-outer join + null-marker filter
+    (Ray has no anti join type). p_brand rides the shuffle as a
+    null_key_companion pair (possibly-null string key)."""
+    import ray
+    from ray.data.aggregate import Count
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    SIZES = pa.array([5, 10, 15, 20, 25, 30], pa.int64())
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _t(sf_dir, "part",
+              ["p_partkey", "p_brand", "p_type", "p_size"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+
+    def pfilter(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(
+                pc.fill_null(pc.not_equal(b["p_type"], "PROMO"), False),
+                pc.fill_null(pc.is_in(pc.cast(b["p_size"], pa.int64()),
+                                      value_set=SIZES), False)),
+            pc.is_valid(b["p_partkey"]))
+        return b.filter(keep)
+
+    def blacklist(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.match_substring(b["s_name"], "3"), False),
+            pc.is_valid(b["s_suppkey"]))
+        return b.filter(keep).select(["s_suppkey"])
+
+    OUT = ["p_brand", "p_type", "p_size", "supplier_cnt"]
+    empty = pa.table({"p_brand": pa.array([], pa.string()),
+                      "p_type": pa.array([], pa.string()),
+                      "p_size": pa.array([], pa.int64()),
+                      "supplier_cnt": pa.array([], pa.int64())})
+
+    def tuple_partial(brand, ptype, size, skey) -> pa.Table:
+        """Block-local distinct 4-tuples, brand companion-encoded."""
+        t = null_key_companion(
+            pa.table({"p_brand": brand, "p_type": ptype,
+                      "p_size": pc.cast(size, pa.int64()),
+                      "l_suppkey": skey}), "p_brand")
+        return (t.group_by(["p_brand", "_knull", "p_type", "p_size",
+                            "l_suppkey"])
+                 .aggregate([]).select(["p_brand", "_knull", "p_type",
+                                        "p_size", "l_suppkey"]))
+
+    def finish(parts: pa.Table) -> pa.Table:
+        if parts.num_rows == 0:
+            return empty
+        g = (restore_null_key(parts, "p_brand")
+             .group_by(["p_brand", "p_type", "p_size"])
+             .aggregate([("supplier_cnt", "sum")])
+             .rename_columns(OUT))
+        return g.sort_by([("supplier_cnt", "descending"),
+                          ("p_brand", "ascending"),
+                          ("p_type", "ascending"),
+                          ("p_size", "ascending")]).select(OUT)
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        # post-shuffle: every distinct 4-tuple appears exactly once
+        return (b.group_by(["p_brand", "_knull", "p_type", "p_size"])
+                 .aggregate([([], "count_all")])
+                 .rename_columns(["p_brand", "_knull", "p_type",
+                                  "p_size", "supplier_cnt"]))
+
+    if part.count() <= mb and supp.count() <= mb:
+        pm = _pk_valid(_collect(part.map_batches(
+            pfilter, batch_format="pyarrow")), "p_partkey")
+        bl = _collect(supp.map_batches(blacklist, batch_format="pyarrow"))
+        if pm is not None:
+            # an empty blacklist collects as a zero-column table
+            blk = (bl["s_suppkey"].combine_chunks()
+                   if bl.num_rows else pa.array([], pa.int64()))
+            dim_ref = ray.put((pm["p_partkey"].combine_chunks(),
+                               pm["p_brand"].combine_chunks(),
+                               pm["p_type"].combine_chunks(),
+                               pm["p_size"].combine_chunks(), blk))
+
+            def attach(b: pa.Table) -> pa.Table:
+                pk, brand, ptype, size, black = ray.get(dim_ref)
+                keep = pc.and_(pc.is_valid(b["l_partkey"]),
+                               pc.is_valid(b["l_suppkey"]))
+                t = b.filter(keep)
+                t = t.filter(pc.invert(pc.fill_null(
+                    pc.is_in(t["l_suppkey"], value_set=black), False)))
+                pi = pc.index_in(t["l_partkey"], pk)
+                t = t.filter(pc.is_valid(pi))  # inner join to kept parts
+                pi = pc.index_in(t["l_partkey"], pk)
+                return tuple_partial(pc.take(brand, pi),
+                                     pc.take(ptype, pi),
+                                     pc.take(size, pi), t["l_suppkey"])
+
+            dedup = (li.map_batches(attach, batch_format="pyarrow")
+                     .groupby(["p_brand", "_knull", "p_type", "p_size",
+                               "l_suppkey"])
+                     .aggregate(Count(alias_name="_n")))
+            parts = _collect(dedup.drop_columns(["_n"]).map_batches(
+                count_partial, batch_format="pyarrow"))
+            return finish(parts)
+
+    # distributed tier: part attach + blacklist left-outer marker join
+    jp = join_partitions()
+    j = compact(li.map_batches(
+        _valid_keys("l_partkey", "l_suppkey"),
+        batch_format="pyarrow"), jp).join(
+        part.map_batches(pfilter, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_partkey",), right_on=("p_partkey",))
+    def marker(b: pa.Table) -> pa.Table:
+        t = blacklist(b)
+        return t.append_column(
+            "_black", pa.array(np.ones(t.num_rows, np.int64)))
+
+    # the name filter is sparse — compact the marker side too, or its
+    # empty blocks poison the join aggregator (see dsutil.compact); an
+    # empty blacklist skips the join outright (nothing to subtract, and
+    # a fully-empty side is still one empty block after compact)
+    blm = compact(supp.map_batches(marker, batch_format="pyarrow"), jp)
+    if blm.count() == 0:
+        marked = j.map_batches(
+            lambda b: b.append_column(
+                "_black", pa.nulls(b.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        marked = compact(j, jp).join(
+            blm, "left_outer", num_partitions=jp,
+            on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def anti(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_null(b["_black"]))
+        return tuple_partial(t["p_brand"], t["p_type"],
+                             t["p_size"], t["l_suppkey"])
+
+    dedup = (marked.map_batches(anti, batch_format="pyarrow")
+             .groupby(["p_brand", "_knull", "p_type", "p_size",
+                       "l_suppkey"])
+             .aggregate(Count(alias_name="_n")))
+    parts = _collect(dedup.drop_columns(["_n"]).map_batches(
+        count_partial, batch_format="pyarrow"))
+    return finish(parts)
+
+
+@query(
+    "excess_share_suppliers",
+    """
+    WITH pq AS (
+      SELECT l_partkey, l_suppkey,
+             sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_name LIKE '%widget%' AND l_suppkey IS NOT NULL
+      GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+      SELECT l_partkey, sum(q) AS tot, count(*) AS ns
+      FROM pq GROUP BY l_partkey
+    )
+    SELECT DISTINCT s_name
+    FROM pq JOIN pt USING (l_partkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+    WHERE q * ns > 2 * tot
+    ORDER BY s_name
+    """,
+)
+def excess_share_suppliers(sf_dir: str,
+                           max_broadcast: int | None = None) -> pa.Table:
+    """Suppliers shipping an outsized share of a product line (TPC-H
+    Q20 shape, adapted: no partsupp availqty, so "excess" is shipping
+    more than TWICE the per-part average supplier quantity — q * ns >
+    2 * tot in exact integers). Emits the DISTINCT supplier names.
+
+    Scale plan: per-block (partkey, suppkey, qty) combiner partials,
+    then ONE partkey-hash groupby whose per-part kernel computes the
+    part total + supplier count and emits only the excess suppliers
+    (per-part supplier fan-in fits a worker — the same key-bucket
+    assumption as the session-window family, documented there). The
+    qualifying suppkey set dedups per block before the name attach;
+    names attach via the broadcast supplier map under the guard or a
+    distributed join above it, with a final block-local distinct +
+    result-sized driver sort. Widget parts broadcast as a partkey set
+    under the guard (semi-join at the read); above it the part
+    restriction is the FIRST distributed join."""
+    import ray
+
+    from .dsutil import compact, join_partitions
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    NEEDLE = "widget"
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_name"])
+    supp = _t(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    from .dsutil import DEFAULT_KEY_BUCKETS, key_bucket  # noqa: E402
+
+    def named(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.match_substring(b["p_name"], NEEDLE), False),
+            pc.is_valid(b["p_partkey"]))
+        return b.filter(keep).select(["p_partkey"])
+
+    def q_partial(pkey, skey, qty) -> pa.Table:
+        t = (pa.table({"l_partkey": pkey, "l_suppkey": skey,
+                       "q": _cents(qty, scale=1.0)})
+             .group_by(["l_partkey", "l_suppkey"])
+             .aggregate([("q", "sum")])
+             .rename_columns(["l_partkey", "l_suppkey", "q"]))
+        # coarse partkey bucket for the one shuffle: the per-bucket
+        # kernel vectorizes over ~cardinality/256 parts per call
+        return t.append_column(
+            "_b", pa.array(key_bucket(t, ["l_partkey"],
+                                      DEFAULT_KEY_BUCKETS)))
+
+    def part_kernel(g: pa.Table) -> pa.Table:
+        """Per-bucket groups (whole parts co-bucketed): re-sum split
+        (partkey, suppkey) partials, then keep suppliers with
+        q * ns > 2 * tot."""
+        per = (g.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("q", "sum")])
+                .rename_columns(["l_partkey", "l_suppkey", "q"]))
+        agg = (per.group_by(["l_partkey"])
+                  .aggregate([("q", "sum"), ([], "count_all")])
+                  .rename_columns(["l_partkey", "tot", "ns"]))
+        ai = pc.index_in(per["l_partkey"], agg["l_partkey"])
+        keep = pc.greater(
+            pc.multiply(per["q"].combine_chunks(),
+                        pc.take(agg["ns"], ai)),
+            pc.multiply(pa.scalar(2, pa.int64()),
+                        pc.take(agg["tot"], ai)))
+        # block-local suppkey dedup before the attach
+        return (per.filter(keep).select(["l_suppkey"])
+                   .group_by(["l_suppkey"]).aggregate([])
+                   .select(["l_suppkey"]))
+
+    empty = pa.table({"s_name": pa.array([], pa.string())})
+
+    def finish(names: pa.Table) -> pa.Table:
+        if names.num_rows == 0:
+            return empty
+        # final distinct (Arrow group_by keeps a NULL-name group like
+        # SQL DISTINCT) + result-sized driver sort
+        d = names.group_by(["s_name"]).aggregate([]).select(["s_name"])
+        return d.sort_by("s_name")
+
+    use_bcast = part.count() <= mb and supp.count() <= mb
+    pm = sm = None
+    if use_bcast:
+        pm = _pk_valid(_collect(part), "p_partkey")
+        sm = _pk_valid(_collect(supp), "s_suppkey")
+    if pm is not None and sm is not None:
+        wk_col = named(pm)["p_partkey"]
+        if isinstance(wk_col, pa.ChunkedArray):
+            wk_col = wk_col.combine_chunks()
+        dim_ref = ray.put(wk_col)
+        skeys = sm["s_suppkey"].combine_chunks()
+        snames = sm["s_name"].combine_chunks()
+
+        def partial_bcast(b: pa.Table) -> pa.Table:
+            wk = ray.get(dim_ref)
+            keep = pc.and_(
+                pc.fill_null(pc.is_in(b["l_partkey"], value_set=wk),
+                             False),
+                pc.is_valid(b["l_suppkey"]))
+            t = b.filter(keep)
+            return q_partial(t["l_partkey"], t["l_suppkey"],
+                             t["l_quantity"])
+
+        quals = (li.map_batches(partial_bcast, batch_format="pyarrow")
+                 .groupby("_b")
+                 .map_groups(part_kernel, batch_format="pyarrow"))
+
+        def attach(b: pa.Table) -> pa.Table:
+            si = pc.index_in(b["l_suppkey"], skeys)
+            si = si.filter(pc.is_valid(si))  # join-miss rows drop
+            return pa.table({"s_name": pc.take(snames, si)})
+
+        return finish(_collect(quals.map_batches(
+            attach, batch_format="pyarrow")))
+
+    # distributed tier: part semi-join first, same kernel chain, name
+    # attach as a distributed join
+    jp = join_partitions()
+    j = compact(li.map_batches(
+        _valid_keys("l_partkey", "l_suppkey"),
+        batch_format="pyarrow"), jp).join(
+        part.map_batches(named, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_partkey",), right_on=("p_partkey",))
+    quals = (j.map_batches(
+        lambda b: q_partial(b["l_partkey"], b["l_suppkey"],
+                            b["l_quantity"]),
+        batch_format="pyarrow")
+        .groupby("_b")
+        .map_groups(part_kernel, batch_format="pyarrow"))
+    namedj = compact(quals, jp).join(
+        supp.map_batches(_valid_keys("s_suppkey"), batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+    names = _collect(namedj.map_batches(
+        lambda b: (pa.table({"s_name": b["s_name"]})
+                   .group_by(["s_name"]).aggregate([])
+                   .select(["s_name"])),
+        batch_format="pyarrow"))
+    return finish(names)

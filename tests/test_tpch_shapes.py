@@ -25,6 +25,10 @@ FALLBACK_QUERIES = [
     "local_supplier_volume",
     "volume_shipping_nations",
     "market_share_nation",
+    "widget_revenue_nations",
+    "waiting_suppliers",
+    "part_supplier_counts",
+    "excess_share_suppliers",
 ]
 
 
@@ -151,5 +155,55 @@ def test_null_and_orphan_join_keys(ray_session, tmp_path, name, mb):
     con = duckdb_con(d)
     kwargs = {} if mb is None else {"max_broadcast": 0}
     problems = compare(QUERIES[name](d, **kwargs),
+                       con.execute(ORACLE_SQL[name]).fetchdf())
+    assert not problems, problems
+
+
+def test_important_parts_value_planted_nulls(ray_session, tmp_path):
+    """Single-tier Q11 shape: NULL l_partkey rows must be excluded on
+    both engines; the share threshold must survive planted keys."""
+    import engine.queries_ext as qe
+    from engine.queries import ORACLE_SQL
+
+    d = _plant_nulls_and_orphans(tmp_path)
+    con = duckdb_con(d)
+    problems = compare(qe.important_parts_value(d),
+                       con.execute(
+                           ORACLE_SQL["important_parts_value"]).fetchdf())
+    assert not problems, problems
+
+
+@pytest.mark.parametrize("name", ["waiting_suppliers",
+                                  "excess_share_suppliers",
+                                  "part_supplier_counts"])
+@pytest.mark.parametrize("mb", [None, 0])
+def test_null_supplier_names(ray_session, tmp_path, name, mb):
+    """Planted NULL s_name rows: the NULL-name group must survive the
+    Ray groupby (null_key_companion), LIKE-based blacklists must drop
+    NULL names on both engines, and DISTINCT must keep one NULL row."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    d = tmp_path / "sfnullname"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "part", "orders",
+              "lineitem", "documents", "embeddings", "events"]:
+        shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
+    sup = pq.read_table(f"{SF_DIR}/supplier.parquet")
+    names = sup["s_name"].to_pylist()
+    for i in range(0, len(names), 3):
+        names[i] = None  # a third of all supplier names go NULL
+    sup = sup.set_column(sup.schema.get_field_index("s_name"),
+                         "s_name", pa.array(names, pa.string()))
+    pq.write_table(sup, d / "supplier.parquet", row_group_size=100)
+
+    con = duckdb_con(str(d))
+    kwargs = {} if mb is None else {"max_broadcast": 0}
+    problems = compare(QUERIES[name](str(d), **kwargs),
                        con.execute(ORACLE_SQL[name]).fetchdf())
     assert not problems, problems
