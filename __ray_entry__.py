@@ -60,6 +60,8 @@ _SWEEP_FIRST = (
     "important_parts_value",
     "part_supplier_counts",
     "excess_share_suppliers",
+    "grouped_percentiles_cont_events",
+    "grouped_mad_outliers_events",
     # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
     "order_count_distribution",
     "disjunctive_revenue_part",

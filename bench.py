@@ -176,6 +176,17 @@ def main() -> None:
     import ray
 
     probe_start = probe()  # before our own load lands on the box
+    # bounded healthy-window wait: this box is shared, and a bench that
+    # starts inside a co-tenant burst records numbers that are pure
+    # contention (round-3 verdict). If the pre-load probe looks hot,
+    # wait up to 3 x 60 s for it to drain; every probe taken is kept in
+    # the output so the final artifact is self-explaining either way.
+    waits = []
+    while (probe_start["load_1m"] > 6.0 or probe_start["calib_sec"] > 1.0) \
+            and len(waits) < 3:
+        time.sleep(60)
+        waits.append(probe_start)
+        probe_start = probe()
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -346,6 +357,7 @@ def main() -> None:
         "incr_shard_rows": incr_shard_rows,
         "probe_start": probe_start,
         "probe_end": probe(),
+        "probe_waits": waits,  # hot pre-probes we waited out (<= 3 min)
     }
     ray.shutdown()
     print(json.dumps(result))

@@ -7644,3 +7644,206 @@ def excess_share_suppliers(sf_dir: str,
                    .select(["s_name"])),
         batch_format="pyarrow"))
     return finish(names)
+
+
+@query(
+    "grouped_percentiles_cont_events",
+    """
+    WITH g0 AS (
+      SELECT event_type, count(*) AS n_rows FROM events GROUP BY event_type
+    ),
+    ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value)
+               - 1 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events WHERE value IS NOT NULL
+    ),
+    sel AS (
+      SELECT g.event_type, g.n, q.q,
+             (g.n - 1) * q.q AS i,
+             CAST(floor((g.n - 1) * q.q) AS BIGINT) AS k
+      FROM (SELECT DISTINCT event_type, n FROM ranked) g,
+           (VALUES (0.25), (0.50), (0.90)) q(q)
+    ),
+    vals AS (
+      SELECT s.event_type, s.q,
+             lo.value + (hi.value - lo.value) * (s.i - s.k) AS v
+      FROM sel s
+      JOIN ranked lo ON lo.event_type IS NOT DISTINCT FROM s.event_type
+                    AND lo.rn = s.k
+      JOIN ranked hi ON hi.event_type IS NOT DISTINCT FROM s.event_type
+                    AND hi.rn = least(s.k + 1, s.n - 1)
+    ),
+    piv AS (
+      SELECT event_type,
+             CAST(floor(max(CASE WHEN q = 0.25 THEN v END) * 10000 + 0.5)
+                  AS BIGINT) AS p25_x10k,
+             CAST(floor(max(CASE WHEN q = 0.50 THEN v END) * 10000 + 0.5)
+                  AS BIGINT) AS p50_x10k,
+             CAST(floor(max(CASE WHEN q = 0.90 THEN v END) * 10000 + 0.5)
+                  AS BIGINT) AS p90_x10k
+      FROM vals GROUP BY event_type
+    )
+    SELECT g0.event_type, g0.n_rows, piv.p25_x10k, piv.p50_x10k,
+           piv.p90_x10k
+    FROM g0 LEFT JOIN piv
+      ON piv.event_type IS NOT DISTINCT FROM g0.event_type
+    ORDER BY g0.event_type
+    """,
+)
+def grouped_percentiles_cont_events(sf_dir: str) -> pa.Table:
+    """Per-GROUP interpolated percentiles (PERCENTILE_CONT OVER
+    PARTITION BY semantics), completing the grouped quantile family
+    next to the discrete grouped_percentiles_docs_by_lang: both
+    neighbouring elements at index (n_g - 1) * q come out of the same
+    scale-safe per-(group, bin) histogram selection (no
+    one-group-per-worker assumption); only the final
+    ``lo + (hi - lo) * frac`` is derived arithmetic, evaluated with the
+    same double expression as the SQL oracle (bit-identical, emitted
+    as x10k integers). All-NULL-value groups keep their row with NULL
+    percentiles (the SQL LEFT JOIN); a NULL group key is its own
+    group, ordered last."""
+    from .stages.selection import grouped_exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    got = grouped_exact_quantiles_disc(ds, "event_type", "value",
+                                       [0.25, 0.50, 0.90], cont=True)
+    keys = sorted(k for k in got if k is not None)
+    if None in got:
+        keys.append(None)  # NULL group last (DuckDB ORDER BY default)
+
+    def x10k(v):
+        return None if v is None else int(np.floor(v * 10000.0 + 0.5))
+
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_rows": pa.array([got[g][0] for g in keys], pa.int64()),
+        "p25_x10k": pa.array([x10k(got[g][1][0]) for g in keys],
+                             pa.int64()),
+        "p50_x10k": pa.array([x10k(got[g][1][1]) for g in keys],
+                             pa.int64()),
+        "p90_x10k": pa.array([x10k(got[g][1][2]) for g in keys],
+                             pa.int64()),
+    })
+
+
+@query(
+    "grouped_mad_outliers_events",
+    """
+    WITH m AS (
+      SELECT event_type, quantile_disc(value, 0.5) AS med,
+             count(*) AS n_rows
+      FROM events GROUP BY event_type
+    ),
+    d AS (
+      SELECT e.event_type,
+             quantile_disc(abs(e.value - m.med), 0.5) AS mad
+      FROM events e
+      JOIN m ON e.event_type IS NOT DISTINCT FROM m.event_type
+      GROUP BY e.event_type
+    )
+    SELECT m.event_type, m.n_rows,
+           CAST((SELECT count(*) FROM events e
+                 WHERE e.event_type IS NOT DISTINCT FROM m.event_type
+                   AND abs(e.value - m.med) > 3 * d.mad) AS BIGINT)
+             AS n_outliers
+    FROM m JOIN d ON d.event_type IS NOT DISTINCT FROM m.event_type
+    ORDER BY m.event_type
+    """,
+)
+def grouped_mad_outliers_events(sf_dir: str) -> pa.Table:
+    """Per-GROUP robust outlier screen (grouped complement of
+    outlier_mad_events): per-group median and MAD are EXACT discrete
+    quantiles from the scale-safe per-(group, bin) histogram selection
+    (no one-group-per-worker assumption, no shuffle); med and mad are
+    elements of the data, so ``abs(x - med) > 3 * mad`` is the
+    identical double expression on both engines. Three logical passes:
+    grouped median, grouped MAD over the derived |x - med| column
+    (medians broadcast as a group-cardinality map), and one streaming
+    outlier-count pass with per-block group partials merged
+    driver-side. NULL values never count as outliers; an all-NULL
+    group keeps its row with zero outliers; a NULL group key is its
+    own group, ordered last."""
+    from .stages.selection import grouped_exact_quantiles_disc
+
+    ds = _t(sf_dir, "events", ["event_type", "value"])
+    med = grouped_exact_quantiles_disc(ds, "event_type", "value", [0.5])
+
+    keys = sorted(k for k in med if k is not None)
+    if None in med:
+        keys.append(None)
+    nn_keys = [k for k in keys if k is not None]
+    nn_set = pa.array(nn_keys, pa.string())
+    med_arr = np.array([np.nan if med[k][1][0] is None
+                        else float(med[k][1][0]) for k in nn_keys])
+    med_null = (np.nan if None not in med or med[None][1][0] is None
+                else float(med[None][1][0]))
+
+    def _per_row(batch: pa.Table, per_group: np.ndarray, null_val: float):
+        """Gather a per-group float onto rows (NaN = no value)."""
+        g = batch["event_type"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        out = np.full(len(g), np.nan)
+        if len(per_group):
+            c = pc.index_in(g, value_set=nn_set).to_numpy(
+                zero_copy_only=False)
+            m = ~np.isnan(c)
+            out[m] = per_group[c[m].astype(np.int64)]
+        nulls = pc.is_null(g).to_numpy(zero_copy_only=False)
+        out[nulls] = null_val
+        return out
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        mg = _per_row(batch, med_arr, med_null)
+        v = batch["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vv = v.to_numpy(zero_copy_only=False)  # nulls -> NaN
+        dev = np.abs(vv - mg)  # NaN propagates = SQL NULL
+        return pa.table({"event_type": batch["event_type"],
+                         "absdev": pa.array(dev, pa.float64(),
+                                            from_pandas=True)})
+
+    dev_ds = ds.map_batches(absdev, batch_format="pyarrow")
+    mad = grouped_exact_quantiles_disc(dev_ds, "event_type", "absdev",
+                                       [0.5])
+    # 3 * mad per group; NaN (all-null group) threshold never triggers
+    thr_arr = np.array([np.nan if k not in mad or mad[k][1][0] is None
+                        else 3.0 * float(mad[k][1][0]) for k in nn_keys])
+    thr_null = (np.nan if None not in mad or mad[None][1][0] is None
+                else 3.0 * float(mad[None][1][0]))
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        mg = _per_row(batch, med_arr, med_null)
+        tg = _per_row(batch, thr_arr, thr_null)
+        v = batch["value"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        vv = v.to_numpy(zero_copy_only=False)
+        with np.errstate(invalid="ignore"):
+            hit = np.abs(vv - mg) > tg  # NaN compares False
+        g = batch["event_type"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        c = pc.index_in(g, value_set=nn_set).to_numpy(zero_copy_only=False)
+        slot = np.where(np.isnan(c), len(nn_keys),
+                        np.nan_to_num(c)).astype(np.int64)
+        counts = np.bincount(slot[hit], minlength=len(nn_keys) + 1)
+        return pa.table({"c": pa.array([counts.astype(np.int64).tolist()],
+                                       pa.list_(pa.int64()))})
+
+    tot = np.zeros(len(nn_keys) + 1, dtype=np.int64)
+    for row in _collect(ds.map_batches(
+            count_partial, batch_format="pyarrow")).to_pylist():
+        tot += np.asarray(row["c"], dtype=np.int64)
+
+    n_out = [int(tot[i]) for i in range(len(nn_keys))]
+    if None in med:
+        n_out.append(int(tot[len(nn_keys)]))
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_rows": pa.array([med[k][0] for k in keys], pa.int64()),
+        "n_outliers": pa.array(n_out, pa.int64()),
+    })

@@ -355,6 +355,7 @@ def grouped_exact_quantiles_disc(
     qs: list[float],
     num_bins: int = 1024,
     collect_cap: int = 4_000_000,
+    cont: bool = False,
 ) -> dict:
     """Per-GROUP exact discrete quantiles WITHOUT the one-group-per-worker
     assumption — the grouped complement of :func:`exact_quantiles_disc`.
@@ -381,8 +382,25 @@ def grouped_exact_quantiles_disc(
     NULL ``col`` values are excluded per SQL quantile semantics; a NULL
     group key is its own group. Returns ``{group_value: (n_rows,
     [value per q])}`` with ``None`` values for all-null groups.
+
+    ``cont=True`` switches to PERCENTILE_CONT semantics: both
+    neighbouring ELEMENTS at index (n_g - 1) * q come out of the same
+    rank machinery; only the final ``lo + (hi - lo) * frac`` is derived
+    arithmetic, evaluated with the same double expression a SQL engine
+    uses (see exact_quantiles_cont).
     """
     gsel = [group_col, col]
+
+    def _rank_set(nv: int) -> list[int]:
+        """1-based ranks the selection must materialize for one group."""
+        if not cont:
+            return [min(max(int(np.ceil(q * nv)), 1), nv) for q in qs]
+        ranks = []
+        for q in qs:
+            i = min(max((nv - 1) * q, 0.0), float(nv - 1))
+            k = int(np.floor(i))
+            ranks += [k + 1, min(k + 2, nv)]
+        return ranks
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({group_col: batch[group_col], col: batch[col]})
@@ -479,8 +497,7 @@ def grouped_exact_quantiles_disc(
     for k in active:
         gi = gi_of[k]
         nv = groups[k][1]
-        for q in qs:
-            r = min(max(int(np.ceil(q * nv)), 1), nv)
+        for r in _rank_set(nv):
             j = int(np.searchsorted(cum[gi], r, side="left"))
             need.setdefault((gi, j), []).append(r)
 
@@ -546,13 +563,23 @@ def grouped_exact_quantiles_disc(
             num_bins, collect_cap, 1)
         picked[(gi, j)] = {r: sub[r - below] for r in need[(gi, j)]}
 
+    def _val(gi: int, r: int):
+        j = int(np.searchsorted(cum[gi], r, side="left"))
+        return picked[(gi, j)][r]
+
     for k in active:
         gi = gi_of[k]
         nr, nv = groups[k][0], groups[k][1]
         vals_q = []
         for q in qs:
-            r = min(max(int(np.ceil(q * nv)), 1), nv)
-            j = int(np.searchsorted(cum[gi], r, side="left"))
-            vals_q.append(picked[(gi, j)][r])
+            if not cont:
+                vals_q.append(_val(gi, min(max(int(np.ceil(q * nv)), 1),
+                                           nv)))
+            else:
+                i = min(max((nv - 1) * q, 0.0), float(nv - 1))
+                kf = int(np.floor(i))
+                lo = _val(gi, kf + 1)
+                hi = _val(gi, min(kf + 2, nv))
+                vals_q.append(lo + (hi - lo) * (i - kf))
         out[k] = (nr, vals_q)
     return out

@@ -141,3 +141,123 @@ def test_grouped_quantiles_null_only_active_group(ray_session):
     ds = rd.from_arrow(t).repartition(2)
     got = grouped_exact_quantiles_disc(ds, "g", "v", [0.5, 0.9], num_bins=4)
     assert got == _oracle(t, [0.5, 0.9])
+
+
+def _oracle_cont(t: pa.Table, qs) -> dict:
+    """Hand-rolled PERCENTILE_CONT oracle with the engine's exact FP
+    expression (DuckDB's native quantile_cont assembles the same value
+    with a different operation order — off in the final ulp)."""
+    con = duckdb.connect()
+    con.register("t", t)
+    out = {}
+    for g, n in con.execute(
+            "SELECT g, count(*) FROM t GROUP BY g").fetchall():
+        pred = "g IS NULL" if g is None else "g = ?"
+        args = [] if g is None else [g]
+        vals = [r[0] for r in con.execute(
+            f"SELECT v FROM t WHERE {pred} AND v IS NOT NULL ORDER BY v",
+            args).fetchall()]
+        if not vals:
+            out[g] = (n, [None] * len(qs))
+            continue
+        nv = len(vals)
+        res = []
+        for q in qs:
+            i = min(max((nv - 1) * q, 0.0), float(nv - 1))
+            k = int(np.floor(i))
+            lo, hi = float(vals[k]), float(vals[min(k + 1, nv - 1)])
+            res.append(lo + (hi - lo) * (i - k))
+        out[g] = (n, res)
+    return out
+
+
+def test_grouped_quantiles_cont_skewed(ray_session):
+    """cont=True: interpolated per-group percentiles, bit-identical to
+    the sorted-oracle interpolation, on the 90%-one-group skew shape
+    with float values and planted NULLs in both columns."""
+    import ray.data as rd
+
+    from engine.stages.selection import grouped_exact_quantiles_disc
+
+    rng = np.random.default_rng(13)
+    n = 20_000
+    g = np.where(rng.random(n) < 0.9, "en",
+                 rng.choice(["de", "fr", "zh"], n)).astype(object)
+    v = rng.random(n) * 1000.0
+    gl, vl = g.tolist(), v.tolist()
+    for i in range(0, n, 17):
+        gl[i] = None
+    for i in range(3, n, 23):
+        vl[i] = None
+    t = pa.table({"g": pa.array(gl, pa.string()),
+                  "v": pa.array(vl, pa.float64())})
+    ds = rd.from_arrow(t).repartition(8)
+    qs = [0.25, 0.5, 0.9]
+    got = grouped_exact_quantiles_disc(ds, "g", "v", qs, num_bins=64,
+                                       cont=True)
+    assert got == _oracle_cont(t, qs)
+
+
+def test_grouped_quantiles_cont_single_value_and_recursion(ray_session):
+    """cont=True edge paths: a one-value group (lo == hi short-circuit),
+    an all-null group, and a collect_cap forcing heavy-cell recursion."""
+    import ray.data as rd
+
+    from engine.stages.selection import grouped_exact_quantiles_disc
+
+    rng = np.random.default_rng(21)
+    n = 4_000
+    t = pa.table({
+        "g": pa.array((["a"] * (n - 2)) + ["one", "nul"]),
+        "v": pa.array(rng.random(n - 2).tolist() + [7.5, None],
+                      pa.float64()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    qs = [0.25, 0.5, 0.9]
+    got = grouped_exact_quantiles_disc(ds, "g", "v", qs, num_bins=16,
+                                       collect_cap=10, cont=True)
+    assert got == _oracle_cont(t, qs)
+
+
+def test_grouped_mad_outliers_planted_nulls(ray_session, tmp_path):
+    """grouped_mad_outliers_events on a fixture with NULL event_type
+    rows (their own group), NULL values, an all-NULL-value group and a
+    constant group (MAD = 0 -> every deviation > 0 is an outlier)."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    import engine.queries_ext as qe
+    from engine.queries import ORACLE_SQL
+    from oracle_utils import compare, duckdb_con
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path / "sfmad"
+    d.mkdir()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"]:
+        shutil.copy(f"{src}/{t}.parquet", d / f"{t}.parquet")
+    ev = pq.read_table(f"{src}/events.parquet")
+    et = ev["event_type"].to_pylist()
+    vals = ev["value"].to_pylist()
+    for i in range(0, len(et), 7):
+        et[i] = None  # NULL group key
+    for i in range(3, len(vals), 11):
+        vals[i] = None  # NULL values
+    for i in range(5, len(et), 13):
+        et[i] = "allnull"
+        vals[i] = None  # a group with zero non-null values
+    for i in range(6, len(et), 17):
+        et[i] = "const"
+        vals[i] = 42.0  # MAD = 0
+    ev = ev.set_column(ev.schema.get_field_index("event_type"),
+                       "event_type", pa.array(et, pa.string()))
+    ev = ev.set_column(ev.schema.get_field_index("value"),
+                       "value", pa.array(vals, pa.float64()))
+    pq.write_table(ev, d / "events.parquet", row_group_size=500)
+
+    con = duckdb_con(str(d))
+    problems = compare(
+        qe.grouped_mad_outliers_events(str(d)),
+        con.execute(ORACLE_SQL["grouped_mad_outliers_events"]).fetchdf())
+    assert not problems, problems
