@@ -181,9 +181,14 @@ def main() -> None:
     # contention (round-3 verdict). If the pre-load probe looks hot,
     # wait up to 3 x 60 s for it to drain; every probe taken is kept in
     # the output so the final artifact is self-explaining either way.
+    # headline-only subprocesses (the --scaling pairs) cap at ONE wait:
+    # their "hot" probe is usually the PREVIOUS pair member's load
+    # draining, and 8 back-to-back 3-minute waits would balloon the
+    # scaling run's wall clock.
+    max_waits = 1 if HEADLINE_ONLY else 3
     waits = []
     while (probe_start["load_1m"] > 6.0 or probe_start["calib_sec"] > 1.0) \
-            and len(waits) < 3:
+            and len(waits) < max_waits:
         time.sleep(60)
         waits.append(probe_start)
         probe_start = probe()
