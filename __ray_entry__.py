@@ -62,6 +62,7 @@ _SWEEP_FIRST = (
     "excess_share_suppliers",
     "grouped_percentiles_cont_events",
     "grouped_mad_outliers_events",
+    "min_acctbal_supplier_per_part",
     # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
     "order_count_distribution",
     "disjunctive_revenue_part",

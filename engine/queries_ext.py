@@ -7847,3 +7847,185 @@ def grouped_mad_outliers_events(sf_dir: str) -> pa.Table:
         "n_rows": pa.array([med[k][0] for k in keys], pa.int64()),
         "n_outliers": pa.array(n_out, pa.int64()),
     })
+
+
+@query(
+    "min_acctbal_supplier_per_part",
+    """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+      WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL
+    ),
+    cand AS (
+      SELECT p_partkey, s.s_suppkey, s.s_name, s.s_acctbal
+      FROM part, ps, supplier s, nation, region
+      WHERE p_partkey = l_partkey AND l_suppkey = s.s_suppkey
+        AND p_type = 'ECONOMY'
+        AND s.s_nationkey = n_nationkey
+        AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+    ),
+    best AS (
+      SELECT p_partkey, min(s_acctbal) AS mb FROM cand GROUP BY p_partkey
+    )
+    SELECT c.p_partkey, c.s_suppkey, c.s_name,
+           CAST(floor(c.s_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c
+    FROM cand c
+    JOIN best b ON c.p_partkey = b.p_partkey AND c.s_acctbal = b.mb
+    ORDER BY c.p_partkey, c.s_suppkey
+    """,
+)
+def min_acctbal_supplier_per_part(sf_dir: str,
+                                  max_broadcast: int | None = None
+                                  ) -> pa.Table:
+    """Minimum-balance supplier per part with ALL ties (TPC-H Q2
+    shape; the lineitem stream stands in for partsupp and s_acctbal
+    for ps_supplycost): for each ECONOMY part, the in-region suppliers
+    who shipped it with the lowest account balance. Completes the
+    TPC-H shape family — all 22 query silhouettes now have an engine
+    analogue as far as the testdata schema allows.
+
+    Scale plan: the part-supplier relation is block-local distinct
+    (partkey, suppkey) pairs BEFORE the one coarse-bucket partkey
+    shuffle (pair cardinality, never fact rows); the per-bucket kernel
+    re-dedups split pairs, takes the per-part MIN and keeps ties —
+    min is an ELEMENT of the data, so the equality join back is exact
+    on both engines, and a part whose candidates all carry NULL
+    balances drops on both (NULL = NULL is never true in SQL; the
+    kernel's is_valid mask mirrors it). The ECONOMY partkey set and
+    the region-filtered supplier (acctbal, name) map broadcast under
+    the guard; above it both are distributed joins. Output is
+    result-sized (<= one row per tied candidate)."""
+    import ray
+
+    from .dsutil import (DEFAULT_KEY_BUCKETS, compact, join_partitions,
+                         key_bucket)
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    PTYPE, REGION = "ECONOMY", "ASIA"
+    rnat_keys, _ = _nation_map(sf_dir, region=REGION)
+
+    li = _t(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    part = _t(sf_dir, "part", ["p_partkey", "p_type"])
+    supp = _t(sf_dir, "supplier",
+              ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"])
+
+    def econ(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.fill_null(pc.equal(b["p_type"], PTYPE), False),
+            pc.is_valid(b["p_partkey"]))
+        return b.filter(keep).select(["p_partkey"])
+
+    def region_supp(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.fill_null(
+            pc.is_in(b["s_nationkey"], value_set=rnat_keys), False),
+            pc.is_valid(b["s_suppkey"]))
+        return b.filter(keep).select(["s_suppkey", "s_name", "s_acctbal"])
+
+    OUT = ["p_partkey", "s_suppkey", "s_name", "acctbal_c"]
+    empty = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "s_suppkey": pa.array([], pa.int64()),
+                      "s_name": pa.array([], pa.string()),
+                      "acctbal_c": pa.array([], pa.int64())})
+
+    def pair_partial(pkey, skey) -> pa.Table:
+        t = (pa.table({"l_partkey": pkey, "l_suppkey": skey})
+             .group_by(["l_partkey", "l_suppkey"]).aggregate([])
+             .select(["l_partkey", "l_suppkey"]))
+        return t.append_column(
+            "_b", pa.array(key_bucket(t, ["l_partkey"],
+                                      DEFAULT_KEY_BUCKETS)))
+
+    def part_kernel(g: pa.Table) -> pa.Table:
+        """Per-bucket: re-dedup split pairs keeping one acctbal (the
+        attach is functional on suppkey), per-part min, keep ties."""
+        per = (g.group_by(["l_partkey", "l_suppkey"])
+                .aggregate([("s_acctbal", "min"), ("s_name", "min")])
+                .rename_columns(["l_partkey", "l_suppkey",
+                                 "s_acctbal", "s_name"]))
+        per = per.filter(pc.is_valid(per["s_acctbal"]))
+        if per.num_rows == 0:
+            return pa.table({"p_partkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "s_name": pa.array([], pa.string()),
+                             "s_acctbal": pa.array([], pa.float64())})
+        agg = (per.group_by(["l_partkey"])
+                  .aggregate([("s_acctbal", "min")])
+                  .rename_columns(["l_partkey", "mb"]))
+        ai = pc.index_in(per["l_partkey"], agg["l_partkey"])
+        keep = pc.equal(per["s_acctbal"].combine_chunks(),
+                        pc.take(agg["mb"], ai))
+        t = per.filter(pc.fill_null(keep, False))
+        return pa.table({"p_partkey": t["l_partkey"],
+                         "s_suppkey": t["l_suppkey"],
+                         "s_name": t["s_name"],
+                         "s_acctbal": pc.cast(t["s_acctbal"],
+                                              pa.float64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        out = pa.table({
+            "p_partkey": t["p_partkey"],
+            "s_suppkey": t["s_suppkey"],
+            "s_name": t["s_name"],
+            "acctbal_c": _cents(t["s_acctbal"]),
+        })
+        return out.sort_by([("p_partkey", "ascending"),
+                            ("s_suppkey", "ascending")]).select(OUT)
+
+    use_bcast = part.count() <= mb and supp.count() <= mb
+    pm = sm = None
+    if use_bcast:
+        pm = _pk_valid(_collect(part), "p_partkey")
+        sm = _pk_valid(_collect(supp.map_batches(
+            region_supp, batch_format="pyarrow")), "s_suppkey")
+    if pm is not None and sm is not None:
+        ek_col = econ(pm)["p_partkey"]
+        if isinstance(ek_col, pa.ChunkedArray):
+            ek_col = ek_col.combine_chunks()
+        dim_ref = ray.put((ek_col, sm["s_suppkey"].combine_chunks(),
+                           sm["s_acctbal"].combine_chunks(),
+                           sm["s_name"].combine_chunks()))
+
+        def pairs_bcast(b: pa.Table) -> pa.Table:
+            ek, skeys, bal, names = ray.get(dim_ref)
+            keep = pc.and_(
+                pc.fill_null(pc.is_in(b["l_partkey"], value_set=ek),
+                             False),
+                pc.is_valid(b["l_suppkey"]))
+            t = b.filter(keep)
+            si = pc.index_in(t["l_suppkey"], skeys)
+            t = t.filter(pc.is_valid(si))  # in-region suppliers only
+            si = pc.index_in(t["l_suppkey"], skeys)
+            p = pair_partial(t["l_partkey"], t["l_suppkey"])
+            pi = pc.index_in(p["l_suppkey"], skeys)
+            return (p.append_column("s_acctbal", pc.take(bal, pi))
+                     .append_column("s_name", pc.take(names, pi)))
+
+        quals = (li.map_batches(pairs_bcast, batch_format="pyarrow")
+                 .groupby("_b")
+                 .map_groups(part_kernel, batch_format="pyarrow"))
+        return finish(_collect(quals))
+
+    # distributed tier: pair combiner first, then part and supplier
+    # joins, then the bucketed per-part min kernel
+    jp = join_partitions()
+    pairs = compact(li.map_batches(
+        lambda b: pair_partial(*(lambda t: (t["l_partkey"],
+                                            t["l_suppkey"]))(
+            b.filter(pc.and_(pc.is_valid(b["l_partkey"]),
+                             pc.is_valid(b["l_suppkey"]))))),
+        batch_format="pyarrow"), jp)
+    j = pairs.join(
+        part.map_batches(econ, batch_format="pyarrow"),
+        "inner", num_partitions=jp,
+        on=("l_partkey",), right_on=("p_partkey",))
+    j = compact(j, jp).join(
+        compact(supp.map_batches(region_supp, batch_format="pyarrow"),
+                jp),
+        "inner", num_partitions=jp,
+        on=("l_suppkey",), right_on=("s_suppkey",))
+    quals = (j.groupby("_b")
+              .map_groups(part_kernel, batch_format="pyarrow"))
+    return finish(_collect(quals))

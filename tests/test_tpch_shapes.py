@@ -29,6 +29,7 @@ FALLBACK_QUERIES = [
     "waiting_suppliers",
     "part_supplier_counts",
     "excess_share_suppliers",
+    "min_acctbal_supplier_per_part",
 ]
 
 
@@ -175,7 +176,8 @@ def test_important_parts_value_planted_nulls(ray_session, tmp_path):
 
 @pytest.mark.parametrize("name", ["waiting_suppliers",
                                   "excess_share_suppliers",
-                                  "part_supplier_counts"])
+                                  "part_supplier_counts",
+                                  "min_acctbal_supplier_per_part"])
 @pytest.mark.parametrize("mb", [None, 0])
 def test_null_supplier_names(ray_session, tmp_path, name, mb):
     """Planted NULL s_name rows: the NULL-name group must survive the
