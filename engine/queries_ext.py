@@ -8029,3 +8029,48 @@ def min_acctbal_supplier_per_part(sf_dir: str,
     quals = (j.groupby("_b")
               .map_groups(part_kernel, batch_format="pyarrow"))
     return finish(_collect(quals))
+
+
+@query(
+    "lead_lag_events_value",
+    """
+    SELECT event_id, user_id,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_c,
+           CAST(floor(LAG(value) OVER w * 100 + 0.5) AS BIGINT)
+             AS lag_value_c,
+           CAST(floor(LEAD(value) OVER w * 100 + 0.5) AS BIGINT)
+             AS lead_value_c
+    FROM events
+    WHERE ts IS NOT NULL
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY event_id
+    """,
+)
+def lead_lag_events_value(sf_dir: str) -> pa.Table:
+    """Per-row LAG/LEAD window emission (stages/windows.py
+    lead_lag_values): one coarse-bucket shuffle, per-bucket vectorized
+    sort + shifted-take neighbour gather with null-aware segment
+    boundaries (NULL user = own partition; segment edges and NULL
+    values yield NULL, exactly as SQL). Neighbour values are data
+    ELEMENTS, so the integer-cents cast commutes with the window on
+    both engines."""
+    from .stages.windows import lead_lag_values
+
+    ds = _t(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    out = lead_lag_values(ds, "user_id", "ts", "event_id", "value")
+
+    def fin(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": b["event_id"],
+            "user_id": b["user_id"],
+            "value_c": _cents(b["value"]),
+            "lag_value_c": _cents(b["lag_value"]),
+            "lead_value_c": _cents(b["lead_value"]),
+        })
+
+    t = _collect(out.map_batches(fin, batch_format="pyarrow"))
+    if t.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ["event_id", "user_id", "value_c",
+                                   "lag_value_c", "lead_value_c"]})
+    return t.sort_by("event_id")

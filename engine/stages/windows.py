@@ -452,3 +452,54 @@ def ntile_by_group(ds, group_col: str, order_col: str, id_col: str,
     return (ds.map_batches(add_bucket, batch_format="pyarrow")
               .groupby("_bucket")
               .map_groups(bucket_ntile, batch_format="pyarrow"))
+
+
+def lead_lag_values(ds, key_col: str, ts_col: str, id_col: str,
+                    value_col: str, num_buckets: int = 64):
+    """Per-row LAG/LEAD emission — SQL ``LAG(v) / LEAD(v) OVER
+    (PARTITION BY key ORDER BY ts, id)`` — the row-emitting complement
+    of :func:`lag_gap_stats`' aggregated gaps.
+
+    Same bucket-then-vectorize shape: ONE (key, ts, id) sort per hash
+    bucket, neighbour values gathered with a single shifted ``take``
+    masked by the null-aware segment boundaries (a NULL key is its own
+    partition; first/last row of a segment gets NULL). Value NULLs ride
+    through untouched (LAG of a NULL value is NULL, exactly as SQL).
+    NULL timestamps are dropped up front per the module convention
+    (mirror with ``WHERE ts IS NOT NULL`` in the oracle)."""
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        batch = _drop_null_ts(batch, ts_col)
+        return batch.append_column(
+            "_bucket", pa.array(_bucket_of(batch[key_col], num_buckets)))
+
+    def bucket_ll(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            (key_col, "ascending"), (ts_col, "ascending"),
+            (id_col, "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        vals = g[value_col]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        new_seg = new_segment_mask(keys, n)          # row starts a key
+        prev_ok = ~new_seg                           # has a same-key prev
+        next_ok = np.concatenate([~new_seg[1:], [False]])
+        ar = np.arange(n, dtype=np.int64)
+        lag = pc.if_else(pa.array(prev_ok),
+                         vals.take(pa.array(np.maximum(ar - 1, 0))),
+                         pa.scalar(None, vals.type))
+        lead = pc.if_else(pa.array(next_ok),
+                          vals.take(pa.array(np.minimum(ar + 1, n - 1))),
+                          pa.scalar(None, vals.type))
+        return (g.append_column("lag_" + value_col, lag)
+                 .append_column("lead_" + value_col, lead))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_ll, batch_format="pyarrow")
+    )

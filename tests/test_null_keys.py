@@ -73,7 +73,8 @@ def test_window_queries_null_partition_keys(ray_session, tmp_path):
               "max_gap_events_per_user", "session_window_events",
               "mode_event_type_per_user",
               "event_sequence_signature_events",
-              "first_last_event_per_user"]:
+              "first_last_event_per_user",
+              "lead_lag_events_value"]:
         problems = compare(QUERIES[q](d),
                            con.execute(ORACLE_SQL[q]).fetchdf())
         assert not problems, (q, problems)
