@@ -64,6 +64,7 @@ _SWEEP_FIRST = (
     "grouped_mad_outliers_events",
     "min_acctbal_supplier_per_part",
     "lead_lag_events_value",
+    "cohort_retention_events",
     # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
     "order_count_distribution",
     "disjunctive_revenue_part",

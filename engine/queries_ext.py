@@ -8074,3 +8074,87 @@ def lead_lag_events_value(sf_dir: str) -> pa.Table:
                          for c in ["event_id", "user_id", "value_c",
                                    "lag_value_c", "lead_value_c"]})
     return t.sort_by("event_id")
+
+
+@query(
+    "cohort_retention_events",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    firstd AS (
+      SELECT user_id, min(d) AS cohort FROM ud GROUP BY user_id
+    )
+    SELECT CAST(strftime(cohort, '%Y-%m-%d') AS VARCHAR) AS cohort_day,
+           date_diff('day', cohort, d) AS age_days,
+           count(*) AS n_users
+    FROM ud JOIN firstd USING (user_id)
+    GROUP BY cohort, age_days
+    ORDER BY cohort, age_days
+    """,
+)
+def cohort_retention_events(sf_dir: str) -> pa.Table:
+    """Cohort retention matrix: users grouped by their FIRST active
+    day, counted per (cohort, days-since-first) cell — the classic
+    curation/engagement analytics shape. One pass of block-local
+    distinct (user, day) pairs feeds ONE coarse user-bucket shuffle;
+    the per-bucket kernel takes each user's min day and expands their
+    distinct days into (cohort, age) rows, pre-aggregated per bucket;
+    cell counts are calendar^2-bounded, merged driver-side. NULL
+    user_id / ts drop up front on both engines (the SQL WHERE)."""
+    from .dsutil import DEFAULT_KEY_BUCKETS, key_bucket
+
+    DAY_US = 86_400_000_000
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b["user_id"]), pc.is_valid(b["ts"]))
+        t = b.filter(keep)
+        day = pc.cast(pc.divide(pc.cast(_ts_col(t, "ts"), pa.int64()),
+                                pa.scalar(DAY_US, pa.int64())),
+                      pa.int64())
+        p = (pa.table({"user_id": t["user_id"], "d": day})
+             .group_by(["user_id", "d"]).aggregate([])
+             .select(["user_id", "d"]))
+        return p.append_column(
+            "_b", pa.array(key_bucket(p, ["user_id"],
+                                      DEFAULT_KEY_BUCKETS)))
+
+    def bucket_kernel(g: pa.Table) -> pa.Table:
+        per = (g.group_by(["user_id", "d"]).aggregate([])
+                .select(["user_id", "d"]))  # re-dedup split pairs
+        first = (per.group_by(["user_id"]).aggregate([("d", "min")])
+                    .rename_columns(["user_id", "cohort"]))
+        fi = pc.index_in(per["user_id"], first["user_id"])
+        cohort = pc.take(first["cohort"], fi)
+        age = pc.subtract(per["d"].combine_chunks(),
+                          cohort.combine_chunks()
+                          if isinstance(cohort, pa.ChunkedArray)
+                          else cohort)
+        return (pa.table({"cohort": cohort, "age_days": age})
+                .group_by(["cohort", "age_days"])
+                .aggregate([([], "count_all")])
+                .rename_columns(["cohort", "age_days", "n_users"]))
+
+    parts = _collect(ds.map_batches(pairs, batch_format="pyarrow")
+                     .groupby("_b")
+                     .map_groups(bucket_kernel, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table({"cohort_day": pa.array([], pa.string()),
+                         "age_days": pa.array([], pa.int64()),
+                         "n_users": pa.array([], pa.int64())})
+    g = (parts.group_by(["cohort", "age_days"])
+              .aggregate([("n_users", "sum")])
+              .rename_columns(["cohort", "age_days", "n_users"]))
+    # epoch-day -> ISO date string (calendar^2-bounded rows, driver-side)
+    import datetime as _dt
+    days = g["cohort"].to_pylist()
+    iso = [( _dt.date(1970, 1, 1) + _dt.timedelta(days=int(x))
+            ).isoformat() for x in days]
+    out = pa.table({"cohort_day": pa.array(iso, pa.string()),
+                    "age_days": pc.cast(g["age_days"], pa.int64()),
+                    "n_users": pc.cast(g["n_users"], pa.int64())})
+    return out.sort_by([("cohort_day", "ascending"),
+                        ("age_days", "ascending")])

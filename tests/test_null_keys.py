@@ -74,7 +74,8 @@ def test_window_queries_null_partition_keys(ray_session, tmp_path):
               "mode_event_type_per_user",
               "event_sequence_signature_events",
               "first_last_event_per_user",
-              "lead_lag_events_value"]:
+              "lead_lag_events_value",
+              "cohort_retention_events"]:
         problems = compare(QUERIES[q](d),
                            con.execute(ORACLE_SQL[q]).fetchdf())
         assert not problems, (q, problems)
