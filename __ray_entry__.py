@@ -51,6 +51,8 @@ def entry() -> Any:
 # also re-checked against DuckDB every pytest run in
 # tests/test_queries_oracle.py).
 _SWEEP_FIRST = (
+    # -- session-8 additions --
+    "c4_line_filter_documents",
     # -- session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
     "local_supplier_volume",
     "volume_shipping_nations",

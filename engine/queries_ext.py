@@ -8158,3 +8158,102 @@ def cohort_retention_events(sf_dir: str) -> pa.Table:
                     "n_users": pc.cast(g["n_users"], pa.int64())})
     return out.sort_by([("cohort_day", "ascending"),
                         ("age_days", "ascending")])
+
+
+@query(
+    "c4_line_filter_documents",
+    r"""
+    WITH l AS (
+      SELECT doc_id, text,
+             unnest(string_split(text, chr(10))) AS line,
+             unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (WHERE regexp_matches(line, '[.!?"'']$')
+                    AND len(regexp_extract_all(line, '\S+')) >= 5
+                    AND NOT contains(lower(line), 'javascript')) AS BIGINT)
+                 AS n_kept_lines,
+             string_agg(line, chr(10) ORDER BY i)
+                 FILTER (WHERE regexp_matches(line, '[.!?"'']$')
+                    AND len(regexp_extract_all(line, '\S+')) >= 5
+                    AND NOT contains(lower(line), 'javascript')) AS kept_text,
+             max(CAST(contains(lower(text), 'lorem ipsum')
+                      OR contains(text, '{') AS INT)) AS bad
+      FROM l GROUP BY doc_id
+    )
+    SELECT doc_id, n_lines, n_kept_lines,
+           CAST(n_kept_lines >= 3 AND bad = 0 AS BIGINT) AS kept,
+           CASE WHEN n_kept_lines >= 3 AND bad = 0 THEN kept_text END
+               AS clean_text
+    FROM a ORDER BY doc_id
+    """,
+)
+def c4_line_filter_documents(sf_dir: str) -> pa.Table:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2, the public
+    heuristics; reference parity surface: the rule-driven text filters,
+    src/checker/transform_checker.py + config/rules): a line survives iff
+    it ends in terminal punctuation (``.!?"'``), has >= 5 whitespace
+    words, and does not mention "javascript" (case-insensitive); a page
+    survives iff >= 3 lines survive and the page contains neither
+    "lorem ipsum" (case-insensitive) nor ``{``. Emits per-doc line
+    stats, the 0/1 keep flag, and the cleaned text (kept lines re-joined
+    with ``\\n``; NULL for dropped pages).
+
+    Scale plan: embarrassingly parallel — one pruned-column pass, all
+    string kernels vectorized (Arrow ``split_pattern`` list offsets +
+    ``np.add.reduceat`` per-doc reduction + ``binary_join`` re-join), no
+    shuffle, no per-row Python. NULL-text docs drop out on both engines
+    (SQL ``unnest`` emits no row for a NULL split). The shipped testdata
+    is single-line word-soup, so the semantic weight is carried by the
+    planted multi-line fixture test (tests/test_c4_filter.py)."""
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fbatch(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_lines": pa.array([], pa.int64()),
+                             "n_kept_lines": pa.array([], pa.int64()),
+                             "kept": pa.array([], pa.int64()),
+                             "clean_text": pa.array([], pa.string())})
+        lines = pc.split_pattern(t["text"], "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        offs = lines.offsets.to_numpy()
+        counts = np.diff(offs)  # >= 1 per doc: split('') == ['']
+        flat = lines.values.slice(offs[0], offs[-1] - offs[0])
+        ends = pc.match_substring_regex(flat, '[.!?"\']$')
+        wc = pc.count_substring_regex(flat, r"\S+")
+        js = pc.match_substring(flat, "javascript", ignore_case=True)
+        keepl = pc.and_(pc.and_(ends, pc.greater_equal(wc, 5)),
+                        pc.invert(js))
+        keepl_np = keepl.to_numpy(zero_copy_only=False).astype(bool)
+        n_kept = np.add.reduceat(keepl_np.astype(np.int64),
+                                 (offs - offs[0])[:-1])
+        bad = pc.or_(
+            pc.match_substring(t["text"], "lorem ipsum", ignore_case=True),
+            pc.match_substring(t["text"], "{"))
+        kept = np.logical_and(
+            n_kept >= 3,
+            np.logical_not(bad.to_numpy(zero_copy_only=False).astype(bool)))
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        kept_lines = flat.filter(keepl)
+        kcounts = np.bincount(doc_idx[keepl_np], minlength=len(counts))
+        koffs = np.concatenate([[0], np.cumsum(kcounts)])
+        lst = pa.ListArray.from_arrays(
+            pa.array(koffs.astype(np.int32), pa.int32()), kept_lines)
+        joined = pc.binary_join(lst, "\n")
+        clean = pc.if_else(pa.array(kept), joined,
+                           pa.nulls(len(kept), pa.string()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_lines": pa.array(counts, pa.int64()),
+                         "n_kept_lines": pa.array(n_kept, pa.int64()),
+                         "kept": pa.array(kept.astype(np.int64), pa.int64()),
+                         "clean_text": clean})
+
+    out = ds.map_batches(fbatch, batch_format="pyarrow").sort("doc_id")
+    return _collect(out).select(
+        ["doc_id", "n_lines", "n_kept_lines", "kept", "clean_text"])

@@ -1,0 +1,112 @@
+"""Planted multi-line fixture for the C4-style line filter.
+
+The shipped documents table is single-line word-soup with no
+punctuation, so every page legitimately fails the >= 3-kept-lines rule
+there; only this fixture exercises the line-level semantics: terminal
+punctuation (incl. quote endings), the 5-word minimum, the javascript
+line drop, the lorem-ipsum / ``{`` page drops, empty and NULL text,
+and non-ASCII lines (char-based word counts on both engines).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "events", "embeddings"]
+
+GOOD = "A perfectly fine sentence with words."
+
+
+def _docs_fixture() -> pa.Table:
+    texts = [
+        # 3 kept of 5: short line, no-punct line dropped
+        f"{GOOD}\nAnother decent sentence sits right here!\n"
+        f"Is this a question with enough words?\nshort.\n"
+        "no terminal punctuation on this line at all",
+        "",                                     # empty text -> 1 line, 0 kept
+        None,                                   # NULL text -> no output row
+        f"{GOOD}\n{GOOD}",                      # only 2 kept -> page dropped
+        # javascript line dropped but 3 others keep the page
+        f"{GOOD}\nPlease enable JavaScript to view this page.\n"
+        f"{GOOD}\n{GOOD}",
+        f"Lorem Ipsum dolor sit amet friend.\n{GOOD}\n{GOOD}\n{GOOD}",
+        f"{GOOD}\nvar x = {{ a: 1 }};\n{GOOD}\n{GOOD}\n{GOOD}",
+        # quote / apostrophe terminal endings count
+        'He said "hello there my good friend"\n'
+        "That was the neighbours' shared garden plot'\n"
+        f"{GOOD}",
+        # non-ASCII: words counted per whitespace token, not bytes
+        "überraschend gute Sätze füllen diese Zeile aus.\n"
+        "die zweite Zeile hat auch fünf Wörter!\n"
+        "la tercera línea también tiene bastantes palabras.",
+        # exactly 5 words is kept; 4 words is not
+        "one two three four five.\none two three four.\n"
+        "alpha beta gamma delta epsilon?\nuno dos tres cuatro cinco!",
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["src0"] * len(texts)),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+    })
+
+
+def _write_dir(tmp_path, docs: pa.Table):
+    d = tmp_path / "sfc4"
+    d.mkdir()
+    for t in OTHER_TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    # several row groups so the batch kernel sees offset-sliced chunks
+    pq.write_table(docs, d / "documents.parquet", row_group_size=3)
+    return str(d)
+
+
+def test_c4_line_filter_planted(ray_session, tmp_path):
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    d = _write_dir(tmp_path, _docs_fixture())
+    con = duckdb_con(d)
+    res = QUERIES["c4_line_filter_documents"](d)
+    problems = compare(
+        res, con.execute(ORACLE_SQL["c4_line_filter_documents"]).fetchdf())
+    assert not problems, problems
+    # semantic spot checks on the engine result itself
+    rows = {r["doc_id"]: r for r in res.to_pylist()}
+    assert 2 not in rows                       # NULL text emits no row
+    assert rows[0]["kept"] == 1 and rows[0]["n_kept_lines"] == 3
+    assert rows[0]["clean_text"].count("\n") == 2
+    assert rows[1] == {"doc_id": 1, "n_lines": 1, "n_kept_lines": 0,
+                       "kept": 0, "clean_text": None}
+    assert rows[3]["kept"] == 0                # 2 kept lines < 3
+    assert rows[4]["kept"] == 1                # js line dropped, page kept
+    assert "JavaScript" not in rows[4]["clean_text"]
+    assert rows[5]["kept"] == 0                # lorem ipsum page drop
+    assert rows[6]["kept"] == 0                # '{' page drop
+    assert rows[7]["kept"] == 1                # quote/apostrophe endings
+    assert rows[8]["kept"] == 1                # non-ASCII lines count words
+    assert rows[9]["n_kept_lines"] == 3        # 4-word line dropped
+
+
+def test_c4_line_filter_testdata(ray_session):
+    """Degenerate real-testdata shape (single-line, no punctuation)
+    still matches the oracle: every page has n_lines == 1, 0 kept."""
+    import engine.queries_ext  # noqa: F401
+    import pyarrow.compute as pc
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(SF)
+    res = QUERIES["c4_line_filter_documents"](SF)
+    problems = compare(
+        res, con.execute(ORACLE_SQL["c4_line_filter_documents"]).fetchdf())
+    assert not problems, problems
+    assert pc.max(res["n_lines"]).as_py() == 1
+    assert pc.sum(res["kept"]).as_py() == 0
