@@ -8257,3 +8257,103 @@ def c4_line_filter_documents(sf_dir: str) -> pa.Table:
     out = ds.map_batches(fbatch, batch_format="pyarrow").sort("doc_id")
     return _collect(out).select(
         ["doc_id", "n_lines", "n_kept_lines", "kept", "clean_text"])
+
+
+@query(
+    "cc_luhn_pii_documents",
+    r"""
+    WITH c AS (
+      SELECT doc_id,
+             list_filter(regexp_extract_all(text, '\d+'),
+                         x -> length(x) BETWEEN 13 AND 19) AS cands
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(len(cands) AS BIGINT) AS n_candidates,
+           CAST(coalesce(list_sum(list_transform(cands, x -> CAST(
+               list_sum(list_transform(generate_series(1, length(x)),
+                   i -> CASE
+                       WHEN i % 2 = 0 THEN CASE
+                           WHEN 2 * CAST(substr(reverse(x), i, 1) AS INT) > 9
+                           THEN 2 * CAST(substr(reverse(x), i, 1) AS INT) - 9
+                           ELSE 2 * CAST(substr(reverse(x), i, 1) AS INT) END
+                       ELSE CAST(substr(reverse(x), i, 1) AS INT) END))
+               % 10 = 0 AS INT))), 0) AS BIGINT) AS n_luhn_valid,
+           CAST(coalesce(list_sum(list_transform(cands, x -> CAST(
+               list_sum(list_transform(generate_series(1, length(x)),
+                   i -> CASE
+                       WHEN i % 2 = 0 THEN CASE
+                           WHEN 2 * CAST(substr(reverse(x), i, 1) AS INT) > 9
+                           THEN 2 * CAST(substr(reverse(x), i, 1) AS INT) - 9
+                           ELSE 2 * CAST(substr(reverse(x), i, 1) AS INT) END
+                       ELSE CAST(substr(reverse(x), i, 1) AS INT) END))
+               % 10 = 0 AS INT))), 0) > 0 AS BIGINT) AS has_cc_pii
+    FROM c ORDER BY doc_id
+    """,
+)
+def cc_luhn_pii_documents(sf_dir: str) -> pa.Table:
+    """Credit-card PII detection with Luhn checksum validation — the
+    step beyond the reference's regex-shape PII checks (masking_checker
+    .py:50-112, pii detection core.py:510): a 13-19 digit run is only a
+    *candidate*; the Luhn mod-10 check separates real card numbers from
+    arbitrary ids, cutting false positives the way production PII
+    scanners do. Candidates are maximal digit runs (SQL
+    ``regexp_extract_all('\\d+')`` == Arrow ``split_pattern_regex`` on
+    ``\\D+`` — a 20-digit run is NOT a candidate on either engine).
+
+    Scale plan: embarrassingly parallel, zero shuffle, zero per-row
+    Python — digit runs via one RE2 split, candidate selection by
+    vectorized length mask, and the Luhn sum computed over the
+    candidates' raw UTF-8 bytes (zero-copy ``byte_view``) with
+    position-parity doubling + ``np.add.reduceat`` per-candidate
+    reduction. NULL-text docs drop on both engines. The shipped corpus
+    is digit-free word-soup, so semantics are pinned by the planted
+    fixture (tests/test_c4_filter.py::test_cc_luhn_planted)."""
+    from .stages.textfeat import byte_view
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+
+    def fbatch(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_candidates": pa.array([], pa.int64()),
+                             "n_luhn_valid": pa.array([], pa.int64()),
+                             "has_cc_pii": pa.array([], pa.int64())})
+        runs = pc.split_pattern_regex(t["text"], r"\D+")
+        if isinstance(runs, pa.ChunkedArray):
+            runs = runs.combine_chunks()
+        offs = runs.offsets.to_numpy()
+        counts = np.diff(offs)
+        flat = runs.values.slice(offs[0], offs[-1] - offs[0])
+        ln = pc.binary_length(flat).to_numpy(zero_copy_only=False)
+        cand_mask = (ln >= 13) & (ln <= 19)
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        cand_doc = doc_idx[cand_mask]
+        n_docs = len(counts)
+        n_cand = np.bincount(cand_doc, minlength=n_docs)
+        if cand_doc.size:
+            cands = flat.filter(pa.array(cand_mask))
+            data, coffs = byte_view(cands)
+            d = (data.astype(np.int64) - 48)
+            lens = np.diff(coffs)
+            ends = np.repeat(coffs[1:], lens)
+            pos_from_right = ends - np.arange(len(data))  # 1 = rightmost
+            v = np.where(pos_from_right % 2 == 0, d * 2, d)
+            v = np.where(v > 9, v - 9, v)
+            sums = np.add.reduceat(v, coffs[:-1])  # every cand >= 13 bytes
+            valid = (sums % 10) == 0
+            n_valid = np.bincount(cand_doc[valid], minlength=n_docs)
+        else:
+            n_valid = np.zeros(n_docs, np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_candidates": pa.array(n_cand.astype(np.int64), pa.int64()),
+            "n_luhn_valid": pa.array(n_valid.astype(np.int64), pa.int64()),
+            "has_cc_pii": pa.array((n_valid > 0).astype(np.int64),
+                                   pa.int64()),
+        })
+
+    out = ds.map_batches(fbatch, batch_format="pyarrow").sort("doc_id")
+    return _collect(out).select(
+        ["doc_id", "n_candidates", "n_luhn_valid", "has_cc_pii"])

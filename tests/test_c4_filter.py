@@ -110,3 +110,90 @@ def test_c4_line_filter_testdata(ray_session):
     assert not problems, problems
     assert pc.max(res["n_lines"]).as_py() == 1
     assert pc.sum(res["kept"]).as_py() == 0
+
+
+def _cc_docs_fixture() -> pa.Table:
+    texts = [
+        "call me at 4539578763621486 ok",       # 1 valid (classic test CC)
+        "two cards 4539578763621486 and 4539578763621487 here",  # 1 of 2
+        "no digits at all",
+        None,                                   # NULL text -> no output row
+        # 12- and 20-digit runs are not candidates on either engine
+        "short 123456789012 and long 45395787636214860001 runs",
+        "edge4111111111111111",                 # valid visa glued to a word
+        "13digit 7624810430311 maybe",          # 13-digit candidate
+        "19digit 4539578763621486009 x",        # 19-digit candidate
+        "",                                     # empty text
+    ]
+    return pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["src0"] * len(texts)),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts], pa.int64()),
+    })
+
+
+def test_cc_luhn_planted(ray_session, tmp_path):
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    d = tmp_path / "sfcc"
+    d.mkdir()
+    for t in OTHER_TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(_cc_docs_fixture(), d / "documents.parquet",
+                   row_group_size=3)
+    d = str(d)
+    con = duckdb_con(d)
+    res = QUERIES["cc_luhn_pii_documents"](d)
+    problems = compare(
+        res, con.execute(ORACLE_SQL["cc_luhn_pii_documents"]).fetchdf())
+    assert not problems, problems
+    rows = {r["doc_id"]: r for r in res.to_pylist()}
+    assert 3 not in rows                        # NULL text emits no row
+    assert rows[0] == {"doc_id": 0, "n_candidates": 1, "n_luhn_valid": 1,
+                       "has_cc_pii": 1}
+    assert (rows[1]["n_candidates"], rows[1]["n_luhn_valid"]) == (2, 1)
+    assert rows[4]["n_candidates"] == 0         # 12/20-digit runs excluded
+    assert rows[5]["has_cc_pii"] == 1           # word-glued run still found
+    assert rows[8] == {"doc_id": 8, "n_candidates": 0, "n_luhn_valid": 0,
+                       "has_cc_pii": 0}
+    # pure-python Luhn cross-check of every candidate verdict
+    import re
+
+    def luhn(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s), 1):
+            v = int(ch)
+            if i % 2 == 0:
+                v *= 2
+                if v > 9:
+                    v -= 9
+            tot += v
+        return tot % 10 == 0
+
+    for r in _cc_docs_fixture().to_pylist():
+        if r["text"] is None:
+            continue
+        cands = [c for c in re.findall(r"\d+", r["text"])
+                 if 13 <= len(c) <= 19]
+        assert rows[r["doc_id"]]["n_candidates"] == len(cands)
+        assert rows[r["doc_id"]]["n_luhn_valid"] == sum(
+            luhn(c) for c in cands)
+
+
+def test_cc_luhn_testdata(ray_session):
+    """Digit-free real corpus still matches: all-zero counts."""
+    import engine.queries_ext  # noqa: F401
+    import pyarrow.compute as pc
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    con = duckdb_con(SF)
+    res = QUERIES["cc_luhn_pii_documents"](SF)
+    problems = compare(
+        res, con.execute(ORACLE_SQL["cc_luhn_pii_documents"]).fetchdf())
+    assert not problems, problems
+    assert pc.sum(res["n_candidates"]).as_py() == 0
