@@ -54,6 +54,7 @@ _SWEEP_FIRST = (
     # -- session-8 additions --
     "c4_line_filter_documents",
     "cc_luhn_pii_documents",
+    "event_transition_counts_events",
     # -- session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
     "local_supplier_volume",
     "volume_shipping_nations",

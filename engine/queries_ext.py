@@ -8357,3 +8357,82 @@ def cc_luhn_pii_documents(sf_dir: str) -> pa.Table:
     out = ds.map_batches(fbatch, batch_format="pyarrow").sort("doc_id")
     return _collect(out).select(
         ["doc_id", "n_candidates", "n_luhn_valid", "has_cc_pii"])
+
+
+@query(
+    "event_transition_counts_events",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE ts IS NOT NULL
+    )
+    SELECT prev_type, event_type AS next_type, CAST(count(*) AS BIGINT) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_counts_events(sf_dir: str) -> pa.Table:
+    """Per-user event-type transition matrix (Markov bigram counts) —
+    the sequence-analytics shape behind funnel discovery and session
+    modeling: for each user ordered by (ts, event_id), count every
+    (previous type -> next type) pair, aggregated globally.
+
+    Scale plan: same bucket-then-vectorize shape as the LAG/LEAD
+    window (stages/windows.py lead_lag_values) — ONE coarse user-hash
+    shuffle, per-bucket (user, ts, id) sort, neighbour gather via one
+    shifted take masked by null-aware segment edges (NULL user is its
+    OWN partition, never merged) — but each bucket emits only its
+    n_types^2-bounded partial counts, merged driver-side; nothing
+    row-sized crosses the shuffle twice. NULL timestamps drop up front
+    (module convention, mirrored in the oracle WHERE); a NULL
+    predecessor TYPE and "no predecessor" both drop, exactly like the
+    SQL ``lag(...) IS NOT NULL`` filter."""
+    from .dsutil import DEFAULT_KEY_BUCKETS, key_bucket, new_segment_mask
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        return t.append_column(
+            "_b", pa.array(key_bucket(t, ["user_id"], DEFAULT_KEY_BUCKETS)))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_b"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("ts", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        keys = g["user_id"]
+        types = g["event_type"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        prev_ok = ~new_segment_mask(keys, n)  # has a same-user predecessor
+        ar = np.arange(n, dtype=np.int64)
+        prev = types.take(pa.array(np.maximum(ar - 1, 0)))
+        keep = pc.and_(pa.array(prev_ok), pc.is_valid(prev))
+        pairs = pa.table({"prev_type": prev, "next_type": types}).filter(keep)
+        if pairs.num_rows == 0:
+            return pa.table({"prev_type": pa.array([], pa.string()),
+                             "next_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        return (pairs.group_by(["prev_type", "next_type"])
+                     .aggregate([([], "count_all")])
+                     .rename_columns(["prev_type", "next_type", "n"]))
+
+    parts = _collect(ds.map_batches(add_bucket, batch_format="pyarrow")
+                     .groupby("_b")
+                     .map_groups(bucket_pairs, batch_format="pyarrow"))
+    if parts.num_rows == 0:
+        return pa.table({"prev_type": pa.array([], pa.string()),
+                         "next_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    g = (parts.group_by(["prev_type", "next_type"])
+              .aggregate([("n", "sum")])
+              .rename_columns(["prev_type", "next_type", "n"]))
+    return (g.set_column(2, "n", pc.cast(g["n"], pa.int64()))
+             .sort_by([("prev_type", "ascending"),
+                       ("next_type", "ascending")]))

@@ -75,7 +75,8 @@ def test_window_queries_null_partition_keys(ray_session, tmp_path):
               "event_sequence_signature_events",
               "first_last_event_per_user",
               "lead_lag_events_value",
-              "cohort_retention_events"]:
+              "cohort_retention_events",
+              "event_transition_counts_events"]:
         problems = compare(QUERIES[q](d),
                            con.execute(ORACLE_SQL[q]).fetchdf())
         assert not problems, (q, problems)
