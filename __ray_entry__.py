@@ -55,6 +55,7 @@ _SWEEP_FIRST = (
     "c4_line_filter_documents",
     "cc_luhn_pii_documents",
     "event_transition_counts_events",
+    "term_cooccurrence_documents",
     # -- session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
     "local_supplier_volume",
     "volume_shipping_nations",

@@ -8436,3 +8436,103 @@ def event_transition_counts_events(sf_dir: str) -> pa.Table:
     return (g.set_column(2, "n", pc.cast(g["n"], pa.int64()))
              .sort_by([("prev_type", "ascending"),
                        ("next_type", "ascending")]))
+
+
+@query(
+    "term_cooccurrence_documents",
+    r"""
+    WITH vocab AS (
+      SELECT tok AS term FROM (
+        SELECT unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+      WHERE tok <> ''
+      GROUP BY tok ORDER BY count(*) DESC, term ASC LIMIT 50
+    ),
+    dt AS (
+      SELECT DISTINCT doc_id, tok AS term FROM (
+        SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS tok
+        FROM documents WHERE text IS NOT NULL)
+      WHERE tok IN (SELECT term FROM vocab)
+    )
+    SELECT a.term AS term_a, b.term AS term_b,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+    GROUP BY term_a, term_b
+    ORDER BY term_a, term_b
+    """,
+)
+def term_cooccurrence_documents(sf_dir: str) -> pa.Table:
+    """Term co-occurrence over the corpus top-50 vocabulary — the
+    collocation-analysis shape (PMI / word-association inputs): for
+    every vocabulary pair (a < b lexicographically), the number of
+    docs containing BOTH terms (tokenizer convention shared with
+    vocab_top_terms_documents: ``\\s+`` split, empty tokens dropped).
+
+    Scale plan: the SQL's token-level self-join (quadratic fan-out)
+    is replaced by a per-batch boolean presence matrix over the
+    broadcast K=50 vocab and ONE (batch_rows x K)^T @ (batch_rows x K)
+    matmul — each BLOCK (``batch_size=None``) emits a K^2-bounded
+    partial (<= 1225 rows), so the driver merge is k-by-blocks-bounded
+    like the calendar-partial queries; the only distributed wide op is
+    the tiny vocab top-50 itself. Vocab ids are assigned in
+    lexicographic order so the upper triangle IS the ``a < b`` pair
+    set."""
+    from .stages.textstats import term_frequencies
+
+    ds = _t(sf_dir, "documents", ["doc_id", "text"])
+    vt = _collect(term_frequencies(ds)
+                  .sort(["freq", "term"], descending=[True, False])
+                  .limit(50))
+    if vt.num_rows == 0:
+        return pa.table({"term_a": pa.array([], pa.string()),
+                         "term_b": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    vocab = vt["term"]
+    if isinstance(vocab, pa.ChunkedArray):
+        vocab = vocab.combine_chunks()
+    vsorted = vocab.take(pc.sort_indices(vocab))
+    terms = vsorted.to_pylist()
+    K = len(terms)
+    iu, ju = np.triu_indices(K, 1)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["text"]))
+        empty = pa.table({"i": pa.array([], pa.int64()),
+                          "j": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern_regex(t["text"], r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy()
+        counts = np.diff(offs)
+        flat = toks.values.slice(offs[0], offs[-1] - offs[0])
+        doc_idx = np.repeat(np.arange(len(counts)), counts)
+        ids = pc.index_in(flat, value_set=vsorted)
+        valid = pc.is_valid(ids).to_numpy(zero_copy_only=False).astype(bool)
+        idn = pc.fill_null(ids, 0).to_numpy(zero_copy_only=False)
+        m = np.zeros((len(counts), K), bool)
+        m[doc_idx[valid], idn[valid].astype(np.int64)] = True
+        c = m.T.astype(np.int64) @ m.astype(np.int64)
+        n = c[iu, ju]
+        nz = n > 0
+        if not nz.any():
+            return empty
+        return pa.table({"i": pa.array(iu[nz].astype(np.int64), pa.int64()),
+                         "j": pa.array(ju[nz].astype(np.int64), pa.int64()),
+                         "n": pa.array(n[nz], pa.int64())})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=None))
+    if parts.num_rows == 0:
+        return pa.table({"term_a": pa.array([], pa.string()),
+                         "term_b": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64())})
+    g = (parts.group_by(["i", "j"]).aggregate([("n", "sum")])
+              .rename_columns(["i", "j", "n_docs"]))
+    ta = pc.take(vsorted, pc.cast(g["i"], pa.int32()))
+    tb = pc.take(vsorted, pc.cast(g["j"], pa.int32()))
+    return (pa.table({"term_a": ta, "term_b": tb,
+                      "n_docs": pc.cast(g["n_docs"], pa.int64())})
+            .sort_by([("term_a", "ascending"), ("term_b", "ascending")]))
