@@ -42,21 +42,41 @@ def entry() -> Any:
 
 
 # Driver-sweep ordering (the driver certifies a fixed-size window — 50 in
-# rounds 1-3 — from the head of this tuple). Round-4 rotation: the 17
-# oracle-SQL queries that never had a driver CORRECTNESS row through round
-# 3 (including the §2 parity queries percentage_range_discount / M8 and
-# ssn_mask_format_customer_name / M11) lead, followed by the rows-only
-# sketch/ANN/multimodal queries and this round's new queries, then the
-# 91 queries already driver-certified green in rounds 1-3 (each of those
-# also re-checked against DuckDB every pytest run in
-# tests/test_queries_oracle.py).
+# rounds 1-3 — from the head of this tuple). Round-4 rotation, sized so a
+# 50-slot window covers exactly blocks 1-6 below: (1) the 17 oracle-SQL
+# queries the round-3 verdict flagged as never driver-certified (item 1's
+# done-bar, incl. the §2 parity queries percentage_range_discount / M8 and
+# ssn_mask_format_customer_name / M11), then (2-6) the session-8/7/6/5/4
+# additions (17+4+13+3+1+12 = 50). Everything after — the spans /
+# incremental / jpeg block and the rows-only recerts — rotates to the
+# round-5 head. Every oracle query is also re-checked against DuckDB on
+# every pytest run (tests/test_queries_oracle.py), so a query outside the
+# window is still continuously verified, just not driver-certified yet.
 _SWEEP_FIRST = (
-    # -- session-8 additions --
+    # -- (1) never driver-swept oracle-SQL queries (round-3 verdict item 1) --
+    "percentage_range_discount",
+    "ssn_mask_format_customer_name",
+    "top_sources_documents",
+    "winsorize_clip_events",
+    "asof_forward_events_orders",
+    "weighted_sample_documents",
+    "histogram_events_value",
+    "conversion_latency_percentiles_events",
+    "benford_first_digit_events",
+    "share_of_total_events_by_type",
+    "equidepth_histogram_events",
+    "null_profile_orders",
+    "customers_without_orders",
+    "value_percentiles_cont_events",
+    "fuzzy_name_pairs_customer",
+    "fuzzy_name_pairs2_customer",
+    "pivot_events_by_type",
+    # -- (2) session-8 additions --
     "c4_line_filter_documents",
     "cc_luhn_pii_documents",
     "event_transition_counts_events",
     "term_cooccurrence_documents",
-    # -- session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
+    # -- (3) session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
     "local_supplier_volume",
     "volume_shipping_nations",
     "market_share_nation",
@@ -90,8 +110,10 @@ _SWEEP_FIRST = (
     "value_ranks_events_per_user",
     "forecast_revenue_change",
     "top_supplier_revenue",
-    # -- new this round: cross-doc repeated-span detection + incremental
-    # shard-vs-index near-dedup (rows-only) --
+    # ---- 50-slot window boundary: round-5 rotation head below ----
+    # -- cross-doc repeated-span detection + incremental shard-vs-index
+    # near-dedup (oracle: duplicate/strip_spans, shipping_priority;
+    # rows-only: incremental_*, ingest_shard, jpeg decode) --
     "duplicate_spans_documents",
     "strip_spans_documents",
     "incremental_neardup_documents",
@@ -99,24 +121,6 @@ _SWEEP_FIRST = (
     "ingest_shard_documents",
     "multimodal_jpeg_decode_features",
     "shipping_priority_orders",
-    # -- never driver-swept oracle-SQL queries (round-3 verdict item 1) --
-    "percentage_range_discount",
-    "ssn_mask_format_customer_name",
-    "top_sources_documents",
-    "winsorize_clip_events",
-    "asof_forward_events_orders",
-    "weighted_sample_documents",
-    "histogram_events_value",
-    "conversion_latency_percentiles_events",
-    "benford_first_digit_events",
-    "share_of_total_events_by_type",
-    "equidepth_histogram_events",
-    "null_profile_orders",
-    "customers_without_orders",
-    "value_percentiles_cont_events",
-    "fuzzy_name_pairs_customer",
-    "fuzzy_name_pairs2_customer",
-    "pivot_events_by_type",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",
