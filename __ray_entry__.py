@@ -121,6 +121,7 @@ _SWEEP_FIRST = (
     "ingest_shard_documents",
     "multimodal_jpeg_decode_features",
     "shipping_priority_orders",
+    "corr_by_returnflag_lineitem",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

@@ -8536,3 +8536,97 @@ def term_cooccurrence_documents(sf_dir: str) -> pa.Table:
     return (pa.table({"term_a": ta, "term_b": tb,
                       "n_docs": pc.cast(g["n_docs"], pa.int64())})
             .sort_by([("term_a", "ascending"), ("term_b", "ascending")]))
+
+
+@query(
+    "corr_by_returnflag_lineitem",
+    """
+    WITH p AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS DOUBLE)
+                 AS sx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sy,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)
+                      * CAST(floor(l_quantity + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n AS total_rows,
+           CAST(floor((n * sxy - sx * sy)
+                      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                      * 10000 + 0.5) AS BIGINT) AS corr_x10k
+    FROM p ORDER BY l_returnflag
+    """,
+)
+def corr_by_returnflag_lineitem(sf_dir: str) -> pa.Table:
+    """Grouped Pearson correlation (quantity vs price per return flag)
+    — the per-segment variant of corr_lineitem_qty_price, same exact
+    float policy: per-batch int64 moment partials GROUPED by flag
+    (one tiny group_by per batch), merged per group on the driver in
+    arbitrary-precision Python ints, then ONE double-precision formula
+    per group with the identical expression tree as the SQL —
+    bit-identical by IEEE determinism, no accumulation-order
+    dependence. Partial volume is |flags| x blocks, driver-bounded;
+    zero-variance groups raise loudly (correlation undefined)."""
+    import math
+
+    ds = _t(sf_dir, "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = _cents(batch["l_quantity"], 1.0)
+        y = _cents(batch["l_extendedprice"])
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
+            "sx": x, "sy": y,
+            "sxy": pc.multiply_checked(x, y),
+            "sxx": pc.multiply_checked(x, x),
+            "syy": pc.multiply_checked(y, y),
+        })
+        g = t.group_by(["l_returnflag"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum"), ("syy", "sum")])
+        return g.rename_columns(
+            ["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy"])
+
+    # batch_size 32768 bounds the per-batch syy partial at ~3.6e18 < 2^63
+    # (price <= ~$105k -> cents^2 <= 1.1e14 per row); multiply_checked
+    # raises rather than wrapping if a future corpus violates the bound
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=32768))
+    # per-group merge in PYTHON ints (arbitrary precision — an Arrow
+    # int64 group-sum would overflow on the syy partials at scale,
+    # exactly what the global corr query's driver merge avoids)
+    acc: dict[str, list[int]] = {}
+    for row in parts.to_pylist():
+        a = acc.setdefault(row["l_returnflag"], [0, 0, 0, 0, 0, 0])
+        for i, k in enumerate(["n", "sx", "sy", "sxy", "sxx", "syy"]):
+            a[i] += row[k]
+    flags, ns, corrs = [], [], []
+    # NULL flag (one SQL group) sorts last, matching ORDER BY NULLS LAST
+    for flag in sorted(acc, key=lambda f: (f is None, f or "")):
+        n, isx, isy, isxy, isxx, isyy = acc[flag]
+        sx, sy = float(isx), float(isy)
+        sxy, sxx, syy = float(isxy), float(isxx), float(isyy)
+        den = (math.sqrt(n * sxx - sx * sx)
+               * math.sqrt(n * syy - sy * sy))
+        if den == 0.0:
+            raise ValueError(
+                "corr_by_returnflag_lineitem: zero variance in group "
+                f"{flag!r} — correlation undefined")
+        corr = (n * sxy - sx * sy) / den
+        flags.append(flag)
+        ns.append(n)
+        corrs.append(int(math.floor(corr * 10000 + 0.5)))
+    return pa.table({"l_returnflag": pa.array(flags, pa.string()),
+                     "total_rows": pa.array(ns, pa.int64()),
+                     "corr_x10k": pa.array(corrs, pa.int64())})
