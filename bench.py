@@ -73,6 +73,11 @@ QUERY_SET = [
     # round-4 session-7 additions (star-join + two-shuffle shapes)
     "local_supplier_volume",
     "waiting_suppliers",
+    # round-4 session-8 additions (line-filter scan, ordered-window
+    # partials, broadcast-vocab matmul)
+    "c4_line_filter_documents",
+    "event_transition_counts_events",
+    "term_cooccurrence_documents",
 ]
 
 

@@ -2730,6 +2730,27 @@ def revenue_by_nation(sf_dir: str,
 # Exact-partial Pearson correlation profile
 # ===========================================================================
 
+# 32768-row batches x values below 2^24 keep every int64 moment partial
+# under 32768 * (2^24)^2 == 2^63 — the enforced (not just documented)
+# no-wrap contract for the corr partials below
+_CORR_BATCH = 32768
+_CORR_MAX_ABS = 1 << 24
+
+
+def _check_moment_bound(qname: str, *cols) -> None:
+    """Raise loudly if any projected integer column's magnitude could
+    wrap an int64 sum-of-squares partial over a ``_CORR_BATCH``-row
+    batch (silent wraparound would return a plausible-but-wrong
+    correlation)."""
+    for c in cols:
+        vals = np.asarray(c)
+        if vals.size and np.abs(vals).max() >= _CORR_MAX_ABS:
+            raise ValueError(
+                f"{qname}: projected value magnitude >= 2^24 — the "
+                "int64 moment partials could overflow; rescale the "
+                "projection or shrink the batch")
+
+
 @query(
     "corr_lineitem_qty_price",
     """
@@ -2765,7 +2786,6 @@ def corr_lineitem_qty_price(sf_dir: str) -> pa.Table:
     with the identical expression tree as the SQL — bit-identical by
     IEEE determinism, no float-accumulation-order dependence."""
     import math
-    from ray.data.aggregate import Sum
 
     ds = _t(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
 
@@ -2773,16 +2793,19 @@ def corr_lineitem_qty_price(sf_dir: str) -> pa.Table:
         x = _cents(batch["l_quantity"], 1.0).to_numpy(
             zero_copy_only=False)
         y = _cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False)
+        _check_moment_bound("corr_lineitem_qty_price", x, y)
         return pa.table({k: pa.array([v], pa.int64()) for k, v in [
             ("n", len(x)), ("sx", int(x.sum())), ("sy", int(y.sum())),
             ("sxy", int((x * y).sum())), ("sxx", int((x * x).sum())),
             ("syy", int((y * y).sum())),
         ]})
 
-    # batch_size 32768 bounds the per-batch syy partial at ~3.6e18 < 2^63
-    # (price <= ~$105k -> cents^2 <= 1.1e14 per row)
+    # batch_size 32768 bounds the per-batch syy partial at
+    # 32768 * max(cents)^2; _check_moment_bound raises loudly if any
+    # projected value's magnitude reaches 2^24 cents (~$168k), the
+    # point where that product could wrap int64
     parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
-                                    batch_size=32768))
+                                    batch_size=_CORR_BATCH))
     n = sum(parts["n"].to_pylist())
     sx = float(sum(parts["sx"].to_pylist()))
     sy = float(sum(parts["sy"].to_pylist()))
@@ -8239,10 +8262,8 @@ def c4_line_filter_documents(sf_dir: str) -> pa.Table:
         kept = np.logical_and(
             n_kept >= 3,
             np.logical_not(bad.to_numpy(zero_copy_only=False).astype(bool)))
-        doc_idx = np.repeat(np.arange(len(counts)), counts)
         kept_lines = flat.filter(keepl)
-        kcounts = np.bincount(doc_idx[keepl_np], minlength=len(counts))
-        koffs = np.concatenate([[0], np.cumsum(kcounts)])
+        koffs = np.concatenate([[0], np.cumsum(n_kept)])
         lst = pa.ListArray.from_arrays(
             pa.array(koffs.astype(np.int32), pa.int32()), kept_lines)
         joined = pc.binary_join(lst, "\n")
@@ -8380,41 +8401,31 @@ def event_transition_counts_events(sf_dir: str) -> pa.Table:
     modeling: for each user ordered by (ts, event_id), count every
     (previous type -> next type) pair, aggregated globally.
 
-    Scale plan: same bucket-then-vectorize shape as the LAG/LEAD
-    window (stages/windows.py lead_lag_values) — ONE coarse user-hash
-    shuffle, per-bucket (user, ts, id) sort, neighbour gather via one
-    shifted take masked by null-aware segment edges (NULL user is its
-    OWN partition, never merged) — but each bucket emits only its
-    n_types^2-bounded partial counts, merged driver-side; nothing
-    row-sized crosses the shuffle twice. NULL timestamps drop up front
-    (module convention, mirrored in the oracle WHERE); a NULL
-    predecessor TYPE and "no predecessor" both drop, exactly like the
-    SQL ``lag(...) IS NOT NULL`` filter."""
-    from .dsutil import DEFAULT_KEY_BUCKETS, key_bucket, new_segment_mask
+    Scale plan: REUSES the LAG/LEAD window kernel
+    (stages/windows.py lead_lag_values — one coarse user-hash shuffle,
+    per-bucket (user, ts, id) sort, shifted-take neighbour gather on
+    null-aware segment edges; NULL user is its OWN partition, never
+    merged), then a per-batch pair-count partial over its output —
+    n_types^2-bounded per batch, merged driver-side; nothing row-sized
+    crosses a second shuffle. NULL timestamps drop inside
+    lead_lag_values (module convention, mirrored in the oracle WHERE);
+    a NULL predecessor TYPE and "no predecessor" both surface as a
+    NULL lag and drop together, exactly like the SQL
+    ``lag(...) IS NOT NULL`` filter."""
+    from .stages.windows import lead_lag_values
 
     ds = _t(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-    def add_bucket(b: pa.Table) -> pa.Table:
-        t = b.filter(pc.is_valid(b["ts"]))
-        return t.append_column(
-            "_b", pa.array(key_bucket(t, ["user_id"], DEFAULT_KEY_BUCKETS)))
+    # ONE shared null-aware lag gather (same kernel as
+    # lead_lag_events_value — no second copy of the segment-edge
+    # logic), then a per-batch pair-count partial over its output
+    ll = lead_lag_values(ds, key_col="user_id", ts_col="ts",
+                         id_col="event_id", value_col="event_type")
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        g = group.drop_columns(["_b"])
-        idx = pc.sort_indices(g, sort_keys=[
-            ("user_id", "ascending"), ("ts", "ascending"),
-            ("event_id", "ascending")])
-        g = g.take(idx)
-        n = g.num_rows
-        keys = g["user_id"]
-        types = g["event_type"]
-        if isinstance(types, pa.ChunkedArray):
-            types = types.combine_chunks()
-        prev_ok = ~new_segment_mask(keys, n)  # has a same-user predecessor
-        ar = np.arange(n, dtype=np.int64)
-        prev = types.take(pa.array(np.maximum(ar - 1, 0)))
-        keep = pc.and_(pa.array(prev_ok), pc.is_valid(prev))
-        pairs = pa.table({"prev_type": prev, "next_type": types}).filter(keep)
+    def pair_partial(b: pa.Table) -> pa.Table:
+        pairs = (pa.table({"prev_type": b["lag_event_type"],
+                           "next_type": b["event_type"]})
+                 .filter(pc.is_valid(b["lag_event_type"])))
         if pairs.num_rows == 0:
             return pa.table({"prev_type": pa.array([], pa.string()),
                              "next_type": pa.array([], pa.string()),
@@ -8423,9 +8434,7 @@ def event_transition_counts_events(sf_dir: str) -> pa.Table:
                      .aggregate([([], "count_all")])
                      .rename_columns(["prev_type", "next_type", "n"]))
 
-    parts = _collect(ds.map_batches(add_bucket, batch_format="pyarrow")
-                     .groupby("_b")
-                     .map_groups(bucket_pairs, batch_format="pyarrow"))
+    parts = _collect(ll.map_batches(pair_partial, batch_format="pyarrow"))
     if parts.num_rows == 0:
         return pa.table({"prev_type": pa.array([], pa.string()),
                          "next_type": pa.array([], pa.string()),
@@ -8584,6 +8593,10 @@ def corr_by_returnflag_lineitem(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         x = _cents(batch["l_quantity"], 1.0)
         y = _cents(batch["l_extendedprice"])
+        _check_moment_bound(
+            "corr_by_returnflag_lineitem",
+            x.to_numpy(zero_copy_only=False),
+            y.to_numpy(zero_copy_only=False))
         t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "n": pa.array(np.ones(batch.num_rows, np.int64), pa.int64()),
@@ -8598,11 +8611,12 @@ def corr_by_returnflag_lineitem(sf_dir: str) -> pa.Table:
         return g.rename_columns(
             ["l_returnflag", "n", "sx", "sy", "sxy", "sxx", "syy"])
 
-    # batch_size 32768 bounds the per-batch syy partial at ~3.6e18 < 2^63
-    # (price <= ~$105k -> cents^2 <= 1.1e14 per row); multiply_checked
-    # raises rather than wrapping if a future corpus violates the bound
+    # _check_moment_bound enforces (not just documents) the no-wrap
+    # contract: _CORR_BATCH rows x values < 2^24 keep the per-batch
+    # Arrow int64 group-sums below 2^63; multiply_checked additionally
+    # guards the per-row products
     parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
-                                    batch_size=32768))
+                                    batch_size=_CORR_BATCH))
     # per-group merge in PYTHON ints (arbitrary precision — an Arrow
     # int64 group-sum would overflow on the syy partials at scale,
     # exactly what the global corr query's driver merge avoids)
