@@ -122,6 +122,7 @@ _SWEEP_FIRST = (
     "multimodal_jpeg_decode_features",
     "shipping_priority_orders",
     "corr_by_returnflag_lineitem",
+    "join_key_skew_orders",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

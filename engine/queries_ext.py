@@ -8644,3 +8644,77 @@ def corr_by_returnflag_lineitem(sf_dir: str) -> pa.Table:
     return pa.table({"l_returnflag": pa.array(flags, pa.string()),
                      "total_rows": pa.array(ns, pa.int64()),
                      "corr_x10k": pa.array(corrs, pa.int64())})
+
+
+@query(
+    "join_key_skew_orders",
+    """
+    WITH c AS (
+      SELECT o_custkey AS k, count(*) AS n FROM orders
+      WHERE o_custkey IS NOT NULL GROUP BY k
+    ),
+    t AS (
+      SELECT CAST(sum(n) AS BIGINT) AS total_rows,
+             CAST(count(*) AS BIGINT) AS distinct_keys,
+             CAST(max(n) AS BIGINT) AS max_key_rows
+      FROM c
+    ),
+    top AS (
+      SELECT CAST(sum(n) AS BIGINT) AS top10_rows
+      FROM (SELECT n FROM c ORDER BY n DESC, k ASC LIMIT 10)
+    )
+    SELECT total_rows, distinct_keys, max_key_rows, top10_rows,
+           CAST(floor(10000.0 * top10_rows / total_rows + 0.5) AS BIGINT)
+               AS top10_share_x10k,
+           CAST(floor(10000.0 * max_key_rows / total_rows + 0.5) AS BIGINT)
+               AS max_share_x10k
+    FROM t, top
+    """,
+)
+def join_key_skew_orders(sf_dir: str) -> pa.Table:
+    """Join-key skew profile — the diagnostic a 100-TB pipeline runs
+    BEFORE committing to a shuffle key (the engine's own salting /
+    hot-key guidance in docs/SCALE.md is driven by exactly these
+    numbers): distinct-key cardinality, the hottest key's row share,
+    and the top-10 keys' combined share of the fact table.
+
+    Scale plan: per-block ``value_counts`` partials -> ONE key-hash
+    groupby Sum (volume bounded by distinct keys, not rows); the
+    profile stats are then computed ON the counts dataset — a tiny
+    aggregate for total/cardinality/max plus a distributed
+    sort-desc-limit-10 for the head — so nothing key-cardinality-sized
+    ever reaches the driver. The share division is one f64 expression
+    with the oracle's tree (exact ints up to 2^53 rows)."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _t(sf_dir, "orders", ["o_custkey"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["o_custkey"]
+        return _vc_partial(b.filter(pc.is_valid(col))["o_custkey"], "k", "n")
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("k")
+                .aggregate(Sum("n", alias_name="n")))
+    agg = counts.aggregate(Sum("n", alias_name="total"),
+                           Count(alias_name="nk"),
+                           Max("n", alias_name="mx"))
+    total = int(agg["total"] or 0)
+    if total == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["total_rows", "distinct_keys", "max_key_rows",
+                          "top10_rows", "top10_share_x10k",
+                          "max_share_x10k"]})
+    top = _collect(counts.sort(["n", "k"], descending=[True, False])
+                   .limit(10))
+    top10 = int(pc.sum(top["n"]).as_py() or 0)
+    return _row(
+        total_rows=total,
+        distinct_keys=int(agg["nk"]),
+        max_key_rows=int(agg["mx"]),
+        top10_rows=top10,
+        top10_share_x10k=int(math.floor(10000.0 * top10 / total + 0.5)),
+        max_share_x10k=int(math.floor(
+            10000.0 * int(agg["mx"]) / total + 0.5)))
