@@ -197,3 +197,48 @@ def test_cc_luhn_testdata(ray_session):
         res, con.execute(ORACLE_SQL["cc_luhn_pii_documents"]).fetchdf())
     assert not problems, problems
     assert pc.sum(res["n_candidates"]).as_py() == 0
+
+
+def test_term_cooccurrence_planted(ray_session, tmp_path):
+    """Planted co-occurrence edges: docs with 0/1 vocab terms emit no
+    pairs, repeated tokens count once per doc (DISTINCT semantics),
+    NULL text drops, and pair order is lexicographic a < b."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    texts = [
+        "alpha beta alpha beta alpha",   # repeats: one (alpha,beta) doc
+        "beta alpha",                    # order within doc irrelevant
+        "alpha",                         # single term -> no pairs
+        None,                            # NULL text drops
+        "gamma delta epsilon",
+        "delta gamma",
+        "alpha gamma",
+        "zeta",                          # df-1 tail term
+    ]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array(["src0"] * len(texts)),
+        "n_chars": pa.array([len(t) if t else 0 for t in texts],
+                            pa.int64()),
+    })
+    d = tmp_path / "sfcooc"
+    d.mkdir()
+    for t in OTHER_TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(docs, d / "documents.parquet", row_group_size=2)
+    d = str(d)
+    con = duckdb_con(d)
+    res = QUERIES["term_cooccurrence_documents"](d)
+    problems = compare(
+        res, con.execute(ORACLE_SQL["term_cooccurrence_documents"]).fetchdf())
+    assert not problems, problems
+    got = {(r["term_a"], r["term_b"]): r["n_docs"] for r in res.to_pylist()}
+    assert got[("alpha", "beta")] == 2       # repeats counted once per doc
+    assert got[("delta", "gamma")] == 2
+    assert ("alpha", "alpha") not in got     # no self-pairs
+    assert all(a < b for a, b in got)        # lexicographic pair order
+    assert not any("zeta" in p for p in got)  # df-1 term pairs with nothing
