@@ -123,6 +123,11 @@ _SWEEP_FIRST = (
     "shipping_priority_orders",
     "corr_by_returnflag_lineitem",
     "join_key_skew_orders",
+    # -- session-9 additions: rank-position windows + distribution stats --
+    "percentile_position_events_per_user",
+    "gini_value_events",
+    "ks_ab_drift_events",
+    "longest_daily_streak_events",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

@@ -8718,3 +8718,349 @@ def join_key_skew_orders(sf_dir: str) -> pa.Table:
         top10_share_x10k=int(math.floor(10000.0 * top10 / total + 0.5)),
         max_share_x10k=int(math.floor(
             10000.0 * int(agg["mx"]) / total + 0.5)))
+
+
+# ===========================================================================
+# PERCENT_RANK / CUME_DIST + distribution statistics (Gini, KS drift)
+# ===========================================================================
+
+@query(
+    "percentile_position_events_per_user",
+    """
+    SELECT event_id,
+           CAST(floor(10000.0 * percent_rank() OVER
+                    (PARTITION BY user_id ORDER BY value) + 0.5) AS BIGINT)
+               AS pr_x10k,
+           CAST(floor(10000.0 * cume_dist() OVER
+                    (PARTITION BY user_id ORDER BY value) + 0.5) AS BIGINT)
+               AS cd_x10k
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def percentile_position_events_per_user(sf_dir: str) -> pa.Table:
+    """PERCENT_RANK and CUME_DIST per partition — the relative-position
+    window functions completing the rank family (RANK/DENSE_RANK live in
+    value_ranks_events_per_user, whose kernel this extends): one
+    coarse-bucket shuffle on the user key, one vectorized
+    (user, value, id) sort per bucket, then both statistics fall out of
+    four boundary arrays — null-aware segment/peer STARTS (as in
+    value_ranks) plus their exclusive ENDS (next boundary position
+    gathered by segment id). percent_rank = (rank-1)/(n_part-1) (0 for
+    single-row partitions, DuckDB's convention); cume_dist =
+    peers_through_current / n_part. NULL users are their own partition;
+    NULL values sort last and are mutual peers. Same no-NaN value
+    contract as value_ranks_events_per_user."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_bucket_of(b["user_id"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[
+            ("user_id", "ascending"), ("value", "ascending"),
+            ("event_id", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        users = g["user_id"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        vals = g["value"]
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        new_part = new_segment_mask(users, n)
+        new_peer = new_part | new_segment_mask(vals, n)
+        pos = np.arange(n, dtype=np.int64)
+        seg_start = np.maximum.accumulate(np.where(new_part, pos, 0))
+        peer_start = np.maximum.accumulate(np.where(new_peer, pos, 0))
+        seg_end = np.append(np.flatnonzero(new_part)[1:], n)[
+            np.cumsum(new_part) - 1]
+        peer_end = np.append(np.flatnonzero(new_peer)[1:], n)[
+            np.cumsum(new_peer) - 1]
+        npart = seg_end - seg_start
+        rnk = peer_start - seg_start + 1
+        pr = np.where(npart > 1,
+                      (rnk - 1.0) / np.maximum(npart - 1, 1), 0.0)
+        cd = (peer_end - seg_start).astype(np.float64) / npart
+        return pa.table({
+            "event_id": g["event_id"],
+            "pr_x10k": pa.array(
+                np.floor(10000.0 * pr + 0.5).astype(np.int64)),
+            "cd_x10k": pa.array(
+                np.floor(10000.0 * cd + 0.5).astype(np.int64)),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(pick, batch_format="pyarrow"))
+    return _collect(out).sort_by("event_id").select(
+        ["event_id", "pr_x10k", "cd_x10k"])
+
+
+@query(
+    "gini_value_events",
+    """
+    WITH g AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY v
+    ),
+    o AS (
+      SELECT v, c,
+             CAST(COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(v * c) AS BIGINT) AS s,
+             CAST(sum(v * (2 * c * cb + c * (c + 1))) AS BIGINT) AS w2
+      FROM o
+    )
+    SELECT n AS n_rows,
+           CAST(floor(10000.0 * (CAST(w2 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) + 0.5)
+                AS BIGINT) AS gini_x10k
+    FROM t
+    """,
+)
+def gini_value_events(sf_dir: str) -> pa.Table:
+    """Gini concentration coefficient of the value distribution — the
+    inequality statistic a data pipeline uses to quantify how skewed a
+    spend / engagement / token-count distribution is. Exact rank-free
+    formulation over the DISTINCT-VALUE histogram: for sorted distinct
+    cents v_k with count c_k and preceding cumulative cb_k, the
+    rank-weighted sum 2*sum(i*x_i) equals sum_k v_k*(2*c_k*cb_k +
+    c_k*(c_k+1)) because tied ranks contribute their arithmetic-series
+    total regardless of tie order.
+
+    Scale plan: per-block ``value_counts`` partials -> ONE groupby Sum
+    keyed on the cents value (volume bounded by the value DOMAIN, not
+    rows — same bounded-key argument as the calendar partials in
+    daily_count_compare); the ordered cumulative scan then runs
+    driver-side over <= domain-size rows in arbitrary-precision Python
+    ints (the w2 partials would overflow Arrow int64 at corpus scale:
+    v*c*cb ~ 1e4 * n^2). The final division is one f64 expression with
+    the oracle's exact tree."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["value"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()
+        return _vc_partial(_cents(col), "v", "c")
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("v")
+                        .aggregate(Sum("c", alias_name="c")))
+    if counts.num_rows == 0:
+        return pa.table({"n_rows": pa.array([], pa.int64()),
+                         "gini_x10k": pa.array([], pa.int64())})
+    counts = counts.sort_by("v")
+    vals = counts["v"].to_pylist()
+    cnts = counts["c"].to_pylist()
+    n = s = w2 = cb = 0
+    for v, c in zip(vals, cnts):
+        n += c
+        s += v * c
+        w2 += v * (2 * c * cb + c * (c + 1))
+        cb += c
+    if s == 0:
+        raise ValueError(
+            "gini_value_events: total value mass is zero — the Gini "
+            "coefficient is undefined (the oracle would emit NaN)")
+    gini = (float(w2) / (float(n) * float(s))
+            - (float(n) + 1.0) / float(n))
+    return _row(n_rows=n, gini_x10k=int(math.floor(10000.0 * gini + 0.5)))
+
+
+@query(
+    "ks_ab_drift_events",
+    """
+    WITH g AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS ca,
+             CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS cb
+      FROM events WHERE value IS NOT NULL GROUP BY v
+    ),
+    o AS (
+      SELECT CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS cuma,
+             CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS cumb
+      FROM g
+    ),
+    t AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM g)
+    SELECT na, nb,
+           CAST(max(abs(cuma * nb - cumb * na)) AS BIGINT) AS ks_num,
+           CAST(floor(10000.0
+                * CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) + 0.5)
+                AS BIGINT) AS ks_x10k
+    FROM o, t
+    GROUP BY na, nb
+    """,
+)
+def ks_ab_drift_events(sf_dir: str) -> pa.Table:
+    """Two-sample Kolmogorov-Smirnov statistic between the even- and
+    odd-event_id halves of the value distribution — the drift test an
+    A/B data split (or yesterday-vs-today ingest comparison) runs; the
+    sup-distance complement to value_drift_halves_events' bucketed
+    frequency comparison. KS = max_v |F_A(v) - F_B(v)| evaluated at the
+    distinct observed values; computed EXACTLY in integer
+    cross-multiplication (|cumA*nB - cumB*nA|, division deferred to one
+    final f64 op) so no per-step float CDF rounding can move the argmax.
+
+    Scale plan: identical to gini_value_events — per-block dual-count
+    partials keyed on the cents value (one CASE-split value_counts
+    pass), ONE domain-bounded groupby Sum, ordered cumulative scan
+    driver-side in Python ints (cum*n products overflow int64 at
+    ~2^31.5 rows per side; the oracle's HUGEINT does the same exercise)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_id", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["value"]))
+        v = _cents(t["value"])
+        is_a = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        va = v.filter(is_a)
+        vb = v.filter(pc.invert(is_a))
+        pa_t = _vc_partial(va, "v", "ca")
+        pa_t = pa_t.append_column(
+            "cb", pa.array(np.zeros(pa_t.num_rows, np.int64)))
+        pb_t = _vc_partial(vb, "v", "cb")
+        pb_t = pa.table({"v": pb_t["v"],
+                         "ca": pa.array(np.zeros(pb_t.num_rows, np.int64)),
+                         "cb": pb_t["cb"]})
+        return pa.concat_tables([pa_t.select(["v", "ca", "cb"]), pb_t])
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("v")
+                        .aggregate(Sum("ca", alias_name="ca"),
+                                   Sum("cb", alias_name="cb")))
+    if counts.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ["na", "nb", "ks_num", "ks_x10k"]})
+    counts = counts.sort_by("v")
+    ca = counts["ca"].to_pylist()
+    cb = counts["cb"].to_pylist()
+    na, nb = sum(ca), sum(cb)
+    cuma = cumb = 0
+    ks_num = 0
+    for a, b_ in zip(ca, cb):
+        cuma += a
+        cumb += b_
+        d = abs(cuma * nb - cumb * na)
+        if d > ks_num:
+            ks_num = d
+    ks = float(ks_num) / (float(na) * float(nb))
+    return _row(na=na, nb=nb, ks_num=ks_num,
+                ks_x10k=int(math.floor(10000.0 * ks + 0.5)))
+
+
+@query(
+    "longest_daily_streak_events",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL
+    ),
+    i AS (
+      SELECT user_id, day,
+             CAST(day AS DATE) - CAST(row_number() OVER
+                 (PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+      FROM d
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS streak
+      FROM i GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(max(streak) AS BIGINT) AS max_streak
+    FROM s GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def longest_daily_streak_events(sf_dir: str) -> pa.Table:
+    """Longest consecutive-active-day streak per user — the classic
+    gaps-and-islands shape (SQL: day minus ROW_NUMBER buckets runs into
+    islands). The vectorized kernel needs no island ids at all: after
+    one (user, day) sort per user bucket, duplicate days collapse via
+    an adjacent-change mask, a streak restarts where the user changes
+    (null-aware — a NULL user is its own partition, matching
+    PARTITION BY) or the day gap != 1, running lengths fall out of
+    pos - maximum.accumulate(restart positions), and the per-user max
+    is one ``np.maximum.reduceat`` over user starts. One coarse-bucket
+    shuffle on the user key co-locates each user; buckets are key-hash
+    sized (users/256 per bucket), not group-sized."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"user_id": t["user_id"], "day": days})
+        # block-local (user, day) pre-dedup caps shuffle volume at
+        # users x active-days per block
+        g = t2.group_by(["user_id", "day"]).aggregate([([], "count_all")])
+        t2 = g.select(["user_id", "day"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["user_id"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                            ("day", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "max_streak": pa.array([], pa.int64())})
+        users = g["user_id"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        days = g["day"].to_numpy(zero_copy_only=False)
+        new_user = new_segment_mask(users, n)
+        # cross-block duplicate (user, day) rows survive the per-block
+        # pre-dedup; collapse them here (days carry no nulls)
+        keep = new_user | np.concatenate([[True], days[1:] != days[:-1]])
+        users = users.filter(pa.array(keep))
+        days = days[keep]
+        new_user = new_user[keep]
+        m = len(days)
+        pos = np.arange(m, dtype=np.int64)
+        gap = np.concatenate([[True], (days[1:] - days[:-1]) != 1])
+        new_streak = new_user | gap
+        streak_start = np.maximum.accumulate(np.where(new_streak, pos, 0))
+        streak_len = pos - streak_start + 1
+        ustarts = np.flatnonzero(new_user)
+        mx = np.maximum.reduceat(streak_len, ustarts)
+        return pa.table({
+            "user_id": users.take(pa.array(ustarts, pa.int64())),
+            "max_streak": pa.array(mx, pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(pick, batch_format="pyarrow"))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "max_streak": pa.array([], pa.int64())})
+    return t.sort_by("user_id").select(["user_id", "max_streak"])

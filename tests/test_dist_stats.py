@@ -1,0 +1,160 @@
+"""Planted-fixture tests for the distribution-statistics queries added in
+round 4 session 9: PERCENT_RANK/CUME_DIST, Gini, KS A/B drift, and the
+gaps-and-islands daily streak.
+
+The shipped testdata has no NULL users / values / timestamps and no
+degenerate distributions, so only these fixtures exercise: NULL
+partition keys (one partition of their own), NULL values (NULLS LAST
+mutual peers; excluded from the value histograms), NULL timestamps
+(dropped on both sides), hand-checkable streak islands, and the
+zero-mass Gini guard.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+OTHER_TABLES = ["region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem", "documents", "embeddings"]
+
+NEW_QUERIES = ["percentile_position_events_per_user", "gini_value_events",
+               "ks_ab_drift_events", "longest_daily_streak_events"]
+
+
+def _events(n=600, seed=23) -> pa.Table:
+    """Events with ~11% NULL users, ~8% NULL values, ~7% NULL ts, value
+    ties (quantized to 0.5 steps), and multi-day activity islands."""
+    rng = np.random.default_rng(seed)
+    day = 86_400_000_000
+    user = rng.integers(0, 25, n)
+    uid = pa.array([None if i % 9 == 0 else int(user[i]) for i in range(n)],
+                   pa.int64())
+    # day pattern: consecutive runs with deliberate gaps
+    days = rng.integers(0, 14, n)
+    ts = pa.array([None if i % 13 == 5 else
+                   1_700_000_000_000_000 + int(days[i]) * day
+                   + (i % 7) * 3_600_000_000
+                   for i in range(n)], pa.timestamp("us"))
+    raw = np.round(rng.uniform(0, 40, n) * 2) / 2  # heavy ties
+    val = pa.array([None if i % 12 == 3 else float(raw[i])
+                    for i in range(n)], pa.float64())
+    return pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": ts,
+        "user_id": uid,
+        "event_type": pa.array(
+            [["view", "click", "purchase", "signup"][i % 4]
+             for i in range(n)]),
+        "value": val,
+        "props": pa.array(['{"k": 1}'] * n),
+    })
+
+
+def _write_dir(tmp_path, events: pa.Table, name="sfdist"):
+    d = tmp_path / name
+    d.mkdir()
+    for t in OTHER_TABLES:
+        shutil.copy(f"{SF}/{t}.parquet", d / f"{t}.parquet")
+    pq.write_table(events, d / "events.parquet", row_group_size=75)
+    return str(d)
+
+
+def test_dist_stats_planted_nulls_vs_oracle(ray_session, tmp_path):
+    """All four new queries match DuckDB on a fixture with NULL users,
+    NULL values, NULL timestamps and heavy value ties."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    d = _write_dir(tmp_path, _events())
+    con = duckdb_con(d)
+    for q in NEW_QUERIES:
+        problems = compare(QUERIES[q](d),
+                           con.execute(ORACLE_SQL[q]).fetchdf())
+        assert not problems, (q, problems)
+
+
+def test_longest_streak_hand_checked(ray_session, tmp_path):
+    """Known islands: user 1 has days {0,1,2, 5,6}, user 2 has {3},
+    user 3 has {0,2,4} (all gaps), duplicate (user, day) rows collapse."""
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = [(1, 0), (1, 1), (1, 2), (1, 5), (1, 6), (1, 1),  # dup day
+            (2, 3),
+            (3, 0), (3, 2), (3, 4)]
+    n = len(rows)
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([base + d_ * day for _, d_ in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    d = _write_dir(tmp_path, events, "sfstreak")
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import QUERIES
+
+    out = QUERIES["longest_daily_streak_events"](d)
+    assert out.to_pylist() == [
+        {"user_id": 1, "max_streak": 3},
+        {"user_id": 2, "max_streak": 1},
+        {"user_id": 3, "max_streak": 1},
+    ]
+
+
+def test_gini_zero_mass_raises(ray_session, tmp_path):
+    """All-zero value mass: Gini undefined -> loud ValueError, never a
+    silent NaN row (house rule: degenerate stats raise, like corr)."""
+    n = 10
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([0.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    d = _write_dir(tmp_path, events, "sfzero")
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import QUERIES
+
+    with pytest.raises(ValueError, match="zero"):
+        QUERIES["gini_value_events"](d)
+
+
+def test_ks_detects_planted_drift(ray_session, tmp_path):
+    """Even event_ids drawn from value+20 shift: KS must be large; and
+    the engine matches the oracle on the same shifted fixture."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    rng = np.random.default_rng(7)
+    n = 400
+    vals = rng.uniform(0, 10, n)
+    vals[::2] += 20.0  # even ids shifted far right
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i * 1_000_000
+                        for i in range(n)], pa.timestamp("us")),
+        "user_id": pa.array([i % 5 for i in range(n)], pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array(vals, pa.float64()),
+        "props": pa.array(["{}"] * n),
+    })
+    d = _write_dir(tmp_path, events, "sfdrift")
+    con = duckdb_con(d)
+    q = "ks_ab_drift_events"
+    out = QUERIES[q](d)
+    problems = compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+    assert not problems, problems
+    assert out["ks_x10k"][0].as_py() == 10000  # fully separated halves
