@@ -128,6 +128,11 @@ _SWEEP_FIRST = (
     "gini_value_events",
     "ks_ab_drift_events",
     "longest_daily_streak_events",
+    # -- session-10 additions: reconciliation + distribution profiles --
+    "order_total_reconciliation",
+    "dayover_user_jaccard_events",
+    "chi2_type_weekday_events",
+    "simpson_diversity_events_per_user",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

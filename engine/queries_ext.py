@@ -9064,3 +9064,394 @@ def longest_daily_streak_events(sf_dir: str) -> pa.Table:
         return pa.table({"user_id": pa.array([], pa.int64()),
                          "max_streak": pa.array([], pa.int64())})
     return t.sort_by("user_id").select(["user_id", "max_streak"])
+
+
+# ===========================================================================
+# Transform-consistency reconciliation + distribution-shape profiles
+# ===========================================================================
+
+@query(
+    "order_total_reconciliation",
+    """
+    WITH ls AS (
+      SELECT l_orderkey AS k,
+             sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                      * (1.0 + l_tax) * 100 + 0.5) AS BIGINT)) AS lc,
+             CAST(count(*) AS BIGINT) AS ln
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    os AS (
+      SELECT o_orderkey AS k,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS oc
+      FROM orders
+    ),
+    j AS (SELECT os.k AS ok, ls.k AS lk, oc, lc
+          FROM os FULL OUTER JOIN ls ON os.k = ls.k)
+    SELECT CAST(count(*) FILTER (WHERE ok IS NOT NULL) AS BIGINT)
+               AS n_orders,
+           CAST(count(*) FILTER (WHERE ok IS NOT NULL AND lk IS NOT NULL)
+               AS BIGINT) AS n_with_lines,
+           CAST(count(*) FILTER (WHERE ok IS NOT NULL AND lk IS NOT NULL
+                                 AND abs(lc - oc) > 1) AS BIGINT)
+               AS n_mismatch,
+           CAST(count(*) FILTER (WHERE ok IS NOT NULL AND lk IS NULL)
+               AS BIGINT) AS n_orders_no_lineitems,
+           CAST(count(*) FILTER (WHERE ok IS NULL) AS BIGINT)
+               AS n_lineitem_orphan_orders
+    FROM j
+    """,
+)
+def order_total_reconciliation(sf_dir: str) -> pa.Table:
+    """Per-ORDER transform-consistency reconciliation — the reference's
+    aggregate-vs-aggregate compare (transform_checker.py:103-185) taken
+    to row grain: does each order header's o_totalprice equal the
+    rollup of its own lineitems' extendedprice*(1-disc)*(1+tax), within
+    a 1-cent tolerance? Also surfaces the two referential defects a
+    full-outer compare exposes: headers with no lineitems and lineitem
+    orphans. Exactness: each LINE's net is floored to integer cents
+    FIRST (identical expression tree both sides), so per-order sums are
+    order-free integer adds — no float accumulation-order hazard.
+
+    Scale plan: join-free tagged-union (the J4/J5 bucketed-diff shape,
+    checks/core.py:544): per-block partial rollups on the lineitem side
+    (group_by inside the block caps shuffle volume at distinct orders
+    per block), constant columns tag the orders side; ONE groupby Sum
+    on the order key merges both; the verdict counts reduce per-block
+    to single-row partials (blocks-bounded driver merge). Nothing
+    order-cardinality-sized reaches the driver."""
+    from ray.data.aggregate import Sum
+
+    li = _t(sf_dir, "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
+    od = _t(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def li_partial(b: pa.Table) -> pa.Table:
+        net = pc.multiply(
+            pc.multiply(b["l_extendedprice"],
+                        pc.subtract(1.0, b["l_discount"])),
+            pc.add(1.0, b["l_tax"]))
+        t = pa.table({"k": b["l_orderkey"], "lc": _cents(net)})
+        g = t.group_by("k").aggregate([("lc", "sum"), ([], "count_all")])
+        g = g.rename_columns(["k", "lc", "ln"])
+        z = pa.array(np.zeros(g.num_rows, np.int64))
+        return pa.table({"k": g["k"], "lc": g["lc"],
+                         "ln": g["ln"].cast(pa.int64()),
+                         "oc": z, "on": z})
+
+    def od_partial(b: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(b.num_rows, np.int64))
+        return pa.table({"k": b["o_orderkey"], "lc": z, "ln": z,
+                         "oc": _cents(b["o_totalprice"]),
+                         "on": pa.array(np.ones(b.num_rows, np.int64))})
+
+    u = (li.map_batches(li_partial, batch_format="pyarrow")
+           .union(od.map_batches(od_partial, batch_format="pyarrow")))
+    merged = u.groupby("k").aggregate(
+        Sum("lc", alias_name="lc"), Sum("ln", alias_name="ln"),
+        Sum("oc", alias_name="oc"), Sum("on", alias_name="on"))
+
+    def verdict_partial(b: pa.Table) -> pa.Table:
+        ln = b["ln"].to_numpy()
+        on = b["on"].to_numpy()
+        lc = b["lc"].to_numpy()
+        oc = b["oc"].to_numpy()
+        is_order = on > 0
+        both = is_order & (ln > 0)
+        mism = both & (np.abs(lc - oc) > 1)
+        return _row(n_orders=int(is_order.sum()),
+                    n_with_lines=int(both.sum()),
+                    n_mismatch=int(mism.sum()),
+                    n_orders_no_lineitems=int((is_order & (ln == 0)).sum()),
+                    n_lineitem_orphan_orders=int((~is_order).sum()))
+
+    parts = _collect(merged.map_batches(
+        verdict_partial, batch_format="pyarrow"))
+    cols = ["n_orders", "n_with_lines", "n_mismatch",
+            "n_orders_no_lineitems", "n_lineitem_orphan_orders"]
+    return _row(**{c: int(pc.sum(parts[c]).as_py() or 0) for c in cols})
+
+
+@query(
+    "dayover_user_jaccard_events",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    s AS (SELECT day, CAST(count(*) AS BIGINT) AS sz FROM d GROUP BY day),
+    i AS (
+      SELECT a.day AS day, CAST(count(*) AS BIGINT) AS inter
+      FROM d a JOIN d b ON a.u = b.u AND b.day = a.day + 1
+      GROUP BY a.day
+    )
+    SELECT CAST(CAST(sa.day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           sa.sz AS size_a, sb.sz AS size_b,
+           COALESCE(i.inter, 0) AS inter,
+           CAST(floor(10000.0 * COALESCE(i.inter, 0)
+                / (sa.sz + sb.sz - COALESCE(i.inter, 0)) + 0.5) AS BIGINT)
+               AS jaccard_x10k
+    FROM s sa JOIN s sb ON sb.day = sa.day + 1
+    LEFT JOIN i ON i.day = sa.day
+    ORDER BY day
+    """,
+)
+def dayover_user_jaccard_events(sf_dir: str) -> pa.Table:
+    """Day-over-day audience overlap: Jaccard similarity between
+    consecutive days' distinct-user sets — the churn/stability profile
+    an ingest pipeline tracks to catch a partner feed swapping its user
+    population. The SQL self-join of the (user, day) set with itself at
+    day+1 becomes a sort-free per-user adjacency scan: after ONE
+    user-bucket shuffle, each bucket sorts its (user, day) pairs once;
+    a user's day list is contiguous, so next-day co-presence is a
+    vectorized diff==1 mask and both the per-day set sizes and the
+    per-day-pair intersection counts reduce to value_counts.
+
+    Scale plan: block-local (user, day) pre-dedup caps shuffle volume,
+    ONE coarse-bucket shuffle on the user key; per-bucket partials are
+    keyed by DAY (calendar-bounded, the daily_count_compare argument),
+    so the driver merge handles <= days x 256 tiny rows in exact
+    Python ints. Only days with an immediate successor emit a row."""
+    import math
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"u": t["user_id"], "d": days})
+        t2 = t2.group_by(["u", "d"]).aggregate([]).select(["u", "d"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["u"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        if n == 0:
+            return pa.table({c: pa.array([], pa.int64())
+                             for c in ["day", "sz", "inter"]})
+        u = g["u"].to_numpy()  # non-null by prep's filter
+        d = g["d"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        # cross-block duplicate (u, d) rows survive block pre-dedup
+        keep = ~(same & np.concatenate([[False], d[1:] == d[:-1]]))
+        u, d = u[keep], d[keep]
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        adj = same & np.concatenate([[False], (d[1:] - d[:-1]) == 1])
+        iv, ic = np.unique(d[np.flatnonzero(adj)] - 1, return_counts=True)
+        sv, sc = np.unique(d, return_counts=True)
+        allv = np.union1d(iv, sv)
+        sz = np.zeros(len(allv), np.int64)
+        sz[np.searchsorted(allv, sv)] = sc
+        it = np.zeros(len(allv), np.int64)
+        it[np.searchsorted(allv, iv)] = ic
+        return pa.table({"day": pa.array(allv, pa.int64()),
+                         "sz": pa.array(sz), "inter": pa.array(it)})
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    size: dict = {}
+    inter: dict = {}
+    for day, sz, it in zip(parts["day"].to_pylist(),
+                           parts["sz"].to_pylist(),
+                           parts["inter"].to_pylist()):
+        size[day] = size.get(day, 0) + sz
+        inter[day] = inter.get(day, 0) + it
+    rows = []
+    for day in sorted(size):
+        if day + 1 not in size:
+            continue
+        i = inter.get(day, 0)
+        a, b = size[day], size[day + 1]
+        rows.append({"day": day, "size_a": a, "size_b": b, "inter": i,
+                     "jaccard_x10k": int(math.floor(
+                         10000.0 * i / (a + b - i) + 0.5))})
+    if not rows:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["day", "size_a", "size_b", "inter",
+                          "jaccard_x10k"]})
+    return pa.Table.from_pylist(rows).select(
+        ["day", "size_a", "size_b", "inter", "jaccard_x10k"])
+
+
+@query(
+    "chi2_type_weekday_events",
+    """
+    WITH c AS (
+      SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type, dow
+    ),
+    m AS (
+      SELECT event_type, dow, n,
+             CAST(sum(n) OVER (PARTITION BY event_type) AS BIGINT) AS r,
+             CAST(sum(n) OVER (PARTITION BY dow) AS BIGINT) AS cc,
+             CAST(sum(n) OVER () AS BIGINT) AS t
+      FROM c
+    )
+    SELECT event_type, dow, n,
+           CAST(floor(10000.0 * (CAST(n * t - r * cc AS DOUBLE)
+                * CAST(n * t - r * cc AS DOUBLE))
+                / (CAST(r AS DOUBLE) * CAST(cc AS DOUBLE)
+                   * CAST(t AS DOUBLE)) + 0.5) AS BIGINT) AS contrib_x10k
+    FROM m ORDER BY event_type, dow
+    """,
+)
+def chi2_type_weekday_events(sf_dir: str) -> pa.Table:
+    """Chi-squared independence profile between event type and ISO
+    weekday — the seasonality/independence screen behind "is this
+    event mix weekday-driven?", emitted as PER-CELL contributions
+    ((observed*T - row*col)^2 / (row*col*T), x10k) rather than one
+    float total so every value is a single order-free division — a
+    float SUM over cells would be accumulation-order-sensitive vs the
+    SQL oracle (the moment-merge hazard _check_moment_bound documents).
+    The numerator is exact integer cross-multiplication.
+
+    Scale plan: per-block (type, weekday) count partials (domain-
+    bounded: |types| x 7 rows per block), ONE tiny composite groupby
+    Sum, margins and divisions driver-side over cell-count rows in
+    Python ints (n*T ~ rows^2 would wrap int64 at ~3e9 rows)."""
+    import math
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["event_type"])))
+        dow = pc.add(pc.day_of_week(_ts_us(t["ts"])), 1).cast(pa.int64())
+        g = (pa.table({"et": t["event_type"], "dow": dow})
+             .group_by(["et", "dow"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["et", "dow", "n"])
+
+    cells = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                       .groupby(["et", "dow"])
+                       .aggregate(Sum("n", alias_name="n")))
+    if cells.num_rows == 0:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "dow": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64()),
+                         "contrib_x10k": pa.array([], pa.int64())})
+    et = cells["et"].to_pylist()
+    dw = cells["dow"].to_pylist()
+    o = cells["n"].to_pylist()
+    total = sum(o)
+    rtot: dict = {}
+    ctot: dict = {}
+    for e, w, c in zip(et, dw, o):
+        rtot[e] = rtot.get(e, 0) + c
+        ctot[w] = ctot.get(w, 0) + c
+    rows = []
+    for e, w, c in zip(et, dw, o):
+        num = c * total - rtot[e] * ctot[w]
+        contrib = (float(num) * float(num)) / (
+            float(rtot[e]) * float(ctot[w]) * float(total))
+        rows.append({"event_type": e, "dow": w, "n": c,
+                     "contrib_x10k": int(math.floor(
+                         10000.0 * contrib + 0.5))})
+    return pa.Table.from_pylist(rows).sort_by(
+        [("event_type", "ascending"), ("dow", "ascending")])
+
+
+@query(
+    "simpson_diversity_events_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    s AS (
+      SELECT user_id, CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(n * (n - 1)) AS BIGINT) AS pairs
+      FROM c GROUP BY user_id HAVING sum(n) >= 2
+    )
+    SELECT user_id, n_events,
+           CAST(floor(10000.0 * (1.0 - CAST(pairs AS DOUBLE)
+                / (CAST(n_events AS DOUBLE)
+                   * (CAST(n_events AS DOUBLE) - 1.0))) + 0.5) AS BIGINT)
+               AS simpson_x10k
+    FROM s ORDER BY user_id
+    """,
+)
+def simpson_diversity_events_per_user(sf_dir: str) -> pa.Table:
+    """Per-user Simpson diversity index (1 - sum c_i(c_i-1)/n(n-1)) over
+    event-type mixes — the behavioral-diversity profile chosen over
+    Shannon entropy because it stays in EXACT integer arithmetic until
+    one final order-free division (entropy's per-category log-sum is
+    float-accumulation-ordered vs any SQL oracle). NULL users form
+    their own group and NULL event_type is its own category, matching
+    GROUP BY; single-event users are excluded (index undefined).
+
+    Scale plan: block-local (user, type) count partials, ONE
+    coarse-bucket shuffle on the user key (buckets key-hash sized, not
+    group-sized); per bucket, cross-block partials merge and both
+    per-user sums reduce via two np.add.reduceat passes over null-aware
+    segment starts — zero per-user Python. Result is per-user rows
+    (profile-sized output, collected like mode_event_type_per_user)."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = (pa.table({"u": b["user_id"], "et": b["event_type"]})
+             .group_by(["u", "et"]).aggregate([([], "count_all")]))
+        g = g.rename_columns(["u", "et", "n"])
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["u"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("et", "ascending")])
+        g = g.take(idx)
+        n = g.num_rows
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64()),
+                          "simpson_x10k": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        users = g["u"]
+        types = g["et"]
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        cnt = g["n"].to_numpy()
+        new_user = new_segment_mask(users, n)
+        new_pair = new_user | new_segment_mask(types, n)
+        pstarts = np.flatnonzero(new_pair)
+        c_pair = np.add.reduceat(cnt, pstarts)
+        nu_d = new_user[pstarts]
+        ustarts = np.flatnonzero(nu_d)
+        ntot = np.add.reduceat(c_pair, ustarts)
+        prs = np.add.reduceat(c_pair * (c_pair - 1), ustarts)
+        keep = ntot >= 2
+        if not keep.any():
+            return empty
+        simp = 1.0 - prs[keep].astype(np.float64) / (
+            ntot[keep].astype(np.float64) * (ntot[keep] - 1.0))
+        uid = users.take(pa.array(pstarts[ustarts[keep]], pa.int64()))
+        return pa.table({
+            "user_id": uid,
+            "n_events": pa.array(ntot[keep], pa.int64()),
+            "simpson_x10k": pa.array(
+                np.floor(10000.0 * simp + 0.5).astype(np.int64)),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(pick, batch_format="pyarrow"))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "simpson_x10k": pa.array([], pa.int64())})
+    return t.sort_by("user_id").select(
+        ["user_id", "n_events", "simpson_x10k"])
