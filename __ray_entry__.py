@@ -133,6 +133,10 @@ _SWEEP_FIRST = (
     "dayover_user_jaccard_events",
     "chi2_type_weekday_events",
     "simpson_diversity_events_per_user",
+    "revenue_pareto_orders",
+    "lag1_autocorr_daily_events",
+    "normalized_name_dups_customer",
+    "stickiness_dau_mau_events",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

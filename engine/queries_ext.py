@@ -9455,3 +9455,359 @@ def simpson_diversity_events_per_user(sf_dir: str) -> pa.Table:
                          "simpson_x10k": pa.array([], pa.int64())})
     return t.sort_by("user_id").select(
         ["user_id", "n_events", "simpson_x10k"])
+
+
+# ===========================================================================
+# Concentration / seasonality / normalization-dedup profiles
+# ===========================================================================
+
+@query(
+    "revenue_pareto_orders",
+    """
+    WITH t AS (
+      SELECT o_custkey AS c,
+             sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS s
+      FROM orders GROUP BY o_custkey
+    ),
+    r AS (
+      SELECT s, row_number() OVER (ORDER BY s DESC) AS rn,
+             count(*) OVER () AS n, sum(s) OVER () AS tot
+      FROM t
+    ),
+    z AS (
+      SELECT any_value(n) AS n, any_value(tot) AS tot,
+             COALESCE(sum(s) FILTER (WHERE rn <= n // 10), 0) AS t10,
+             COALESCE(sum(s) FILTER (WHERE rn <= n // 100), 0) AS t1
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(tot AS BIGINT) AS total_cents,
+           CAST(t10 AS BIGINT) AS top10_cents,
+           CAST(floor(10000.0 * t10 / tot + 0.5) AS BIGINT)
+               AS top10_share_x10k,
+           CAST(t1 AS BIGINT) AS top1_cents,
+           CAST(floor(10000.0 * t1 / tot + 0.5) AS BIGINT)
+               AS top1_share_x10k
+    FROM z
+    """,
+)
+def revenue_pareto_orders(sf_dir: str) -> pa.Table:
+    """Revenue concentration (Pareto profile): what share of total
+    order revenue comes from the top 10% / top 1% of customers — the
+    whale-dependence statistic behind skew-aware partitioning and
+    corpus-curation quota decisions. The SQL window rank becomes a
+    RANK-SELECTION problem: the k-th-largest per-customer total is
+    found by the histogram-guided exact selection (selection.py — zero
+    shuffle, no distributed sort), and the top-k SUM is then exact
+    integer arithmetic: sum(totals > boundary) + (k - count(totals >
+    boundary)) * boundary — tie-invariant, so it equals the oracle's
+    row_number FILTER regardless of which tied customers rank inside k.
+
+    Scale plan: per-block (custkey, cents) partials -> ONE groupby Sum;
+    the customer-totals dataset (aggregate-reduced, customers-sized) is
+    materialized ONCE so the stats pass, <=2 selection descents and the
+    final threshold pass scan blocks instead of re-running the shuffle.
+    Driver sees only per-block count/sum partials and the histogram."""
+    import math
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+    from .stages.selection import _exact_ranks
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"c": b["o_custkey"], "s": _cents(b["o_totalprice"])})
+        g = t.group_by("c").aggregate([("s", "sum")])
+        return g.rename_columns(["c", "s"])
+
+    from ray.data.aggregate import Sum as _S
+    totals = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("c").aggregate(_S("s", alias_name="s"))
+                .select_columns(["s"]).materialize())
+    agg = totals.aggregate(Count("s", alias_name="n"),
+                           Min("s", alias_name="lo"),
+                           Max("s", alias_name="hi"),
+                           Sum("s", alias_name="tot"))
+    n, tot = int(agg["n"]), int(agg["tot"])
+    if n == 0:
+        raise ValueError("revenue_pareto_orders: no orders")
+    ks = {"top10": n // 10, "top1": n // 100}
+    ranks = sorted({n - k + 1 for k in ks.values() if k > 0})
+    got = _exact_ranks(totals, "s", ranks, 4096, 4_000_000, 0,
+                       stats=(n, agg["lo"], agg["hi"])) if ranks else {}
+    bounds = {tag: int(got[n - k + 1]) if k > 0 else None
+              for tag, k in ks.items()}
+
+    def thresh_partial(b: pa.Table) -> pa.Table:
+        s = b["s"].to_numpy()
+        out = {}
+        for tag, bd in bounds.items():
+            if bd is None:
+                out[f"{tag}_cnt"] = 0
+                out[f"{tag}_sum"] = 0
+            else:
+                gt = s > bd
+                out[f"{tag}_cnt"] = int(gt.sum())
+                out[f"{tag}_sum"] = int(s[gt].sum())
+        return _row(**out)
+
+    parts = _collect(totals.map_batches(thresh_partial,
+                                        batch_format="pyarrow"))
+    res = {"n_customers": n, "total_cents": tot}
+    for tag, k in ks.items():
+        if k == 0:
+            top = 0
+        else:
+            cnt_gt = int(pc.sum(parts[f"{tag}_cnt"]).as_py() or 0)
+            sum_gt = int(pc.sum(parts[f"{tag}_sum"]).as_py() or 0)
+            top = sum_gt + (k - cnt_gt) * bounds[tag]
+        res[f"{tag}_cents"] = top
+        res[f"{tag}_share_x10k"] = int(math.floor(
+            10000.0 * top / tot + 0.5))
+    return _row(**{c: res[c] for c in
+                   ["n_customers", "total_cents", "top10_cents",
+                    "top10_share_x10k", "top1_cents", "top1_share_x10k"]})
+
+
+@query(
+    "lag1_autocorr_daily_events",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY day
+    ),
+    p AS (SELECT n AS y, lag(n) OVER (ORDER BY day) AS x FROM d),
+    q AS (
+      SELECT count(*) AS m,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM p WHERE x IS NOT NULL
+    )
+    SELECT CAST(m AS BIGINT) AS n_pairs,
+           CAST(floor((m * sxy - sx * sy)
+                / (sqrt(m * sxx - sx * sx) * sqrt(m * syy - sy * sy))
+                * 10000 + 0.5) AS BIGINT) AS acf1_x10k
+    FROM q
+    """,
+)
+def lag1_autocorr_daily_events(sf_dir: str) -> pa.Table:
+    """Lag-1 autocorrelation of the daily event-count series — the
+    time-series seasonality diagnostic ("is today's volume predicted by
+    yesterday's?") an ingest monitor runs on arrival counts. Pairs are
+    adjacent OBSERVED days in calendar order (the SQL LAG semantics —
+    missing days are absent, not zero-filled). Same exact float policy
+    as corr_by_returnflag_lineitem: integer moments merged in
+    arbitrary-precision Python ints, then ONE double-precision Pearson
+    formula with the oracle's exact expression tree.
+
+    Scale plan: per-block day value_counts partials, ONE
+    calendar-bounded groupby Sum (the daily_count_compare argument);
+    the lag pairing and moments run driver-side over <= days rows."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        return _vc_partial(days, "day", "n")
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("day")
+                        .aggregate(Sum("n", alias_name="n")))
+    if counts.num_rows < 2:
+        raise ValueError(
+            "lag1_autocorr_daily_events: need >= 2 observed days")
+    counts = counts.sort_by("day")
+    c = counts["n"].to_pylist()
+    x, y = c[:-1], c[1:]
+    m = len(x)
+    sx, sy = sum(x), sum(y)
+    sxy = sum(a * b for a, b in zip(x, y))
+    sxx = sum(a * a for a in x)
+    syy = sum(b * b for b in y)
+    den = (math.sqrt(m * float(sxx) - float(sx) * float(sx))
+           * math.sqrt(m * float(syy) - float(sy) * float(sy)))
+    if den == 0.0:
+        raise ValueError(
+            "lag1_autocorr_daily_events: constant daily counts — "
+            "autocorrelation undefined")
+    corr = (m * float(sxy) - float(sx) * float(sy)) / den
+    return _row(n_pairs=m, acf1_x10k=int(math.floor(corr * 10000 + 0.5)))
+
+
+@query(
+    "normalized_name_dups_customer",
+    """
+    WITH k AS (
+      SELECT regexp_replace(lower(trim(c_name)), '\\s+', ' ', 'g') AS key
+      FROM customer WHERE c_name IS NOT NULL
+    ),
+    g AS (SELECT key, CAST(count(*) AS BIGINT) AS n FROM k GROUP BY key)
+    SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(count(*) FILTER (WHERE n > 1) AS BIGINT) AS n_dup_keys,
+           CAST(COALESCE(sum(n) FILTER (WHERE n > 1), 0) AS BIGINT)
+               AS n_rows_in_dup_keys
+    FROM g
+    """,
+)
+def normalized_name_dups_customer(sf_dir: str) -> pa.Table:
+    """Normalization-keyed duplicate detection: rows whose names
+    collide after lower-casing, trimming and internal-whitespace
+    collapse — the cheap canonicalization screen run BEFORE the
+    edit-distance fuzzy joins (fuzzy.py), catching the case-variant /
+    double-space duplicates that need no DP verify at all. Arrow RE2
+    and DuckDB RE2 agree on the '\\s+' class, so the key expression is
+    portable; NULL names are excluded on both sides (documented WHERE).
+
+    Scale plan: the exact-dedup shape (stages/dedup.py) on a DERIVED
+    key: per-block normalized-key count partials (block-local group_by
+    caps shuffle volume at distinct keys per block), ONE key groupby
+    Sum, per-block single-row verdict partials merged driver-side."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "customer", ["c_name"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["c_name"]))
+        key = pc.replace_substring_regex(
+            pc.utf8_lower(pc.utf8_trim_whitespace(t["c_name"])),
+            r"\s+", " ")
+        g = (pa.table({"key": key}).group_by("key")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["key", "n"])
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("key").aggregate(Sum("n", alias_name="n")))
+
+    def verdict(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        dup = n > 1
+        return _row(n_rows=int(n.sum()), n_keys=len(n),
+                    n_dup_keys=int(dup.sum()),
+                    n_rows_in_dup_keys=int(n[dup].sum()))
+
+    parts = _collect(merged.map_batches(verdict, batch_format="pyarrow"))
+    cols = ["n_rows", "n_keys", "n_dup_keys", "n_rows_in_dup_keys"]
+    return _row(**{c: int(pc.sum(parts[c]).as_py() or 0) for c in cols})
+
+
+@query(
+    "stickiness_dau_mau_events",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ),
+    dau AS (SELECT day, CAST(count(*) AS BIGINT) AS c FROM du GROUP BY day),
+    mau AS (
+      SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS ym,
+             CAST(count(DISTINCT u) AS BIGINT) AS mau
+      FROM du GROUP BY ym
+    ),
+    da AS (
+      SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS ym,
+             CAST(sum(c) AS BIGINT) AS sum_dau,
+             CAST(count(*) AS BIGINT) AS ndays
+      FROM dau GROUP BY ym
+    )
+    SELECT da.ym AS ym, ndays, sum_dau, mau,
+           CAST(floor(10000.0 * (CAST(sum_dau AS DOUBLE)
+                / CAST(ndays AS DOUBLE)) / CAST(mau AS DOUBLE) + 0.5)
+                AS BIGINT) AS stickiness_x10k
+    FROM da JOIN mau ON da.ym = mau.ym ORDER BY ym
+    """,
+)
+def stickiness_dau_mau_events(sf_dir: str) -> pa.Table:
+    """DAU/MAU stickiness per month (avg daily active users over
+    monthly active users — the engagement-intensity ratio): two
+    distinct-user counts at different calendar grains sharing ONE
+    shuffle. After block-local (user, day) pre-dedup and one
+    coarse-bucket shuffle on the user key, each bucket owns its users
+    completely, so per-day DAU partials AND per-month distinct-user
+    partials are both exact within the bucket; the two partial kinds
+    travel in one tagged table ((kind, key, cnt) rows) and merge
+    driver-side over calendar-bounded keys in exact ints. avg DAU is
+    over OBSERVED days (the SQL counts days present in the data)."""
+    import math
+
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"u": t["user_id"], "d": days})
+        t2 = t2.group_by(["u", "d"]).aggregate([]).select(["u", "d"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["u"], 256)))
+
+    def _ym_of(day_ints: np.ndarray) -> np.ndarray:
+        dates = day_ints.astype("datetime64[D]")
+        return ((dates.astype("datetime64[Y]").astype(np.int64) + 1970)
+                * 100 + (dates.astype("datetime64[M]").astype(np.int64)
+                         % 12 + 1))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ["kind", "key", "cnt"]})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        keep = ~(same & np.concatenate([[False], d[1:] == d[:-1]]))
+        u, d = u[keep], d[keep]
+        dv, dc = np.unique(d, return_counts=True)
+        ym = _ym_of(d)
+        um = np.unique(np.stack([u, ym]), axis=1)
+        mv, mc = np.unique(um[1], return_counts=True)
+        return pa.table({
+            "kind": pa.array(np.concatenate([
+                np.zeros(len(dv), np.int64), np.ones(len(mv), np.int64)])),
+            "key": pa.array(np.concatenate([dv, mv]), pa.int64()),
+            "cnt": pa.array(np.concatenate([dc, mc]), pa.int64()),
+        })
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    dau: dict = {}
+    mau: dict = {}
+    for kind, key, cnt in zip(parts["kind"].to_pylist(),
+                              parts["key"].to_pylist(),
+                              parts["cnt"].to_pylist()):
+        tgt = dau if kind == 0 else mau
+        tgt[key] = tgt.get(key, 0) + cnt
+    by_month: dict = {}
+    for day, c in dau.items():
+        ym = int(_ym_of(np.array([day], np.int64))[0])
+        s, nd = by_month.get(ym, (0, 0))
+        by_month[ym] = (s + c, nd + 1)
+    rows = []
+    for ym in sorted(by_month):
+        sdau, ndays = by_month[ym]
+        mu = mau[ym]
+        rows.append({"ym": ym, "ndays": ndays, "sum_dau": sdau, "mau": mu,
+                     "stickiness_x10k": int(math.floor(
+                         10000.0 * (float(sdau) / float(ndays))
+                         / float(mu) + 0.5))})
+    if not rows:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["ym", "ndays", "sum_dau", "mau",
+                          "stickiness_x10k"]})
+    return pa.Table.from_pylist(rows).select(
+        ["ym", "ndays", "sum_dau", "mau", "stickiness_x10k"])
