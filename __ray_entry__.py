@@ -137,6 +137,8 @@ _SWEEP_FIRST = (
     "lag1_autocorr_daily_events",
     "normalized_name_dups_customer",
     "stickiness_dau_mau_events",
+    "hourly_profile_events",
+    "repeat_purchase_interval_orders",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

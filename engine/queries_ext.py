@@ -9811,3 +9811,156 @@ def stickiness_dau_mau_events(sf_dir: str) -> pa.Table:
                           "stickiness_x10k"]})
     return pa.Table.from_pylist(rows).select(
         ["ym", "ndays", "sum_dau", "mau", "stickiness_x10k"])
+
+
+@query(
+    "hourly_profile_events",
+    """
+    WITH h AS (
+      SELECT CAST(hour(ts) AS BIGINT) AS hour, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY hour
+    )
+    SELECT hour, n,
+           CAST(floor(10000.0 * n / (SELECT sum(n) FROM h) + 0.5) AS BIGINT)
+               AS share_x10k
+    FROM h ORDER BY hour
+    """,
+)
+def hourly_profile_events(sf_dir: str) -> pa.Table:
+    """Hour-of-day traffic profile (share of events per hour, x10k) —
+    the diurnal-seasonality fingerprint an ingest monitor compares
+    across feeds. Domain-bounded 24-row output; per-block hour
+    value_counts partials, ONE tiny groupby Sum, shares driver-side in
+    exact ints (one order-free division per hour)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        return _vc_partial(pc.hour(_ts_us(t["ts"])).cast(pa.int64()),
+                           "hour", "n")
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("hour")
+                        .aggregate(Sum("n", alias_name="n")))
+    if counts.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64())
+                         for c in ["hour", "n", "share_x10k"]})
+    counts = counts.sort_by("hour")
+    n = counts["n"].to_pylist()
+    tot = sum(n)
+    return pa.table({
+        "hour": counts["hour"],
+        "n": counts["n"],
+        "share_x10k": pa.array(
+            [int(math.floor(10000.0 * c / tot + 0.5)) for c in n],
+            pa.int64()),
+    })
+
+
+@query(
+    "repeat_purchase_interval_orders",
+    """
+    WITH g AS (
+      SELECT o_custkey,
+             CAST(o_orderdate AS DATE) AS d,
+             lag(CAST(o_orderdate AS DATE)) OVER
+                 (PARTITION BY o_custkey
+                  ORDER BY CAST(o_orderdate AS DATE)) AS pd
+      FROM orders WHERE o_orderdate IS NOT NULL AND o_custkey IS NOT NULL
+    ),
+    x AS (SELECT CAST(d - pd AS BIGINT) AS gap FROM g WHERE pd IS NOT NULL)
+    SELECT CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(gap) AS BIGINT) AS min_gap_days,
+           CAST(quantile_disc(gap, 0.5) AS BIGINT) AS median_gap_days,
+           CAST(quantile_disc(gap, 0.9) AS BIGINT) AS p90_gap_days,
+           CAST(max(gap) AS BIGINT) AS max_gap_days
+    FROM x
+    """,
+)
+def repeat_purchase_interval_orders(sf_dir: str) -> pa.Table:
+    """Repeat-purchase interval distribution: exact median / p90 /
+    min / max of the per-customer consecutive order-DATE gaps (the SQL
+    LAG-diff; same-day repeat orders contribute zero-day gaps, ties are
+    gap-invariant since tied dates are equal). Quantiles are
+    quantile_disc semantics (element at 1-based rank ceil(q*n)).
+
+    Scale plan: block-local (customer, date) COUNT partials — m
+    same-day orders collapse to one row carrying m, contributing
+    exactly m-1 zero gaps after the cross-block merge — then ONE
+    coarse-bucket shuffle on the customer key; per bucket one
+    vectorized sort + segment diff emits GAP value_counts partials.
+    Gap values are calendar-span-bounded, so the driver merges a tiny
+    histogram and reads the exact quantiles off its cumulative scan —
+    no second selection pass, no distributed sort."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["o_orderdate"]),
+                             pc.is_valid(b["o_custkey"])))
+        d = (_ts_us(t["o_orderdate"]).cast(pa.date32())
+             .cast(pa.int32()).cast(pa.int64()))
+        g = (pa.table({"c": t["o_custkey"], "d": d})
+             .group_by(["c", "d"]).aggregate([([], "count_all")]))
+        g = g.rename_columns(["c", "d", "m"])
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["c"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({"gap": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("c", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        c = g["c"].to_numpy()
+        d = g["d"].to_numpy()
+        m = g["m"].to_numpy()
+        # merge cross-block duplicate (c, d) rows
+        new_pair = np.concatenate([[True],
+                                   (c[1:] != c[:-1]) | (d[1:] != d[:-1])])
+        starts = np.flatnonzero(new_pair)
+        c, d = c[starts], d[starts]
+        m = np.add.reduceat(m, starts)
+        same = np.concatenate([[False], c[1:] == c[:-1]])
+        gaps = (d[1:] - d[:-1])[same[1:]]
+        gv, gc = np.unique(gaps, return_counts=True)
+        zero_extra = int((m - 1).sum())
+        if zero_extra:
+            if len(gv) and gv[0] == 0:
+                gc = gc.copy()
+                gc[0] += zero_extra
+            else:
+                gv = np.concatenate([[0], gv])
+                gc = np.concatenate([[zero_extra], gc])
+        return pa.table({"gap": pa.array(gv, pa.int64()),
+                         "n": pa.array(gc, pa.int64())})
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    hist: dict = {}
+    for gap, cnt in zip(parts["gap"].to_pylist(), parts["n"].to_pylist()):
+        hist[gap] = hist.get(gap, 0) + cnt
+    if not hist:
+        raise ValueError(
+            "repeat_purchase_interval_orders: no repeat purchases")
+    gv = sorted(hist)
+    gc = [hist[g] for g in gv]
+    n = sum(gc)
+    cum = np.cumsum(gc)
+
+    def qdisc(q: float) -> int:
+        r = min(max(int(np.ceil(q * n)), 1), n)
+        return int(gv[int(np.searchsorted(cum, r, side="left"))])
+
+    return _row(n_gaps=n, min_gap_days=gv[0],
+                median_gap_days=qdisc(0.5), p90_gap_days=qdisc(0.9),
+                max_gap_days=gv[-1])

@@ -191,3 +191,60 @@ def test_stickiness_cross_month_vs_oracle(ray_session, tmp_path):
     assert out.num_rows >= 2
     con = duckdb_con(d)
     assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_repeat_purchase_gaps_hand_checked(ray_session, tmp_path):
+    """Customer 1: days [0,0,0,4] -> gaps (0,0,4) with the same-day
+    duplicates collapsing to count partials; customer 2 single order ->
+    no gap; NULL date excluded. median=0, p90=4."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    day_us = 86_400_000_000
+    base = 1_600_000_000_000_000
+    rows = [(1, 0), (1, 0), (1, 0), (1, 4), (2, 2), (1, None)]
+    orders = pa.table({
+        "o_orderkey": pa.array(range(1, len(rows) + 1), pa.int64()),
+        "o_custkey": pa.array([c for c, _ in rows], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * len(rows)),
+        "o_totalprice": pa.array([10.0] * len(rows)),
+        "o_orderdate": pa.array(
+            [None if d is None else base + d * day_us for _, d in rows],
+            pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+    })
+    d = _write_dir(tmp_path, "sfgap", orders=orders)
+    q = "repeat_purchase_interval_orders"
+    out = QUERIES[q](d)
+    assert out.to_pylist() == [{
+        "n_gaps": 3, "min_gap_days": 0, "median_gap_days": 0,
+        "p90_gap_days": 4, "max_gap_days": 4}]
+    con = duckdb_con(d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_hourly_profile_null_ts_vs_oracle(ray_session, tmp_path):
+    """Null timestamps excluded on both sides; shares sum to ~10000."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    hr_us = 3_600_000_000
+    base = 1_600_000_000_000_000
+    hours = [0, 0, 0, 5, 5, 13, 23, None]
+    events = pa.table({
+        "event_id": pa.array(range(len(hours)), pa.int64()),
+        "ts": pa.array([None if h is None else base + h * hr_us
+                        for h in hours], pa.timestamp("us")),
+        "user_id": pa.array([1] * len(hours), pa.int64()),
+        "event_type": pa.array(["view"] * len(hours)),
+        "value": pa.array([1.0] * len(hours)),
+        "props": pa.array(["{}"] * len(hours)),
+    })
+    d = _write_dir(tmp_path, "sfhr", events=events)
+    q = "hourly_profile_events"
+    out = QUERIES[q](d)
+    assert out.num_rows == 4 and sum(out["n"].to_pylist()) == 7
+    con = duckdb_con(d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
