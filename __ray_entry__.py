@@ -139,6 +139,9 @@ _SWEEP_FIRST = (
     "stickiness_dau_mau_events",
     "hourly_profile_events",
     "repeat_purchase_interval_orders",
+    "anomalous_days_events",
+    "user_lifespan_stats_events",
+    "weekend_lift_events",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

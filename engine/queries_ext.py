@@ -9964,3 +9964,212 @@ def repeat_purchase_interval_orders(sf_dir: str) -> pa.Table:
     return _row(n_gaps=n, min_gap_days=gv[0],
                 median_gap_days=qdisc(0.5), p90_gap_days=qdisc(0.9),
                 max_gap_days=gv[-1])
+
+
+@query(
+    "anomalous_days_events",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE ts IS NOT NULL GROUP BY day
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, CAST(sum(n) AS BIGINT) AS sx,
+             CAST(sum(n * n) AS BIGINT) AS sxx
+      FROM d
+    )
+    SELECT CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, n,
+           CAST(floor(10000.0 * CAST(n * m - sx AS DOUBLE)
+                / sqrt(CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                + 0.5) AS BIGINT) AS z_x10k
+    FROM d, s
+    WHERE (n * m - sx) * (n * m - sx) > 4 * (m * sxx - sx * sx)
+    ORDER BY day
+    """,
+)
+def anomalous_days_events(sf_dir: str) -> pa.Table:
+    """Ingest-volume anomaly detection: days whose event count deviates
+    more than 2 population-σ from the daily mean — the volume-spike /
+    feed-outage alarm. The |z| > 2 FILTER is evaluated in EXACT integer
+    arithmetic ((n*m - sx)^2 > 4*(m*sxx - sx^2) — the z formula
+    cross-multiplied), so no float rounding can flip a boundary day in
+    or out vs the oracle; only the reported z_x10k takes one float
+    division per emitted day (order-free, oracle's exact tree).
+
+    Scale plan: per-block day value_counts partials, ONE
+    calendar-bounded groupby Sum, driver scan in Python ints (n*m and
+    sx*sx wrap int64 near ~3e9 rows; the oracle's HUGEINT widens the
+    same way)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        return _vc_partial(days, "day", "n")
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("day")
+                        .aggregate(Sum("n", alias_name="n")))
+    empty = pa.table({c: pa.array([], pa.int64())
+                      for c in ["day", "n", "z_x10k"]})
+    if counts.num_rows == 0:
+        return empty
+    counts = counts.sort_by("day")
+    dv = counts["day"].to_pylist()
+    dc = counts["n"].to_pylist()
+    m = len(dv)
+    sx = sum(dc)
+    sxx = sum(c * c for c in dc)
+    var_num = m * sxx - sx * sx
+    rows = []
+    for day, n in zip(dv, dc):
+        num = n * m - sx
+        if num * num > 4 * var_num:
+            z = float(num) / math.sqrt(float(m) * float(sxx)
+                                       - float(sx) * float(sx))
+            rows.append({"day": day, "n": n,
+                         "z_x10k": int(math.floor(10000.0 * z + 0.5))})
+    return pa.Table.from_pylist(rows) if rows else empty
+
+
+@query(
+    "user_lifespan_stats_events",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(max(CAST(ts AS DATE)) - min(CAST(ts AS DATE)) AS BIGINT)
+                 AS span
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+      GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(min(span) AS BIGINT) AS min_span_days,
+           CAST(quantile_disc(span, 0.5) AS BIGINT) AS median_span_days,
+           CAST(quantile_disc(span, 0.9) AS BIGINT) AS p90_span_days,
+           CAST(max(span) AS BIGINT) AS max_span_days
+    FROM s
+    """,
+)
+def user_lifespan_stats_events(sf_dir: str) -> pa.Table:
+    """User lifespan distribution (exact median/p90/min/max of each
+    user's last-minus-first active DAY) — the cohort-age profile behind
+    retention modeling. min/max are MERGEABLE, so per-block (user, min,
+    max) partials feed ONE user groupby (Min, Max); the per-user spans
+    then collapse into a calendar-span-bounded histogram (per-block
+    partials over the groupby output), and the driver reads exact
+    quantile_disc values off its cumulative scan — nothing user-sized
+    leaves the cluster, no distributed sort."""
+    from ray.data.aggregate import Max, Min
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        g = (pa.table({"u": t["user_id"], "d": days})
+             .group_by("u").aggregate([("d", "min"), ("d", "max")]))
+        return g.rename_columns(["u", "mn", "mx"])
+
+    merged = (ds.map_batches(prep, batch_format="pyarrow")
+                .groupby("u")
+                .aggregate(Min("mn", alias_name="mn"),
+                           Max("mx", alias_name="mx")))
+
+    def span_hist(b: pa.Table) -> pa.Table:
+        span = (np.asarray(b["mx"].to_numpy())
+                - np.asarray(b["mn"].to_numpy()))
+        sv, sc = np.unique(span, return_counts=True)
+        return pa.table({"span": pa.array(sv, pa.int64()),
+                         "n": pa.array(sc, pa.int64())})
+
+    parts = _collect(merged.map_batches(span_hist, batch_format="pyarrow"))
+    hist: dict = {}
+    for s, c in zip(parts["span"].to_pylist(), parts["n"].to_pylist()):
+        hist[s] = hist.get(s, 0) + c
+    if not hist:
+        raise ValueError("user_lifespan_stats_events: no active users")
+    sv = sorted(hist)
+    sc = [hist[s] for s in sv]
+    n = sum(sc)
+    cum = np.cumsum(sc)
+
+    def qdisc(q: float) -> int:
+        r = min(max(int(np.ceil(q * n)), 1), n)
+        return int(sv[int(np.searchsorted(cum, r, side="left"))])
+
+    return _row(n_users=n, min_span_days=sv[0],
+                median_span_days=qdisc(0.5), p90_span_days=qdisc(0.9),
+                max_span_days=sv[-1])
+
+
+@query(
+    "weekend_lift_events",
+    """
+    WITH d AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+             isodow(CAST(ts AS DATE)) >= 6 AS we
+      FROM events WHERE ts IS NOT NULL GROUP BY day, we
+    ),
+    s AS (
+      SELECT CAST(count(*) FILTER (WHERE we) AS BIGINT) AS dwe,
+             CAST(count(*) FILTER (WHERE NOT we) AS BIGINT) AS dwd,
+             CAST(COALESCE(sum(n) FILTER (WHERE we), 0) AS BIGINT) AS swe,
+             CAST(COALESCE(sum(n) FILTER (WHERE NOT we), 0) AS BIGINT)
+                 AS swd
+      FROM d
+    )
+    SELECT dwe AS weekend_days, dwd AS weekday_days,
+           swe AS weekend_events, swd AS weekday_events,
+           CAST(floor(10000.0 * (CAST(swe AS DOUBLE) / CAST(dwe AS DOUBLE))
+                / (CAST(swd AS DOUBLE) / CAST(dwd AS DOUBLE)) + 0.5)
+                AS BIGINT) AS lift_x10k
+    FROM s
+    """,
+)
+def weekend_lift_events(sf_dir: str) -> pa.Table:
+    """Weekend-vs-weekday traffic lift: (avg weekend daily count) /
+    (avg weekday daily count), x10k — the seasonal-decomposition
+    companion to hourly_profile / chi2_type_weekday. All counts exact
+    integers from the calendar-bounded daily histogram; the lift is one
+    float expression with the oracle's exact tree. Raises when either
+    day class is absent (ratio undefined)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["ts"]))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        return _vc_partial(days, "day", "n")
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("day")
+                        .aggregate(Sum("n", alias_name="n")))
+    dv = counts["day"].to_pylist()
+    dc = counts["n"].to_pylist()
+    # 1970-01-01 is a Thursday (ISO 4): isodow(day) = (day + 3) % 7 + 1
+    swe = dwe = swd = dwd = 0
+    for day, n in zip(dv, dc):
+        if (day + 3) % 7 + 1 >= 6:
+            swe += n
+            dwe += 1
+        else:
+            swd += n
+            dwd += 1
+    if dwe == 0 or dwd == 0 or swd == 0:
+        raise ValueError(
+            "weekend_lift_events: a day class is empty — lift undefined")
+    lift = (float(swe) / float(dwe)) / (float(swd) / float(dwd))
+    return _row(weekend_days=dwe, weekday_days=dwd,
+                weekend_events=swe, weekday_events=swd,
+                lift_x10k=int(math.floor(10000.0 * lift + 0.5)))

@@ -248,3 +248,47 @@ def test_hourly_profile_null_ts_vs_oracle(ray_session, tmp_path):
     assert out.num_rows == 4 and sum(out["n"].to_pylist()) == 7
     con = duckdb_con(d)
     assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_anomalous_days_planted_spike(ray_session, tmp_path):
+    """19 quiet days (~5 events) + one 60-event spike: exactly the
+    spike day crosses |z| > 2, matching the oracle's exact-integer
+    filter; a borderline day must not flip in/out."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    rows = []
+    for day in range(19):
+        rows += [(u, day) for u in range(5 + (day % 2))]
+    rows += [(u, 19) for u in range(60)]  # spike
+    d = _write_dir(tmp_path, "sfanom", events=_events(rows))
+    q = "anomalous_days_events"
+    out = QUERIES[q](d)
+    assert out.num_rows == 1 and out["n"][0].as_py() == 60
+    assert out["z_x10k"][0].as_py() > 20000
+    con = duckdb_con(d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_lifespan_and_weekend_vs_oracle(ray_session, tmp_path):
+    """Lifespans: single-day users (span 0), a 10-day user, a 40-day
+    user; weekend lift on a fixture with known weekend placement
+    (base 1.5e15 us = 2017-07-14, a Friday: day+1 and day+2 are
+    weekend); NULL users/ts excluded."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    rows = [(1, 0), (2, 0), (3, 0), (3, 10), (4, 2), (4, 42),
+            (None, 1), (5, None)]
+    # add weekend/weekday volume: days 1,2 are Sat/Sun
+    rows += [(u, 1) for u in range(10, 16)] + [(u, 2) for u in range(10, 14)]
+    rows += [(u, 3) for u in range(10, 13)] + [(u, 4) for u in range(10, 12)]
+    d = _write_dir(tmp_path, "sfspan", events=_events(rows))
+    con = duckdb_con(d)
+    for q in ("user_lifespan_stats_events", "weekend_lift_events"):
+        out = QUERIES[q](d)
+        assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf()), q
+    ls = QUERIES["user_lifespan_stats_events"](d).to_pylist()[0]
+    assert ls["min_span_days"] == 0 and ls["max_span_days"] == 40
