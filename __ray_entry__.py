@@ -142,6 +142,7 @@ _SWEEP_FIRST = (
     "anomalous_days_events",
     "user_lifespan_stats_events",
     "weekend_lift_events",
+    "value_trend_by_event_type",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

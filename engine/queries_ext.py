@@ -9520,9 +9520,8 @@ def revenue_pareto_orders(sf_dir: str) -> pa.Table:
         g = t.group_by("c").aggregate([("s", "sum")])
         return g.rename_columns(["c", "s"])
 
-    from ray.data.aggregate import Sum as _S
     totals = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("c").aggregate(_S("s", alias_name="s"))
+                .groupby("c").aggregate(Sum("s", alias_name="s"))
                 .select_columns(["s"]).materialize())
     agg = totals.aggregate(Count("s", alias_name="n"),
                            Min("s", alias_name="lo"),
@@ -10173,3 +10172,102 @@ def weekend_lift_events(sf_dir: str) -> pa.Table:
     return _row(weekend_days=dwe, weekday_days=dwd,
                 weekend_events=swe, weekday_events=swd,
                 lift_x10k=int(math.floor(10000.0 * lift + 0.5)))
+
+
+@query(
+    "value_trend_by_event_type",
+    """
+    WITH p AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(CAST(CAST(ts AS DATE) - DATE '2015-01-01' AS BIGINT))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 AS sy,
+             CAST(sum(CAST(CAST(ts AS DATE) - DATE '2015-01-01' AS BIGINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                 AS sxy,
+             CAST(sum(CAST(CAST(ts AS DATE) - DATE '2015-01-01' AS BIGINT)
+                      * CAST(CAST(ts AS DATE) - DATE '2015-01-01'
+                             AS BIGINT)) AS DOUBLE) AS sxx
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL
+            AND event_type IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                * 10000 + 0.5) AS BIGINT) AS slope_cents_per_day_x10k
+    FROM p WHERE n * sxx - sx * sx <> 0
+    ORDER BY event_type
+    """,
+)
+def value_trend_by_event_type(sf_dir: str) -> pa.Table:
+    """Per-segment OLS trend: the least-squares slope of value (cents)
+    against the event DAY, per event type — the drift-direction screen
+    ("is purchase value creeping up?") complementing the magnitude-only
+    value_drift / KS queries. The day regressor is rebased to
+    2015-01-01 so per-row products stay < 2^24 * 2^24 and the
+    _check_moment_bound contract holds (epoch-microsecond regressors
+    would wrap the int64 partials immediately).
+
+    Same exact float policy as corr_by_returnflag_lineitem: per-batch
+    int64 moment partials grouped by type (multiply_checked +
+    _check_moment_bound enforce no-wrap), per-group merge in
+    arbitrary-precision Python ints, then ONE double-precision slope
+    formula with the oracle's exact expression tree per group.
+    Degenerate groups (all events one day) are excluded by the same
+    exact float-zero test on both sides."""
+    import math
+
+    _EPOCH_2015 = 16436  # 2015-01-01 as days since 1970-01-01
+
+    ds = _t(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_(
+            pc.and_(pc.is_valid(batch["ts"]), pc.is_valid(batch["value"])),
+            pc.is_valid(batch["event_type"])))
+        x = pc.subtract(_ts_us(t["ts"]).cast(pa.date32())
+                        .cast(pa.int32()).cast(pa.int64()), _EPOCH_2015)
+        y = _cents(t["value"])
+        _check_moment_bound(
+            "value_trend_by_event_type",
+            x.to_numpy(zero_copy_only=False),
+            y.to_numpy(zero_copy_only=False))
+        tb = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "sx": x, "sy": y,
+            "sxy": pc.multiply_checked(x, y),
+            "sxx": pc.multiply_checked(x, x),
+        })
+        g = tb.group_by(["event_type"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxy", "sum"), ("sxx", "sum")])
+        return g.rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxy", "sxx"])
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=_CORR_BATCH))
+    acc: dict = {}
+    for row in parts.to_pylist():
+        a = acc.setdefault(row["event_type"], [0, 0, 0, 0, 0])
+        for i, k in enumerate(["n", "sx", "sy", "sxy", "sxx"]):
+            a[i] += row[k]
+    types, ns, slopes = [], [], []
+    for et in sorted(acc):
+        n, isx, isy, isxy, isxx = acc[et]
+        sx, sy = float(isx), float(isy)
+        sxy, sxx = float(isxy), float(isxx)
+        den = n * sxx - sx * sx
+        if den == 0.0:
+            continue  # oracle's WHERE excludes the degenerate group
+        slope = (n * sxy - sx * sy) / den
+        types.append(et)
+        ns.append(n)
+        slopes.append(int(math.floor(slope * 10000 + 0.5)))
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "n": pa.array(ns, pa.int64()),
+        "slope_cents_per_day_x10k": pa.array(slopes, pa.int64())})

@@ -292,3 +292,47 @@ def test_lifespan_and_weekend_vs_oracle(ray_session, tmp_path):
         assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf()), q
     ls = QUERIES["user_lifespan_stats_events"](d).to_pylist()[0]
     assert ls["min_span_days"] == 0 and ls["max_span_days"] == 40
+
+
+def test_value_trend_planted_slope(ray_session, tmp_path):
+    """Type 'up' gains exactly 2 cents/day, type 'flat' is constant
+    (slope 0), type 'oneday' is degenerate (excluded by both sides);
+    NULL value/ts/type rows excluded."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    day_us = 86_400_000_000
+    base = 1_600_000_000_000_000
+    ids, ts, et, val = [], [], [], []
+
+    def add(day, typ, v):
+        ids.append(len(ids))
+        ts.append(None if day is None else base + day * day_us)
+        et.append(typ)
+        val.append(v)
+
+    for day in range(10):
+        add(day, "up", 1.00 + 0.02 * day)
+        add(day, "flat", 5.0)
+    for _ in range(4):
+        add(3, "oneday", 2.0)
+    add(2, None, 1.0)
+    add(None, "up", 9.0)
+    add(2, "up", None)
+    events = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([1] * len(ids), pa.int64()),
+        "event_type": pa.array(et, pa.string()),
+        "value": pa.array(val, pa.float64()),
+        "props": pa.array(["{}"] * len(ids)),
+    })
+    d = _write_dir(tmp_path, "sftrend", events=events)
+    q = "value_trend_by_event_type"
+    out = QUERIES[q](d)
+    got = {r["event_type"]: r["slope_cents_per_day_x10k"]
+           for r in out.to_pylist()}
+    assert got == {"up": 20000, "flat": 0}  # 2 cents/day x10k; no 'oneday'
+    con = duckdb_con(d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
