@@ -143,6 +143,7 @@ _SWEEP_FIRST = (
     "user_lifespan_stats_events",
     "weekend_lift_events",
     "value_trend_by_event_type",
+    "median_order_value_by_mktsegment",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

@@ -10271,3 +10271,88 @@ def value_trend_by_event_type(sf_dir: str) -> pa.Table:
         "event_type": pa.array(types, pa.string()),
         "n": pa.array(ns, pa.int64()),
         "slope_cents_per_day_x10k": pa.array(slopes, pa.int64())})
+
+
+@query(
+    "median_order_value_by_mktsegment",
+    """
+    WITH j AS (
+      SELECT c_mktsegment AS seg,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    )
+    SELECT seg, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents,
+           CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90_cents
+    FROM j GROUP BY seg ORDER BY seg
+    """,
+)
+def median_order_value_by_mktsegment(
+        sf_dir: str, max_broadcast: int | None = None) -> pa.Table:
+    """Exact median/p90 order value per customer MARKET SEGMENT — the
+    join-then-grouped-quantile composition: a dimension attribute
+    (c_mktsegment) is attached to the fact stream, then per-segment
+    order statistics come from the scale-safe grouped selection (NO
+    one-group-per-worker assumption — segments are huge groups at
+    corpus scale, exactly the case grouped_exact_quantiles_disc
+    exists for).
+
+    Scale plan: the custkey->segment map rides the size-guarded
+    broadcast (ray.put once, pc.index_in per batch — inner-join
+    semantics via key-validity filtering) with the distributed
+    Dataset.join fallback beyond the guard; the segment-keyed quantiles
+    then run as per-(group, bin) histogram partials (three streaming
+    passes, nothing group-sized on one worker)."""
+    import ray
+
+    from .dsutil import join_partitions
+    from .stages.selection import grouped_exact_quantiles_disc
+
+    orders = _t(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _t(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    mb = MAX_BROADCAST_ROWS if max_broadcast is None else max_broadcast
+    use_broadcast = cust.count() <= mb
+    if use_broadcast:
+        dim = _collect(cust)
+        keys0 = dim["c_custkey"].combine_chunks()
+        segs0 = dim["c_mktsegment"].combine_chunks()
+        # index_in needs a proper key map: unique keys, non-null segs
+        use_broadcast = (segs0.null_count == 0
+                         and pc.count_distinct(keys0).as_py() == len(keys0))
+    if use_broadcast:
+        dim_ref = ray.put((keys0, segs0))
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            keys, segs = ray.get(dim_ref)
+            idx = pc.index_in(batch["o_custkey"], keys)
+            t = pa.table({"seg": pc.take(segs, idx),
+                          "cents": _cents(batch["o_totalprice"])})
+            return t.filter(pc.is_valid(idx))
+
+        mapped = orders.map_batches(lookup, batch_format="pyarrow")
+    else:  # scale tier — exercised by the max_broadcast=0 test
+        j = orders.join(cust, "inner", num_partitions=join_partitions(),
+                        on=("o_custkey",), right_on=("c_custkey",))
+
+        def project(batch: pa.Table) -> pa.Table:
+            return pa.table({"seg": batch["c_mktsegment"],
+                             "cents": _cents(batch["o_totalprice"])})
+
+        mapped = j.map_batches(project, batch_format="pyarrow")
+
+    got = grouped_exact_quantiles_disc(mapped, "seg", "cents",
+                                       [0.5, 0.9])
+    keys = sorted(k for k in got if k is not None)
+    if None in got:
+        keys.append(None)
+    return pa.table({
+        "seg": pa.array(keys, pa.string()),
+        "n_orders": pa.array([got[g][0] for g in keys], pa.int64()),
+        "median_cents": pa.array(
+            [None if got[g][1] is None else int(got[g][1][0])
+             for g in keys], pa.int64()),
+        "p90_cents": pa.array(
+            [None if got[g][1] is None else int(got[g][1][1])
+             for g in keys], pa.int64()),
+    })

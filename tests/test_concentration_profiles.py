@@ -336,3 +336,19 @@ def test_value_trend_planted_slope(ray_session, tmp_path):
     assert got == {"up": 20000, "flat": 0}  # 2 cents/day x10k; no 'oneday'
     con = duckdb_con(d)
     assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_segment_median_both_join_tiers(ray_session):
+    """Broadcast tier and distributed-join tier return identical
+    per-segment quantiles (max_broadcast=0 forces the join path)."""
+    import engine.queries_ext as qe
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    d = SF
+    q = "median_order_value_by_mktsegment"
+    base = QUERIES[q](d)
+    joined = qe.median_order_value_by_mktsegment(d, max_broadcast=0)
+    assert base.equals(joined)
+    con = duckdb_con(d)
+    assert not compare(base, con.execute(ORACLE_SQL[q]).fetchdf())
