@@ -144,6 +144,8 @@ _SWEEP_FIRST = (
     "weekend_lift_events",
     "value_trend_by_event_type",
     "median_order_value_by_mktsegment",
+    "duplicate_rate_by_source",
+    "hhi_event_type_concentration",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

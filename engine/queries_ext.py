@@ -10356,3 +10356,140 @@ def median_order_value_by_mktsegment(
             [None if got[g][1] is None else int(got[g][1][1])
              for g in keys], pa.int64()),
     })
+
+
+@query(
+    "duplicate_rate_by_source",
+    """
+    WITH g AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(DISTINCT text) AS BIGINT) AS n_distinct
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_rows, n_distinct,
+           CAST(floor(10000.0 * (n_rows - n_distinct) / n_rows + 0.5)
+                AS BIGINT) AS dup_rate_x10k
+    FROM g ORDER BY source
+    """,
+)
+def duplicate_rate_by_source(sf_dir: str) -> pa.Table:
+    """Per-SOURCE exact duplicate rate (1 - distinct/total) — the
+    feed-quality scorecard that tells a curation pipeline WHICH
+    upstream source is flooding it with copies, complementing the
+    corpus-global dup_groups / exact_dedup family. COUNT(DISTINCT
+    text) rides the users_per_event_type two-level-distinct shape on a
+    64-bit content hash instead of the raw payload (the dedup-family
+    contract: vectorized FNV/fmix64, collisions cryptographically
+    negligible vs shuffling full document text; stages/dedup.py makes
+    the same identity-by-hash assumption). NULL text counts toward
+    n_rows but not n_distinct (SQL semantics), carried as an explicit
+    validity key so it can't collide with hash("").
+
+    Scale plan: block-local (source, hash, valid) dedup combiner with
+    row counts -> ONE pair-cardinality groupby (volume bounded by
+    distinct texts, not corpus rows) -> per-batch source partials ->
+    tiny source-cardinality groupby; string shuffle keys ride the
+    null-key companion."""
+    import math
+
+    from ray.data.aggregate import Sum
+    from .stages.sketches import _hash64_strings
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        h = _hash64_strings(
+            pc.fill_null(batch["text"], "").combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else pc.fill_null(batch["text"], ""))
+        t = pa.table({"source": batch["source"],
+                      "h": pa.array(h.astype(np.int64)),
+                      "v": pc.cast(pc.is_valid(batch["text"]), pa.int64())})
+        g = t.group_by(["source", "h", "v"]).aggregate([([], "count_all")])
+        return null_key_companion(
+            g.rename_columns(["source", "h", "v", "c"]), "source")
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+               .groupby(["source", "_knull", "h", "v"])
+               .aggregate(Sum("c", alias_name="c")))
+
+    def source_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "_knull": batch["_knull"],
+                      "d": batch["v"],  # 1 per distinct non-null text
+                      "c": batch["c"]})
+        g = t.group_by(["source", "_knull"]).aggregate(
+            [("d", "sum"), ("c", "sum")])
+        return g.rename_columns(["source", "_knull",
+                                 "n_distinct", "n_rows"])
+
+    out = _collect(
+        pairs.map_batches(source_partial, batch_format="pyarrow")
+             .groupby(["source", "_knull"])
+             .aggregate(Sum("n_distinct", alias_name="n_distinct"),
+                        Sum("n_rows", alias_name="n_rows")))
+    out = restore_null_key(out, "source")
+    rows = []
+    for s, nd, nr in sorted(zip(out["source"].to_pylist(),
+                                out["n_distinct"].to_pylist(),
+                                out["n_rows"].to_pylist()),
+                            key=lambda r: (r[0] is None, r[0] or "")):
+        rows.append({"source": s, "n_rows": nr, "n_distinct": nd,
+                     "dup_rate_x10k": int(math.floor(
+                         10000.0 * (nr - nd) / nr + 0.5))})
+    if not rows:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_rows": pa.array([], pa.int64()),
+                         "n_distinct": pa.array([], pa.int64()),
+                         "dup_rate_x10k": pa.array([], pa.int64())})
+    return pa.Table.from_pylist(rows).select(
+        ["source", "n_rows", "n_distinct", "dup_rate_x10k"])
+
+
+@query(
+    "hhi_event_type_concentration",
+    """
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events WHERE event_type IS NOT NULL
+               GROUP BY event_type)
+    SELECT CAST(count(*) AS BIGINT) AS n_types,
+           CAST(sum(n) AS BIGINT) AS n_events,
+           CAST(floor(10000.0 * CAST(sum(n * n) AS DOUBLE)
+                / (CAST(sum(n) AS DOUBLE) * CAST(sum(n) AS DOUBLE)) + 0.5)
+                AS BIGINT) AS hhi_x10k
+    FROM c
+    """,
+)
+def hhi_event_type_concentration(sf_dir: str) -> pa.Table:
+    """Herfindahl-Hirschman concentration of the event-type mix
+    (sum of squared shares, x10k) — the single-number "is one event
+    type dominating the feed?" companion to the per-cell chi2 and
+    Simpson profiles; exact integers (sum n, sum n^2 merged in Python
+    ints) until one final order-free float division. Per-block type
+    value_counts partials, ONE domain-bounded groupby Sum."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "events", ["event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["event_type"]))
+        col = t["event_type"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return _vc_partial(col, "et", "n")
+
+    counts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                        .groupby("et")
+                        .aggregate(Sum("n", alias_name="n")))
+    if counts.num_rows == 0:
+        raise ValueError(
+            "hhi_event_type_concentration: no non-null event types")
+    c = counts["n"].to_pylist()
+    tot = sum(c)
+    s2 = sum(x * x for x in c)
+    return _row(n_types=counts.num_rows, n_events=tot,
+                hhi_x10k=int(math.floor(
+                    10000.0 * float(s2) / (float(tot) * float(tot))
+                    + 0.5)))

@@ -164,3 +164,33 @@ def test_chi2_and_simpson_null_groups_vs_oracle(ray_session, tmp_path):
             QUERIES["simpson_diversity_events_per_user"](d).to_pylist()
             if r["user_id"] in (1, 2, 3)}
     assert simp == {1: 0, 2: 10000}
+
+
+def test_duplicate_rate_by_source_planted(ray_session, tmp_path):
+    """Source A: 3 rows, 2 distinct texts; source B: all unique; NULL
+    text counts toward rows but never toward distinct; NULL source is
+    its own group."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    texts = [("A", "x"), ("A", "x"), ("A", "y"),
+             ("B", "p"), ("B", "q"),
+             ("A", None), ("A", None),
+             (None, "z"), (None, "z")]
+    documents = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array([t for _, t in texts], pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+        "source": pa.array([s for s, _ in texts], pa.string()),
+        "n_chars": pa.array([len(t) if t else 0 for _, t in texts],
+                            pa.int64()),
+    })
+    d = _write_dir(tmp_path, "sfdup", documents=documents)
+    q = "duplicate_rate_by_source"
+    out = QUERIES[q](d)
+    got = {r["source"]: (r["n_rows"], r["n_distinct"])
+           for r in out.to_pylist()}
+    assert got == {"A": (5, 2), "B": (2, 2), None: (2, 1)}
+    con = duckdb_con(d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
