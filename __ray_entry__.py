@@ -146,6 +146,7 @@ _SWEEP_FIRST = (
     "median_order_value_by_mktsegment",
     "duplicate_rate_by_source",
     "hhi_event_type_concentration",
+    "cross_source_overlap_documents",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

@@ -9258,6 +9258,9 @@ def dayover_user_jaccard_events(sf_dir: str) -> pa.Table:
                        .map_groups(pick, batch_format="pyarrow"))
     size: dict = {}
     inter: dict = {}
+    if "day" not in parts.column_names:  # all buckets empty (typed-empty hazard)
+        parts = pa.table({c: pa.array([], pa.int64())
+                          for c in ["day", "sz", "inter"]})
     for day, sz, it in zip(parts["day"].to_pylist(),
                            parts["sz"].to_pylist(),
                            parts["inter"].to_pylist()):
@@ -9786,6 +9789,9 @@ def stickiness_dau_mau_events(sf_dir: str) -> pa.Table:
                        .map_groups(pick, batch_format="pyarrow"))
     dau: dict = {}
     mau: dict = {}
+    if "kind" not in parts.column_names:  # all buckets empty (typed-empty hazard)
+        parts = pa.table({c: pa.array([], pa.int64())
+                          for c in ["kind", "key", "cnt"]})
     for kind, key, cnt in zip(parts["kind"].to_pylist(),
                               parts["key"].to_pylist(),
                               parts["cnt"].to_pylist()):
@@ -9946,6 +9952,9 @@ def repeat_purchase_interval_orders(sf_dir: str) -> pa.Table:
                        .groupby("_bucket")
                        .map_groups(pick, batch_format="pyarrow"))
     hist: dict = {}
+    if "gap" not in parts.column_names:  # all buckets empty (typed-empty hazard)
+        raise ValueError(
+            "repeat_purchase_interval_orders: no repeat purchases")
     for gap, cnt in zip(parts["gap"].to_pylist(), parts["n"].to_pylist()):
         hist[gap] = hist.get(gap, 0) + cnt
     if not hist:
@@ -10493,3 +10502,104 @@ def hhi_event_type_concentration(sf_dir: str) -> pa.Table:
                 hhi_x10k=int(math.floor(
                     10000.0 * float(s2) / (float(tot) * float(tot))
                     + 0.5)))
+
+
+@query(
+    "cross_source_overlap_documents",
+    """
+    WITH d AS (SELECT DISTINCT source, text FROM documents
+               WHERE text IS NOT NULL AND source IS NOT NULL)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_texts
+    FROM d a JOIN d b ON a.text = b.text AND a.source < b.source
+    GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+)
+def cross_source_overlap_documents(sf_dir: str) -> pa.Table:
+    """Cross-feed contamination matrix: how many distinct document
+    texts each PAIR of sources shares verbatim — the "is feed B just
+    re-crawling feed A?" screen that the per-source duplicate rate
+    can't answer. The SQL content self-join becomes a content-hash
+    co-location: after block-local (source, hash) dedup partials and
+    ONE coarse-bucket shuffle on the hash (all sightings of a text land
+    together), each multi-source text expands its sorted source set
+    into (a < b) pairs; per-bucket (source_a, source_b) count partials
+    merge driver-side over a |sources|^2-bounded matrix. Identity by
+    vectorized 64-bit content hash (the dedup-family contract). Shipped
+    testdata has no cross-source copies — the planted fixture is the
+    behavioral test; an empty result still hash-matches the oracle."""
+    from .stages.sketches import _hash64_strings
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["text"]),
+                             pc.is_valid(b["source"])))
+        txt = t["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = pa.array(_hash64_strings(txt).astype(np.int64))
+        g = (pa.table({"s": t["source"], "h": h})
+             .group_by(["s", "h"]).aggregate([]).select(["s", "h"]))
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["h"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("h", "ascending"),
+                                            ("s", "ascending")])
+        g = g.take(idx)
+        h = g["h"].to_numpy()
+        s = np.asarray(g["s"].to_pylist(), dtype=object)
+        new_h = np.concatenate([[True], h[1:] != h[:-1]])
+        # cross-block duplicate (s, h) rows survive block pre-dedup
+        dup = ~new_h & np.concatenate([[False], s[1:] == s[:-1]])
+        h, s, new_h = h[~dup], s[~dup], new_h[~dup]
+        starts = np.flatnonzero(new_h)
+        ends = np.append(starts[1:], len(h))
+        from collections import Counter
+        pairs: Counter = Counter()
+        # loop is bounded by multi-source texts, not corpus rows
+        for a, b in zip(starts.tolist(), ends.tolist()):
+            if b - a >= 2:
+                grp = s[a:b]
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        pairs[(grp[i], grp[j])] += 1
+        if not pairs:
+            return empty
+        ks = sorted(pairs)
+        return pa.table({
+            "source_a": pa.array([k[0] for k in ks], pa.string()),
+            "source_b": pa.array([k[1] for k in ks], pa.string()),
+            "n": pa.array([pairs[k] for k in ks], pa.int64())})
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    acc: dict = {}
+    if "source_a" not in parts.column_names:
+        # all buckets empty: Ray's reduce emits schema-less blocks and
+        # the collected table has no columns (the typed-empty hazard)
+        parts = pa.table({"source_a": pa.array([], pa.string()),
+                          "source_b": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+    for a, b, n in zip(parts["source_a"].to_pylist(),
+                       parts["source_b"].to_pylist(),
+                       parts["n"].to_pylist()):
+        acc[(a, b)] = acc.get((a, b), 0) + n
+    if not acc:
+        return pa.table({"source_a": pa.array([], pa.string()),
+                         "source_b": pa.array([], pa.string()),
+                         "n_shared_texts": pa.array([], pa.int64())})
+    ks = sorted(acc)
+    return pa.table({
+        "source_a": pa.array([k[0] for k in ks], pa.string()),
+        "source_b": pa.array([k[1] for k in ks], pa.string()),
+        "n_shared_texts": pa.array([acc[k] for k in ks], pa.int64())})

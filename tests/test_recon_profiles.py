@@ -194,3 +194,68 @@ def test_duplicate_rate_by_source_planted(ray_session, tmp_path):
     assert got == {"A": (5, 2), "B": (2, 2), None: (2, 1)}
     con = duckdb_con(d)
     assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_cross_source_overlap_planted(ray_session, tmp_path):
+    """Text 'x' in sources A,B,C -> 3 pairs; 'y' in A,B; 'z' only in
+    C; duplicate sightings of the same (source, text) collapse; the
+    empty shipped-testdata result also hash-matches its oracle."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    rows = [("A", "x"), ("B", "x"), ("C", "x"), ("A", "x"),
+            ("A", "y"), ("B", "y"),
+            ("C", "z"), (None, "x"), ("A", None)]
+    documents = pa.table({
+        "doc_id": pa.array(range(len(rows)), pa.int64()),
+        "text": pa.array([t for _, t in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([s for s, _ in rows], pa.string()),
+        "n_chars": pa.array([1] * len(rows), pa.int64()),
+    })
+    d = _write_dir(tmp_path, "sfxsrc", documents=documents)
+    q = "cross_source_overlap_documents"
+    out = QUERIES[q](d)
+    got = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in out.to_pylist()}
+    assert got == {("A", "B"): 2, ("A", "C"): 1, ("B", "C"): 1}
+    con = duckdb_con(d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+    # shipped testdata: empty on both sides
+    out0 = QUERIES[q](SF)
+    con0 = duckdb_con(SF)
+    assert not compare(out0, con0.execute(ORACLE_SQL[q]).fetchdf())
+    assert out0.num_rows == 0
+
+
+def test_degenerate_inputs_typed_empty_paths(ray_session, tmp_path):
+    """All-null events: jaccard and stickiness return typed empties,
+    repeat-purchase raises — the all-buckets-empty schema-less-block
+    hazard must not KeyError."""
+    import engine.queries_ext  # noqa: F401
+    import pytest as _pytest
+    from engine.queries import QUERIES
+
+    n = 8
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([None] * n, pa.timestamp("us")),
+        "user_id": pa.array([None] * n, pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([1, 2], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"]),
+        "o_totalprice": pa.array([1.0, 2.0]),
+        "o_orderdate": pa.array([None, None], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2),
+    })
+    d = _write_dir(tmp_path, "sfdegen", events=events, orders=orders)
+    assert QUERIES["dayover_user_jaccard_events"](d).num_rows == 0
+    assert QUERIES["stickiness_dau_mau_events"](d).num_rows == 0
+    with _pytest.raises(ValueError, match="repeat"):
+        QUERIES["repeat_purchase_interval_orders"](d)
