@@ -147,6 +147,8 @@ _SWEEP_FIRST = (
     "duplicate_rate_by_source",
     "hhi_event_type_concentration",
     "cross_source_overlap_documents",
+    "return_rate_by_ship_month",
+    "discount_quantity_elasticity",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

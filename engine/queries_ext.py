@@ -10603,3 +10603,130 @@ def cross_source_overlap_documents(sf_dir: str) -> pa.Table:
         "source_a": pa.array([k[0] for k in ks], pa.string()),
         "source_b": pa.array([k[1] for k in ks], pa.string()),
         "n_shared_texts": pa.array([acc[k] for k in ks], pa.int64())})
+
+
+@query(
+    "return_rate_by_ship_month",
+    """
+    WITH m AS (
+      SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                 AS ym,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+                 AS n_returned
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY ym
+    )
+    SELECT ym, n_lines, n_returned,
+           CAST(floor(10000.0 * n_returned / n_lines + 0.5) AS BIGINT)
+               AS return_rate_x10k
+    FROM m ORDER BY ym
+    """,
+)
+def return_rate_by_ship_month(sf_dir: str) -> pa.Table:
+    """Return-rate trend by ship month (share of R-flagged lines per
+    calendar month, x10k) — the defect/return seasonality monitor. Per-
+    block dual-count partials keyed on the month (calendar-bounded, the
+    daily_count_compare argument), ONE tiny groupby Sum, one order-free
+    division per month driver-side."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_returnflag", "l_shipdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["l_shipdate"]))
+        d = (_ts_us(t["l_shipdate"]).cast(pa.date32())
+             .cast(pa.int32()).cast(pa.int64()).to_numpy())
+        dates = d.astype("datetime64[D]")
+        ym = ((dates.astype("datetime64[Y]").astype(np.int64) + 1970)
+              * 100 + (dates.astype("datetime64[M]").astype(np.int64)
+                       % 12 + 1))
+        isr = pc.cast(pc.fill_null(
+            pc.equal(t["l_returnflag"], "R"), False), pa.int64())
+        g = (pa.table({"ym": pa.array(ym, pa.int64()), "r": isr})
+             .group_by("ym").aggregate([("r", "sum"), ([], "count_all")]))
+        return g.rename_columns(["ym", "n_returned", "n_lines"])
+
+    counts = _collect(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("ym")
+          .aggregate(Sum("n_returned", alias_name="n_returned"),
+                     Sum("n_lines", alias_name="n_lines")))
+    if counts.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["ym", "n_lines", "n_returned",
+                          "return_rate_x10k"]})
+    counts = counts.sort_by("ym")
+    return pa.table({
+        "ym": counts["ym"],
+        "n_lines": counts["n_lines"].cast(pa.int64()),
+        "n_returned": counts["n_returned"],
+        "return_rate_x10k": pa.array(
+            [int(math.floor(10000.0 * r / n + 0.5)) for r, n in
+             zip(counts["n_returned"].to_pylist(),
+                 counts["n_lines"].to_pylist())], pa.int64()),
+    })
+
+
+@query(
+    "discount_quantity_elasticity",
+    """
+    WITH b AS (
+      SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+                 AS qty_sum
+      FROM lineitem WHERE l_discount IS NOT NULL
+            AND l_quantity IS NOT NULL
+      GROUP BY disc_pct
+    )
+    SELECT disc_pct, n_lines, qty_sum,
+           CAST(floor(10000.0 * qty_sum / n_lines + 0.5) AS BIGINT)
+               AS avg_qty_x10k
+    FROM b ORDER BY disc_pct
+    """,
+)
+def discount_quantity_elasticity(sf_dir: str) -> pa.Table:
+    """Discount-quantity elasticity screen: average order quantity per
+    integer discount percent — does a deeper discount move volume? The
+    discount DOMAIN (0-10 percent in TPC-H-like data) bounds the key
+    space, so per-block (disc_pct, qty_sum, count) partials feed ONE
+    tiny groupby Sum; averages are one order-free division per bucket
+    driver-side. Quantities enter as floor(q+0.5) integers (the corr
+    projection) so sums are exact."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "lineitem", ["l_discount", "l_quantity"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["l_discount"]),
+                             pc.is_valid(b["l_quantity"])))
+        db = _cents(t["l_discount"])  # x100: integer percent
+        q = pc.cast(pc.floor(pc.add(t["l_quantity"], 0.5)), pa.int64())
+        g = (pa.table({"disc_pct": db, "q": q})
+             .group_by("disc_pct")
+             .aggregate([("q", "sum"), ([], "count_all")]))
+        return g.rename_columns(["disc_pct", "qty_sum", "n_lines"])
+
+    counts = _collect(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("disc_pct")
+          .aggregate(Sum("qty_sum", alias_name="qty_sum"),
+                     Sum("n_lines", alias_name="n_lines")))
+    if counts.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["disc_pct", "n_lines", "qty_sum",
+                          "avg_qty_x10k"]})
+    counts = counts.sort_by("disc_pct")
+    return pa.table({
+        "disc_pct": counts["disc_pct"],
+        "n_lines": counts["n_lines"].cast(pa.int64()),
+        "qty_sum": counts["qty_sum"],
+        "avg_qty_x10k": pa.array(
+            [int(math.floor(10000.0 * s / n + 0.5)) for s, n in
+             zip(counts["qty_sum"].to_pylist(),
+                 counts["n_lines"].to_pylist())], pa.int64()),
+    })
