@@ -48,10 +48,12 @@ def entry() -> Any:
 # done-bar, incl. the §2 parity queries percentage_range_discount / M8 and
 # ssn_mask_format_customer_name / M11), then (2-6) the session-8/7/6/5/4
 # additions (17+4+13+3+1+12 = 50). Everything after — the spans /
-# incremental / jpeg block and the rows-only recerts — rotates to the
-# round-5 head. Every oracle query is also re-checked against DuckDB on
-# every pytest run (tests/test_queries_oracle.py), so a query outside the
-# window is still continuously verified, just not driver-certified yet.
+# incremental / jpeg block, the session-9/10 distribution / reconciliation
+# / profile additions, and the rows-only recerts — rotates to the round-5
+# head (43 entries + 7 recert slots). Every oracle query is also
+# re-checked against DuckDB on every pytest run
+# (tests/test_queries_oracle.py), so a query outside the window is still
+# continuously verified, just not driver-certified yet.
 _SWEEP_FIRST = (
     # -- (1) never driver-swept oracle-SQL queries (round-3 verdict item 1) --
     "percentage_range_discount",
