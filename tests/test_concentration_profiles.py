@@ -338,17 +338,21 @@ def test_value_trend_planted_slope(ray_session, tmp_path):
     assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
 
 
-def test_segment_median_both_join_tiers(ray_session):
+def test_segment_median_both_join_tiers(ray_session, tmp_path):
     """Broadcast tier and distributed-join tier return identical
-    per-segment quantiles (max_broadcast=0 forces the join path)."""
-    import engine.queries_ext as qe
+    per-segment quantiles (max_broadcast=0 forces the join path, run
+    ISOLATED — conftest: Ray 2.49 join-teardown guard)."""
+    from conftest import run_query_isolated
+
+    import engine.queries_ext  # noqa: F401
     from engine.queries import ORACLE_SQL, QUERIES
     from oracle_utils import compare, duckdb_con
 
     d = SF
     q = "median_order_value_by_mktsegment"
     base = QUERIES[q](d)
-    joined = qe.median_order_value_by_mktsegment(d, max_broadcast=0)
+    joined = run_query_isolated(q, d, tmp_path / "j.parquet",
+                                kwargs={"max_broadcast": 0})
     assert base.equals(joined)
     con = duckdb_con(d)
     assert not compare(base, con.execute(ORACLE_SQL[q]).fetchdf())

@@ -1078,7 +1078,7 @@ def test_df_stopword_scrub_planted(ray_session, tmp_path):
     assert got2 == {0: "", 1: "a", 2: "b"}
 
 
-def test_revenue_by_nation_paths(ray_session):
+def test_revenue_by_nation_paths(ray_session, tmp_path):
     """All three scale paths of the star rollup agree: full broadcast
     (orders fit), orders-join + customer broadcast, and double
     distributed join (nothing fits)."""
@@ -1086,13 +1086,20 @@ def test_revenue_by_nation_paths(ray_session):
 
     sf = "/root/testdata/sf0.001"
     full = qx.revenue_by_nation(sf)                     # broadcast path
-    mid = qx.revenue_by_nation(sf, max_broadcast=500)   # orders too big
-    none = qx.revenue_by_nation(sf, max_broadcast=0)    # both too big
+    # join tiers run ISOLATED (conftest: Ray 2.49 join-teardown guard)
+    from conftest import run_query_isolated
+
+    mid = run_query_isolated("revenue_by_nation", sf,
+                             tmp_path / "mid.parquet",
+                             kwargs={"max_broadcast": 500})
+    none = run_query_isolated("revenue_by_nation", sf,
+                              tmp_path / "none.parquet",
+                              kwargs={"max_broadcast": 0})
     assert full.equals(mid)
     assert full.equals(none)
 
 
-def test_shipping_priority_paths(ray_session):
+def test_shipping_priority_paths(ray_session, tmp_path):
     """Q3-shape top-10: all three scale tiers return identical rows —
     full broadcast, distributed order-map attach (guard below the 147
     filtered orders at sf0.001), and distributed customer semi-join
@@ -1101,8 +1108,15 @@ def test_shipping_priority_paths(ray_session):
 
     sf = "/root/testdata/sf0.001"
     bc = qx.shipping_priority_orders(sf)
-    dist_attach = qx.shipping_priority_orders(sf, max_broadcast=100)
-    dist_cust = qx.shipping_priority_orders(sf, max_broadcast=20)
+    # join tiers run ISOLATED (conftest: Ray 2.49 join-teardown guard)
+    from conftest import run_query_isolated
+
+    dist_attach = run_query_isolated("shipping_priority_orders", sf,
+                                     tmp_path / "att.parquet",
+                                     kwargs={"max_broadcast": 100})
+    dist_cust = run_query_isolated("shipping_priority_orders", sf,
+                                   tmp_path / "cust.parquet",
+                                   kwargs={"max_broadcast": 20})
     assert bc.equals(dist_attach)
     assert bc.equals(dist_cust)
     assert bc.num_rows <= 10
@@ -1231,14 +1245,19 @@ def test_heavy_hitters_guarantee(ray_session):
         assert est <= true_hh <= est + err, (nparts, est, err, true_hh)
 
 
-def test_doc_embedding_join_paths(ray_session):
+def test_doc_embedding_join_paths(ray_session, tmp_path):
     """Broadcast and distributed-join paths of the cross-modal join
     agree."""
     import engine.queries_ext as qx
 
     sf = "/root/testdata/sf0.001"
     a = qx.doc_embedding_label_stats(sf)
-    b = qx.doc_embedding_label_stats(sf, max_broadcast=0)
+    # join tier runs ISOLATED (conftest: Ray 2.49 join-teardown guard)
+    from conftest import run_query_isolated
+
+    b = run_query_isolated("doc_embedding_label_stats", sf,
+                           tmp_path / "b.parquet",
+                           kwargs={"max_broadcast": 0})
     assert a.equals(b)
 
 

@@ -38,12 +38,24 @@ def con():
     return duckdb_con(SF_DIR)
 
 
-@pytest.mark.parametrize("name", FALLBACK_QUERIES)
-def test_fallback_matches_oracle(ray_session, con, name):
-    import engine.queries_ext  # noqa: F401
-    from engine.queries import ORACLE_SQL, QUERIES
+@pytest.fixture(scope="module")
+def fallback_results(tmp_path_factory):
+    """All forced-join-tier results in ONE isolated subprocess session
+    (conftest.run_queries_isolated — Ray 2.49 join-teardown RAY_CHECK
+    guard)."""
+    from conftest import run_queries_isolated
 
-    problems = compare(QUERIES[name](SF_DIR, max_broadcast=0),
+    out = tmp_path_factory.mktemp("fallback_iso")
+    return run_queries_isolated(FALLBACK_QUERIES, SF_DIR, out,
+                                kwargs={"max_broadcast": 0})
+
+
+@pytest.mark.parametrize("name", FALLBACK_QUERIES)
+def test_fallback_matches_oracle(fallback_results, con, name):
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL
+
+    problems = compare(fallback_results[name],
                        con.execute(ORACLE_SQL[name]).fetchdf())
     assert not problems, problems
 
@@ -146,17 +158,33 @@ def _plant_nulls_and_orphans(tmp_path):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def norphan_dir(tmp_path_factory):
+    return _plant_nulls_and_orphans(tmp_path_factory.mktemp("norphan"))
+
+
+@pytest.fixture(scope="module")
+def norphan_join_results(tmp_path_factory, norphan_dir):
+    """Forced-join-tier results over the planted dir, one isolated
+    subprocess session (Ray 2.49 join-teardown RAY_CHECK guard)."""
+    from conftest import run_queries_isolated
+
+    out = tmp_path_factory.mktemp("norphan_iso")
+    return run_queries_isolated(FALLBACK_QUERIES, norphan_dir, out,
+                                kwargs={"max_broadcast": 0})
+
+
 @pytest.mark.parametrize("name", FALLBACK_QUERIES)
 @pytest.mark.parametrize("mb", [None, 0])
-def test_null_and_orphan_join_keys(ray_session, tmp_path, name, mb):
+def test_null_and_orphan_join_keys(ray_session, norphan_dir,
+                                   norphan_join_results, name, mb):
     import engine.queries_ext  # noqa: F401
     from engine.queries import ORACLE_SQL, QUERIES
 
-    d = _plant_nulls_and_orphans(tmp_path)
-    con = duckdb_con(d)
-    kwargs = {} if mb is None else {"max_broadcast": 0}
-    problems = compare(QUERIES[name](d, **kwargs),
-                       con.execute(ORACLE_SQL[name]).fetchdf())
+    con = duckdb_con(norphan_dir)
+    out = (QUERIES[name](norphan_dir) if mb is None
+           else norphan_join_results[name])
+    problems = compare(out, con.execute(ORACLE_SQL[name]).fetchdf())
     assert not problems, problems
 
 
@@ -174,38 +202,55 @@ def test_important_parts_value_planted_nulls(ray_session, tmp_path):
     assert not problems, problems
 
 
-@pytest.mark.parametrize("name", ["waiting_suppliers",
-                                  "excess_share_suppliers",
-                                  "part_supplier_counts",
-                                  "min_acctbal_supplier_per_part"])
-@pytest.mark.parametrize("mb", [None, 0])
-def test_null_supplier_names(ray_session, tmp_path, name, mb):
-    """Planted NULL s_name rows: the NULL-name group must survive the
-    Ray groupby (null_key_companion), LIKE-based blacklists must drop
-    NULL names on both engines, and DISTINCT must keep one NULL row."""
+NULLNAME_QUERIES = ["waiting_suppliers", "excess_share_suppliers",
+                    "part_supplier_counts", "min_acctbal_supplier_per_part"]
+
+
+@pytest.fixture(scope="module")
+def nullname_dir(tmp_path_factory):
+    """sf0.001 copy with a third of supplier names NULLed."""
     import shutil
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    import engine.queries_ext  # noqa: F401
-    from engine.queries import ORACLE_SQL, QUERIES
-
-    d = tmp_path / "sfnullname"
-    d.mkdir()
+    d = tmp_path_factory.mktemp("sfnullname")
     for t in ["region", "nation", "customer", "part", "orders",
               "lineitem", "documents", "embeddings", "events"]:
         shutil.copy(f"{SF_DIR}/{t}.parquet", d / f"{t}.parquet")
     sup = pq.read_table(f"{SF_DIR}/supplier.parquet")
     names = sup["s_name"].to_pylist()
     for i in range(0, len(names), 3):
-        names[i] = None  # a third of all supplier names go NULL
+        names[i] = None
     sup = sup.set_column(sup.schema.get_field_index("s_name"),
                          "s_name", pa.array(names, pa.string()))
     pq.write_table(sup, d / "supplier.parquet", row_group_size=100)
+    return str(d)
 
-    con = duckdb_con(str(d))
-    kwargs = {} if mb is None else {"max_broadcast": 0}
-    problems = compare(QUERIES[name](str(d), **kwargs),
-                       con.execute(ORACLE_SQL[name]).fetchdf())
+
+@pytest.fixture(scope="module")
+def nullname_join_results(tmp_path_factory, nullname_dir):
+    from conftest import run_queries_isolated
+
+    out = tmp_path_factory.mktemp("nullname_iso")
+    return run_queries_isolated(NULLNAME_QUERIES, nullname_dir, out,
+                                kwargs={"max_broadcast": 0})
+
+
+@pytest.mark.parametrize("name", NULLNAME_QUERIES)
+@pytest.mark.parametrize("mb", [None, 0])
+def test_null_supplier_names(ray_session, nullname_dir,
+                             nullname_join_results, name, mb):
+    """Planted NULL s_name rows: the NULL-name group must survive the
+    Ray groupby (null_key_companion), LIKE-based blacklists must drop
+    NULL names on both engines, and DISTINCT must keep one NULL row.
+    The forced-join tier runs in the module's isolated subprocess
+    session (Ray 2.49 join-teardown RAY_CHECK guard)."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+
+    con = duckdb_con(nullname_dir)
+    out = (QUERIES[name](nullname_dir) if mb is None
+           else nullname_join_results[name])
+    problems = compare(out, con.execute(ORACLE_SQL[name]).fetchdf())
     assert not problems, problems
