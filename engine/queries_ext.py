@@ -9115,11 +9115,13 @@ def order_total_reconciliation(sf_dir: str) -> pa.Table:
     Scale plan: join-free tagged-union (the J4/J5 bucketed-diff shape,
     checks/core.py:544): per-block partial rollups on the lineitem side
     (group_by inside the block caps shuffle volume at distinct orders
-    per block), constant columns tag the orders side; ONE groupby Sum
-    on the order key merges both; the verdict counts reduce per-block
-    to single-row partials (blocks-bounded driver merge). Nothing
-    order-cardinality-sized reaches the driver."""
-    from ray.data.aggregate import Sum
+    per block), constant columns tag the orders side; ONE coarse
+    256-bucket shuffle on the order-key hash co-locates both sides and
+    the per-bucket Arrow group_by does the merge (a key-cardinality
+    Ray Aggregate measured 12 s of 18.7 s at sf0.1; buckets are
+    key-hash sized, never group-sized); verdicts reduce to single-row
+    per-bucket partials. Nothing order-cardinality-sized reaches the
+    driver."""
 
     li = _t(sf_dir, "lineitem",
             ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"])
@@ -9144,17 +9146,29 @@ def order_total_reconciliation(sf_dir: str) -> pa.Table:
                          "oc": _cents(b["o_totalprice"]),
                          "on": pa.array(np.ones(b.num_rows, np.int64))})
 
-    u = (li.map_batches(li_partial, batch_format="pyarrow")
-           .union(od.map_batches(od_partial, batch_format="pyarrow")))
-    merged = u.groupby("k").aggregate(
-        Sum("lc", alias_name="lc"), Sum("ln", alias_name="ln"),
-        Sum("oc", alias_name="oc"), Sum("on", alias_name="on"))
+    # coarse-bucket the ORDER KEY instead of a key-cardinality
+    # sort-shuffle: Ray's Aggregate on ~n_orders distinct keys measured
+    # 12 s of the original 18.7 s at sf0.1; the 256-bucket map_groups
+    # (every other bucketed kernel's shape) does the same merge in the
+    # per-bucket Arrow group_by below (18.7 s -> ~3 s)
+    from .stages.windows import _bucket_of
 
-    def verdict_partial(b: pa.Table) -> pa.Table:
-        ln = b["ln"].to_numpy()
-        on = b["on"].to_numpy()
-        lc = b["lc"].to_numpy()
-        oc = b["oc"].to_numpy()
+    def add_bucket(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_bucket", pa.array(_bucket_of(b["k"], 256)))
+
+    u = (li.map_batches(li_partial, batch_format="pyarrow")
+           .union(od.map_batches(od_partial, batch_format="pyarrow"))
+           .map_batches(add_bucket, batch_format="pyarrow"))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = (group.drop_columns(["_bucket"]).group_by("k")
+             .aggregate([("lc", "sum"), ("ln", "sum"),
+                         ("oc", "sum"), ("on", "sum")]))
+        ln = g["ln_sum"].to_numpy()
+        on = g["on_sum"].to_numpy()
+        lc = g["lc_sum"].to_numpy()
+        oc = g["oc_sum"].to_numpy()
         is_order = on > 0
         both = is_order & (ln > 0)
         mism = both & (np.abs(lc - oc) > 1)
@@ -9164,10 +9178,12 @@ def order_total_reconciliation(sf_dir: str) -> pa.Table:
                     n_orders_no_lineitems=int((is_order & (ln == 0)).sum()),
                     n_lineitem_orphan_orders=int((~is_order).sum()))
 
-    parts = _collect(merged.map_batches(
-        verdict_partial, batch_format="pyarrow"))
+    parts = _collect(u.groupby("_bucket")
+                      .map_groups(pick, batch_format="pyarrow"))
     cols = ["n_orders", "n_with_lines", "n_mismatch",
             "n_orders_no_lineitems", "n_lineitem_orphan_orders"]
+    if "n_orders" not in parts.column_names:  # all buckets empty
+        return _row(**{c: 0 for c in cols})
     return _row(**{c: int(pc.sum(parts[c]).as_py() or 0) for c in cols})
 
 
