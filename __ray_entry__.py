@@ -151,6 +151,8 @@ _SWEEP_FIRST = (
     "cross_source_overlap_documents",
     "return_rate_by_ship_month",
     "discount_quantity_elasticity",
+    "new_vs_returning_users_daily",
+    "session_stats_events",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

@@ -10762,3 +10762,162 @@ def discount_quantity_elasticity(sf_dir: str) -> pa.Table:
              zip(counts["qty_sum"].to_pylist(),
                  counts["n_lines"].to_pylist())], pa.int64()),
     })
+
+
+@query(
+    "new_vs_returning_users_daily",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    f AS (SELECT u, min(day) AS fday FROM du GROUP BY u)
+    SELECT CAST(CAST(du.day AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+           CAST(count(*) AS BIGINT) AS dau,
+           CAST(count(*) FILTER (WHERE du.day = f.fday) AS BIGINT)
+               AS new_users,
+           CAST(count(*) FILTER (WHERE du.day > f.fday) AS BIGINT)
+               AS returning_users
+    FROM du JOIN f ON du.u = f.u GROUP BY du.day ORDER BY day
+    """,
+)
+def new_vs_returning_users_daily(sf_dir: str) -> pa.Table:
+    """Daily new-vs-returning user split — the growth-accounting
+    decomposition of DAU (acquisition vs retention). The SQL min-day
+    self-join disappears: after block (user, day) pre-dedup and ONE
+    user-bucket shuffle, each user's sorted day list is contiguous, so
+    the first-day flag is a POSITION-based segment-start gather
+    (dd[start_pos] — NOT maximum.accumulate over day values, which
+    cannot reset downward across users). Partials are day-keyed
+    (calendar-bounded driver merge in exact ints)."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"u": t["user_id"], "d": days})
+        t2 = t2.group_by(["u", "d"]).aggregate([]).select(["u", "d"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["u"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ["day", "dau", "new"]})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        keep = ~(same & np.concatenate([[False], d[1:] == d[:-1]]))
+        u, d = u[keep], d[keep]
+        new_u = np.concatenate([[True], u[1:] != u[:-1]])
+        pos = np.arange(len(u), dtype=np.int64)
+        start_pos = np.maximum.accumulate(np.where(new_u, pos, 0))
+        isnew = (d == d[start_pos]).astype(np.int64)
+        dv, inv = np.unique(d, return_inverse=True)
+        dau = np.bincount(inv, minlength=len(dv)).astype(np.int64)
+        new = np.bincount(inv, weights=isnew,
+                          minlength=len(dv)).astype(np.int64)
+        return pa.table({"day": pa.array(dv, pa.int64()),
+                         "dau": pa.array(dau), "new": pa.array(new)})
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    acc: dict = {}
+    if "day" not in parts.column_names:  # all buckets empty
+        parts = pa.table({c: pa.array([], pa.int64())
+                          for c in ["day", "dau", "new"]})
+    for day, dau, new in zip(parts["day"].to_pylist(),
+                             parts["dau"].to_pylist(),
+                             parts["new"].to_pylist()):
+        a, b = acc.get(day, (0, 0))
+        acc[day] = (a + dau, b + new)
+    if not acc:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["day", "dau", "new_users", "returning_users"]})
+    return pa.Table.from_pylist(
+        [{"day": d, "dau": a, "new_users": b, "returning_users": a - b}
+         for d, (a, b) in sorted(acc.items())])
+
+
+@query(
+    "session_stats_events",
+    """
+    WITH d AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (SELECT user_id, event_id, ts,
+                 sum(new_sess) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM d),
+    g AS (SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                      AS BIGINT) AS dur_s
+          FROM s GROUP BY user_id, session_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (WHERE n = 1) AS BIGINT)
+               AS bounce_sessions,
+           CAST(floor(10000.0 * count(*) FILTER (WHERE n = 1) / count(*)
+                + 0.5) AS BIGINT) AS bounce_rate_x10k,
+           CAST(quantile_disc(dur_s, 0.5) AS BIGINT) AS median_dur_s,
+           CAST(quantile_disc(dur_s, 0.9) AS BIGINT) AS p90_dur_s,
+           CAST(max(dur_s) AS BIGINT) AS max_dur_s
+    FROM g
+    """,
+)
+def session_stats_events(sf_dir: str) -> pa.Table:
+    """Session-level engagement profile over the 30-minute-gap
+    sessionization (same windows as session_window_events): bounce rate
+    (single-event sessions) and EXACT median/p90 session duration in
+    whole seconds (integer floor-division of microsecond spans — no
+    float epoch rounding on either side). The sessions dataset is
+    aggregate-reduced and materialized ONCE; counts come from
+    single-row per-block partials and the duration quantiles run
+    through the histogram-guided exact selection (selection.py) —
+    duration values are unbounded, so no driver-side histogram."""
+    import math
+
+    from .stages.selection import exact_quantiles_disc
+    from .stages.windows import session_window_agg
+
+    ds = _t(sf_dir, "events", ["user_id", "event_id", "ts"])
+    sess = session_window_agg(ds, "user_id", "ts", "event_id")
+
+    def project(b: pa.Table) -> pa.Table:
+        st = pc.cast(_ts_us(b["session_start"]), pa.int64())
+        en = pc.cast(_ts_us(b["session_end"]), pa.int64())
+        dur = pc.divide(pc.subtract(en, st), 1_000_000)
+        return pa.table({"n": b["n_events"].cast(pa.int64()),
+                         "dur_s": dur})
+
+    proj = sess.map_batches(project, batch_format="pyarrow").materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        return _row(ns=len(n), bounce=int((n == 1).sum()))
+
+    parts = _collect(proj.map_batches(count_partial,
+                                      batch_format="pyarrow"))
+    ns = int(pc.sum(parts["ns"]).as_py() or 0)
+    if ns == 0:
+        raise ValueError("session_stats_events: no sessions")
+    bounce = int(pc.sum(parts["bounce"]).as_py() or 0)
+    med, p90 = exact_quantiles_disc(proj, "dur_s", [0.5, 0.9])
+    mx = proj.max("dur_s")
+    return _row(n_sessions=ns, bounce_sessions=bounce,
+                bounce_rate_x10k=int(math.floor(
+                    10000.0 * bounce / ns + 0.5)),
+                median_dur_s=int(med), p90_dur_s=int(p90),
+                max_dur_s=int(mx))

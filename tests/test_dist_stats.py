@@ -158,3 +158,41 @@ def test_ks_detects_planted_drift(ray_session, tmp_path):
     problems = compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
     assert not problems, problems
     assert out["ks_x10k"][0].as_py() == 10000  # fully separated halves
+
+
+def test_new_vs_returning_and_sessions_planted(ray_session, tmp_path):
+    """New-vs-returning: user 1 active days 0,1,2 (new on 0 only),
+    user 2 only day 1 (new), NULL user/ts excluded; descending user
+    insertion order stresses the position-based first-day gather.
+    Session stats: user 3's two events 45 min apart split into two
+    single-event sessions (bounces, dur 0); user 1's three same-minute
+    events are one session."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = [  # (user, offset_us) — users deliberately in reverse order
+        (3, 0), (3, 45 * 60_000_000),
+        (2, day + 5), (1, 0), (1, 30_000_000), (1, 60_000_000),
+        (1, day), (1, 2 * day),
+    ]
+    events = pa.table({
+        "event_id": pa.array(range(len(rows) + 2), pa.int64()),
+        "ts": pa.array([base + off for _, off in rows] + [None, base],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows] + [1, None], pa.int64()),
+        "event_type": pa.array(["view"] * (len(rows) + 2)),
+        "value": pa.array([1.0] * (len(rows) + 2)),
+        "props": pa.array(["{}"] * (len(rows) + 2)),
+    })
+    d = _write_dir(tmp_path, events, "sfnvr")
+    con = duckdb_con(d)
+    q = "new_vs_returning_users_daily"
+    out = QUERIES[q](d)
+    got = {r["day"] - out["day"][0].as_py():
+           (r["dau"], r["new_users"], r["returning_users"])
+           for r in out.to_pylist()}
+    assert got == {0: (2, 2, 0), 1: (2, 1, 1), 2: (1, 0, 1)}
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
