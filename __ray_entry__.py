@@ -153,6 +153,8 @@ _SWEEP_FIRST = (
     "discount_quantity_elasticity",
     "new_vs_returning_users_daily",
     "session_stats_events",
+    "activity_gini_events_per_user",
+    "reactivated_users_monthly",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

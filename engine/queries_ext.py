@@ -10921,3 +10921,167 @@ def session_stats_events(sf_dir: str) -> pa.Table:
                     10000.0 * bounce / ns + 0.5)),
                 median_dur_s=int(med), p90_dur_s=int(p90),
                 max_dur_s=int(mx))
+
+
+@query(
+    "activity_gini_events_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    ),
+    g AS (SELECT n AS v, CAST(count(*) AS BIGINT) AS c FROM c GROUP BY n),
+    o AS (
+      SELECT v, c,
+             CAST(COALESCE(sum(c) OVER (ORDER BY v
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS cb
+      FROM g
+    ),
+    t AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(v * c) AS BIGINT) AS s,
+             CAST(sum(v * (2 * c * cb + c * (c + 1))) AS BIGINT) AS w2
+      FROM o
+    )
+    SELECT n AS n_users, s AS n_events,
+           CAST(floor(10000.0 * (CAST(w2 AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+                - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE)) + 0.5)
+                AS BIGINT) AS gini_x10k
+    FROM t
+    """,
+)
+def activity_gini_events_per_user(sf_dir: str) -> pa.Table:
+    """Activity-concentration Gini: inequality of the events-per-USER
+    distribution ("does 1% of the user base generate most traffic?"),
+    completing the concentration family (hhi: type mix, pareto: revenue
+    whales, gini_value: value mass). Same exact tie-invariant histogram
+    formulation as gini_value_events, but the histogram is COUNTS OF
+    COUNTS: per-user totals come from block (user) count partials
+    merged in ONE user-bucket shuffle; each bucket then emits its
+    (events-per-user, n_users) value_counts, whose key domain is
+    bounded by the max per-user activity — a tiny driver merge in
+    arbitrary-precision ints (w2 ~ v*n^2 wraps int64 at scale)."""
+    import math
+
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["user_id"]))
+        g = (pa.table({"u": t["user_id"]}).group_by("u")
+             .aggregate([([], "count_all")]).rename_columns(["u", "n"]))
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["u"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        if g.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        m = (g.group_by("u").aggregate([("n", "sum")]))
+        vv, cc = np.unique(m["n_sum"].to_numpy(), return_counts=True)
+        return pa.table({"v": pa.array(vv, pa.int64()),
+                         "c": pa.array(cc, pa.int64())})
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    hist: dict = {}
+    if "v" in parts.column_names:
+        for v, c in zip(parts["v"].to_pylist(), parts["c"].to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    if not hist:
+        raise ValueError("activity_gini_events_per_user: no users")
+    n = s = w2 = cb = 0
+    for v in sorted(hist):
+        c = hist[v]
+        n += c
+        s += v * c
+        w2 += v * (2 * c * cb + c * (c + 1))
+        cb += c
+    gini = (float(w2) / (float(n) * float(s))
+            - (float(n) + 1.0) / float(n))
+    return _row(n_users=n, n_events=s,
+                gini_x10k=int(math.floor(10000.0 * gini + 0.5)))
+
+
+@query(
+    "reactivated_users_monthly",
+    """
+    WITH du AS (
+      SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    l AS (SELECT u, day, lag(day) OVER (PARTITION BY u ORDER BY day)
+              AS pd
+          FROM du),
+    r AS (SELECT day FROM l WHERE pd IS NOT NULL AND day - pd >= 7)
+    SELECT CAST(year(day) * 100 + month(day) AS BIGINT) AS ym,
+           CAST(count(*) AS BIGINT) AS reactivations
+    FROM r GROUP BY ym ORDER BY ym
+    """,
+)
+def reactivated_users_monthly(sf_dir: str) -> pa.Table:
+    """Monthly reactivation counts: users returning after >= 7 dormant
+    days, attributed to the month of return — the churn-recovery
+    companion to retention_next_day / cohort_retention. One user-bucket
+    shuffle of the block-pre-deduped (user, day) pairs; per bucket the
+    dormancy test is one adjacent-diff mask over each user's contiguous
+    sorted days; partials are month-keyed (calendar-bounded driver
+    merge). The shipped testdata's users are near-daily-active, so the
+    result is empty there (hash-matching its oracle); the planted
+    fixture provides the behavioral signal."""
+    from .stages.windows import _bucket_of
+
+    ds = _t(sf_dir, "events", ["user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"u": t["user_id"], "d": days})
+        t2 = t2.group_by(["u", "d"]).aggregate([]).select(["u", "d"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["u"], 256)))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({"ym": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        keep = ~(same & np.concatenate([[False], d[1:] == d[:-1]]))
+        u, d = u[keep], d[keep]
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        react = same & (np.concatenate([[0], d[1:] - d[:-1]]) >= 7)
+        rd = d[react]
+        if len(rd) == 0:
+            return empty
+        dates = rd.astype("datetime64[D]")
+        ym = ((dates.astype("datetime64[Y]").astype(np.int64) + 1970)
+              * 100 + (dates.astype("datetime64[M]").astype(np.int64)
+                       % 12 + 1))
+        mv, mc = np.unique(ym, return_counts=True)
+        return pa.table({"ym": pa.array(mv, pa.int64()),
+                         "n": pa.array(mc, pa.int64())})
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    acc: dict = {}
+    if "ym" in parts.column_names:
+        for ym, c in zip(parts["ym"].to_pylist(), parts["n"].to_pylist()):
+            acc[ym] = acc.get(ym, 0) + c
+    if not acc:
+        return pa.table({"ym": pa.array([], pa.int64()),
+                         "reactivations": pa.array([], pa.int64())})
+    return pa.Table.from_pylist(
+        [{"ym": k, "reactivations": acc[k]} for k in sorted(acc)])

@@ -196,3 +196,47 @@ def test_new_vs_returning_and_sessions_planted(ray_session, tmp_path):
            for r in out.to_pylist()}
     assert got == {0: (2, 2, 0), 1: (2, 1, 1), 2: (1, 0, 1)}
     assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+
+
+def test_reactivation_and_activity_gini_planted(ray_session, tmp_path):
+    """User 1: days 0, 10, 12, 40 -> reactivations on day 10 (gap 10)
+    and day 40 (gap 28), attributed to their months; duplicate same-day
+    events collapse; NULL user/ts excluded. Activity gini: planted
+    one-whale distribution scores high and matches its oracle."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000  # 2023-11-14
+    rows = [(1, 0), (1, 10), (1, 10), (1, 12), (1, 40),
+            (2, 0), (2, 3), (None, 0)]
+    n = len(rows) + 1
+    events = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "ts": pa.array([base + d * day for _, d in rows] + [None],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows] + [2], pa.int64()),
+        "event_type": pa.array(["view"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    })
+    # whale: user 9 with 60 events in one burst
+    whale = pa.table({
+        "event_id": pa.array(range(n, n + 60), pa.int64()),
+        "ts": pa.array([base + i for i in range(60)], pa.timestamp("us")),
+        "user_id": pa.array([9] * 60, pa.int64()),
+        "event_type": pa.array(["view"] * 60),
+        "value": pa.array([1.0] * 60),
+        "props": pa.array(["{}"] * 60),
+    })
+    d = _write_dir(tmp_path, pa.concat_tables([events, whale]), "sfreact")
+    con = duckdb_con(d)
+    q = "reactivated_users_monthly"
+    out = QUERIES[q](d)
+    assert sum(out["reactivations"].to_pylist()) == 2
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+    q2 = "activity_gini_events_per_user"
+    out2 = QUERIES[q2](d)
+    assert out2["gini_x10k"][0].as_py() > 5000  # whale-dominated
+    assert not compare(out2, con.execute(ORACLE_SQL[q2]).fetchdf())
