@@ -155,6 +155,7 @@ _SWEEP_FIRST = (
     "session_stats_events",
     "activity_gini_events_per_user",
     "reactivated_users_monthly",
+    "price_stddev_by_brand_part",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "multimodal_decode_features",

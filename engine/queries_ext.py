@@ -11085,3 +11085,71 @@ def reactivated_users_monthly(sf_dir: str) -> pa.Table:
                          "reactivations": pa.array([], pa.int64())})
     return pa.Table.from_pylist(
         [{"ym": k, "reactivations": acc[k]} for k in sorted(acc)])
+
+
+@query(
+    "price_stddev_by_brand_part",
+    """
+    WITH p AS (
+      SELECT p_brand,
+             count(*) AS n,
+             CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sx,
+             CAST(sum(CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                      * CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS sxx
+      FROM part WHERE p_retailprice IS NOT NULL
+      GROUP BY p_brand
+    )
+    SELECT p_brand, CAST(n AS BIGINT) AS n_parts,
+           CAST(floor(sqrt(n * sxx - sx * sx) / n * 100 + 0.5) AS BIGINT)
+               AS stddev_cents_x100
+    FROM p ORDER BY p_brand
+    """,
+)
+def price_stddev_by_brand_part(sf_dir: str) -> pa.Table:
+    """Per-brand retail-price dispersion (population stddev in cents,
+    x100) — the grouped second-moment profile complementing the grouped
+    MAD/winsorize spread screens with the classical parametric one.
+    corr-family exact float policy: per-batch int64 moment partials
+    GROUPED by brand (multiply_checked + _check_moment_bound enforce
+    the no-wrap contract), per-group merge in arbitrary-precision
+    Python ints, ONE double sqrt expression per group with the oracle's
+    exact tree. Partial volume is |brands| x blocks. NULL brand is its
+    own GROUP BY group, ordered last."""
+    import math
+
+    ds = _t(sf_dir, "part", ["p_brand", "p_retailprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch["p_retailprice"]))
+        x = _cents(t["p_retailprice"])
+        _check_moment_bound("price_stddev_by_brand_part",
+                            x.to_numpy(zero_copy_only=False))
+        tb = pa.table({
+            "p_brand": t["p_brand"],
+            "n": pa.array(np.ones(t.num_rows, np.int64), pa.int64()),
+            "sx": x,
+            "sxx": pc.multiply_checked(x, x),
+        })
+        g = tb.group_by(["p_brand"]).aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sxx", "sum")])
+        return g.rename_columns(["p_brand", "n", "sx", "sxx"])
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow",
+                                    batch_size=_CORR_BATCH))
+    acc: dict = {}
+    for row in parts.to_pylist():
+        a = acc.setdefault(row["p_brand"], [0, 0, 0])
+        for i, k in enumerate(["n", "sx", "sxx"]):
+            a[i] += row[k]
+    brands, ns, sds = [], [], []
+    for b in sorted(acc, key=lambda f: (f is None, f or "")):
+        n, isx, isxx = acc[b]
+        sd = math.sqrt(n * float(isxx) - float(isx) * float(isx)) / n
+        brands.append(b)
+        ns.append(n)
+        sds.append(int(math.floor(sd * 100 + 0.5)))
+    return pa.table({"p_brand": pa.array(brands, pa.string()),
+                     "n_parts": pa.array(ns, pa.int64()),
+                     "stddev_cents_x100": pa.array(sds, pa.int64())})
