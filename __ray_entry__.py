@@ -158,6 +158,7 @@ _SWEEP_FIRST = (
     "price_stddev_by_brand_part",
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
+    "langid_confusion_corpus",
     "multimodal_decode_features",
     "multimodal_png_decode_features",
     "multimodal_audio_features",

@@ -11153,3 +11153,69 @@ def price_stddev_by_brand_part(sf_dir: str) -> pa.Table:
     return pa.table({"p_brand": pa.array(brands, pa.string()),
                      "n_parts": pa.array(ns, pa.int64()),
                      "stddev_cents_x100": pa.array(sds, pa.int64())})
+
+
+@query("langid_confusion_corpus")
+def langid_confusion_corpus(sf_dir: str) -> pa.Table:
+    """Language-ID model evaluation: confusion counts plus per-class
+    precision/recall/F1 (x10k) of the char-n-gram NB scorer against the
+    synthetic corpus's golden ``actual_lang`` — the model-quality
+    evidence behind the flagship's keep/drop F1 target (north rule:
+    fastText-analogue langid at >= 0.99 pipeline F1). Rows-only: an NB
+    scorer is not SQL-expressible; determinism comes from the
+    closed-form fit (models.build_models, cached per process) and
+    index-deterministic corpus generation, asserted across parallelism
+    by the test suite.
+
+    Scale plan: distributed index-deterministic generation sized to the
+    sf's documents row count, the scorer as an actor-pool map_batches
+    (model deserialized once per actor), per-block (actual, pred)
+    count partials, ONE |langs|^2-bounded groupby."""
+    import math
+
+    import pyarrow.parquet as pq_mod
+    from ray.data.aggregate import Sum
+
+    from . import corpus
+    from .stages.langid import LangIdScorer
+    from .stages.models import build_models
+
+    n_rows = pq_mod.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    langid, _ = build_models()
+    ds = corpus.generate_dataset(n_rows, with_golden=True)
+    scorer = LangIdScorer(langid, content_col="content")
+
+    def pair_partial(b: pa.Table) -> pa.Table:
+        scored = scorer(b)
+        g = (pa.table({"actual": scored["actual_lang"],
+                       "pred": scored["lang_pred"]})
+             .group_by(["actual", "pred"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["actual", "pred", "n"])
+
+    cells = _collect(ds.map_batches(pair_partial, batch_format="pyarrow")
+                       .groupby(["actual", "pred"])
+                       .aggregate(Sum("n", alias_name="n")))
+    rows = sorted(zip(cells["actual"].to_pylist(),
+                      cells["pred"].to_pylist(),
+                      cells["n"].to_pylist()))
+    tp: dict = {}
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for a, p, c in rows:
+        row_tot[a] = row_tot.get(a, 0) + c
+        col_tot[p] = col_tot.get(p, 0) + c
+        if a == p:
+            tp[a] = tp.get(a, 0) + c
+    out = []
+    for a, p, c in rows:
+        out.append({"actual": a, "pred": p, "n": c})
+    summary = []
+    for lang in sorted(row_tot):
+        t = tp.get(lang, 0)
+        prec = t / col_tot.get(lang, 1) if col_tot.get(lang, 0) else 0.0
+        rec = t / row_tot[lang]
+        f1 = (2 * prec * rec / (prec + rec)) if (prec + rec) else 0.0
+        summary.append({"actual": lang, "pred": "__f1__",
+                        "n": int(math.floor(10000.0 * f1 + 0.5))})
+    return pa.Table.from_pylist(out + summary)
+

@@ -240,3 +240,22 @@ def test_reactivation_and_activity_gini_planted(ray_session, tmp_path):
     out2 = QUERIES[q2](d)
     assert out2["gini_x10k"][0].as_py() > 5000  # whale-dominated
     assert not compare(out2, con.execute(ORACLE_SQL[q2]).fetchdf())
+
+
+def test_langid_confusion_rows_only(ray_session):
+    """Confusion counts sum to the corpus size, diagonal dominates
+    (model F1 per class >= 0.90 on its own synthetic domain), and the
+    summary rows carry per-class F1 x10k; deterministic re-run."""
+    import engine.queries_ext as qe
+
+    sf = "/root/testdata/sf0.001"
+    out = qe.langid_confusion_corpus(sf)
+    cells = [r for r in out.to_pylist() if r["pred"] != "__f1__"]
+    f1s = {r["actual"]: r["n"] for r in out.to_pylist()
+           if r["pred"] == "__f1__"}
+    import pyarrow.parquet as pq_mod
+    n = pq_mod.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert sum(r["n"] for r in cells) == n
+    assert set(f1s) == {"c", "javascript", "markdown", "python", "text"}
+    assert all(v >= 9000 for v in f1s.values()), f1s
+    assert out.equals(qe.langid_confusion_corpus(sf))
