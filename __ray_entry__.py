@@ -159,6 +159,7 @@ _SWEEP_FIRST = (
     # -- rows-only queries (no oracle SQL): driver records a rows-only
     # check; first driver rows for the ones never swept --
     "langid_confusion_corpus",
+    "perplexity_profile_corpus",
     "multimodal_decode_features",
     "multimodal_png_decode_features",
     "multimodal_audio_features",

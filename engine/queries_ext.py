@@ -11219,3 +11219,55 @@ def langid_confusion_corpus(sf_dir: str) -> pa.Table:
                         "n": int(math.floor(10000.0 * f1 + 0.5))})
     return pa.Table.from_pylist(out + summary)
 
+
+
+@query("perplexity_profile_corpus")
+def perplexity_profile_corpus(sf_dir: str) -> pa.Table:
+    """Per-language perplexity distribution of the n-gram LM over the
+    synthetic corpus (exact median/p90 of ppl, x100 ints) — the
+    second model-quality profile next to langid_confusion_corpus: a
+    quality-filter pipeline thresholds on perplexity, so the per-lang
+    percentile profile IS the threshold-calibration artifact. Rows-only
+    (the LM is not SQL-expressible); ppl floats quantize to x100 ints
+    BEFORE the grouped selection so every reported value is exact and
+    parallelism-invariant.
+
+    Scale plan: index-deterministic corpus generation, actor-pool
+    scorer (LM deserialized once per actor), then the scale-safe
+    grouped selection (per-(lang, bin) histogram partials — no
+    one-group-per-worker assumption)."""
+    import pyarrow.parquet as pq_mod
+
+    from . import corpus
+    from .stages.perplexity import PerplexityScorer
+    from .stages.models import build_models
+    from .stages.selection import grouped_exact_quantiles_disc
+
+    n_rows = pq_mod.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    _, lm = build_models()
+    ds = corpus.generate_dataset(n_rows, with_golden=True)
+    scorer = PerplexityScorer(lm, content_col="content")
+
+    def score(b: pa.Table) -> pa.Table:
+        scored = scorer(b)
+        return pa.table({
+            "lang": scored["actual_lang"],
+            "ppl_x100": _cents(scored["ppl"]),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    got = grouped_exact_quantiles_disc(scored, "lang", "ppl_x100",
+                                       [0.5, 0.9])
+    keys = sorted(k for k in got if k is not None)
+    if None in got:
+        keys.append(None)
+    return pa.table({
+        "lang": pa.array(keys, pa.string()),
+        "n_docs": pa.array([got[g][0] for g in keys], pa.int64()),
+        "median_ppl_x100": pa.array(
+            [None if got[g][1] is None else int(got[g][1][0])
+             for g in keys], pa.int64()),
+        "p90_ppl_x100": pa.array(
+            [None if got[g][1] is None else int(got[g][1][1])
+             for g in keys], pa.int64()),
+    })

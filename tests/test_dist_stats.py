@@ -259,3 +259,18 @@ def test_langid_confusion_rows_only(ray_session):
     assert set(f1s) == {"c", "javascript", "markdown", "python", "text"}
     assert all(v >= 9000 for v in f1s.values()), f1s
     assert out.equals(qe.langid_confusion_corpus(sf))
+
+
+def test_perplexity_profile_rows_only(ray_session):
+    """Per-lang doc counts sum to the corpus size, every ppl percentile
+    is positive with p90 >= median, and the run is deterministic."""
+    import engine.queries_ext as qe
+
+    sf = "/root/testdata/sf0.001"
+    out = qe.perplexity_profile_corpus(sf)
+    import pyarrow.parquet as pq_mod
+    n = pq_mod.read_metadata(f"{sf}/documents.parquet").num_rows
+    assert sum(out["n_docs"].to_pylist()) == n
+    for r in out.to_pylist():
+        assert 0 < r["median_ppl_x100"] <= r["p90_ppl_x100"], r
+    assert out.equals(qe.perplexity_profile_corpus(sf))
