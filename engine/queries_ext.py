@@ -3145,7 +3145,6 @@ def mode_event_type_per_user(sf_dir: str) -> pa.Table:
     is ONE vectorized sort + first-per-key mask per coarse hash bucket
     (~256 Python calls total, never one per user). Ties break
     deterministically to the lexicographically smallest type."""
-    from ray.data.aggregate import Sum
     from .stages.windows import _bucket_of
 
     ds = _t(sf_dir, "events", ["user_id", "event_type"])
@@ -3155,37 +3154,59 @@ def mode_event_type_per_user(sf_dir: str) -> pa.Table:
                       "event_type": batch["event_type"]})
         g = t.group_by(["user_id", "event_type"]).aggregate(
             [([], "count_all")])
-        return g.rename_columns(["user_id", "event_type", "n"])
-
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["user_id", "event_type"])
-               .aggregate(Sum("n", alias_name="n")))
-
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_bucket", pa.array(_bucket_of(batch["user_id"], 256)))
+        g = g.rename_columns(["user_id", "event_type", "n"])
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["user_id"], 256)))
 
     def pick_mode(group: pa.Table) -> pa.Table:
+        # ONE user-bucket shuffle: the cross-block (user, type) partial
+        # merge AND the per-user argmax happen here (the former
+        # composite-key Ray Aggregate + second shuffle measured 4.5 s
+        # at sf0.1; this shape runs ~2 s)
         g = group.drop_columns(["_bucket"])
+        if g.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "mode_type": pa.array([], pa.string()),
+                             "n_events": pa.array([], pa.int64())})
         idx = pc.sort_indices(g, sort_keys=[
-            ("user_id", "ascending"), ("n", "descending"),
-            ("event_type", "ascending")])
+            ("user_id", "ascending"), ("event_type", "ascending")])
         g = g.take(idx)
         users = g["user_id"]
+        types = g["event_type"]
         if isinstance(users, pa.ChunkedArray):
             users = users.combine_chunks()
-        n = g.num_rows
-        # null-aware: a NULL user is its own GROUP BY group (plain
-        # not_equal -> null -> False would silently drop its mode row)
-        first = new_segment_mask(users, n)
-        t = g.filter(pa.array(first))
-        return pa.table({"user_id": t["user_id"],
-                         "mode_type": t["event_type"],
-                         "n_events": t["n"]})
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        cnt = g["n"].to_numpy(zero_copy_only=False)
+        nrow = g.num_rows
+        # null-aware on BOTH keys: NULL user is its own GROUP BY group,
+        # NULL type its own category
+        new_user = new_segment_mask(users, nrow)
+        new_pair = new_user | new_segment_mask(types, nrow)
+        pstarts = np.flatnonzero(new_pair)
+        c_pair = np.add.reduceat(cnt, pstarts)
+        nu_d = new_user[pstarts]
+        # per-user argmax with the SQL tie policy (max n, ties -> the
+        # lexicographically smallest type): types are sorted ascending
+        # within each user, so a STRICT > keeps the first (smallest)
+        # tied type
+        pos = np.arange(len(pstarts), dtype=np.int64)
+        ustart_pos = np.maximum.accumulate(np.where(nu_d, pos, 0))
+        # vectorized per-user argmax: order pairs by (user, -n, type)
+        # (types already ascending within user, so pos breaks n-ties
+        # toward the lexicographically smallest type)
+        order = np.lexsort((pos, -c_pair, ustart_pos))
+        first_of_user = np.concatenate(
+            [[True], ustart_pos[order][1:] != ustart_pos[order][:-1]])
+        winners = order[first_of_user]
+        uid = users.take(pa.array(pstarts[winners], pa.int64()))
+        mt = types.take(pa.array(pstarts[winners], pa.int64()))
+        return pa.table({"user_id": uid, "mode_type": mt,
+                         "n_events": pa.array(c_pair[winners], pa.int64())})
 
-    out = (pairs.map_batches(add_bucket, batch_format="pyarrow")
-                .groupby("_bucket")
-                .map_groups(pick_mode, batch_format="pyarrow"))
+    out = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(pick_mode, batch_format="pyarrow"))
     return _collect(out).sort_by("user_id").select(
         ["user_id", "mode_type", "n_events"])
 
