@@ -2843,44 +2843,80 @@ def users_per_event_type(sf_dir: str) -> pa.Table:
     shuffle is the price of exactness; its volume is bounded by
     |types x users|, not corpus rows (approx_distinct_orderkeys is the
     sketch alternative when even that is too wide)."""
-    from ray.data.aggregate import Sum
+    from .stages.windows import _bucket_of
+
     ds = _t(sf_dir, "events", ["event_type", "user_id"])
 
     def pair_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"event_type": batch["event_type"],
                       "user_id": batch["user_id"]})
-        g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
-        # the companion keeps the string shuffle key non-null (a
-        # null-bearing STRING key crashes Ray's range partitioner in
-        # any tuple position; the null-bearing second key here is
-        # user_id — INTEGER, which shuffles fine)
-        return null_key_companion(
-            g.rename_columns(["event_type", "user_id", "c"]), "event_type")
+        g = t.group_by(["event_type", "user_id"]).aggregate(
+            [([], "count_all")])
+        g = g.rename_columns(["event_type", "user_id", "c"])
+        # bucket on the USER key: every (type, user) pair of a user
+        # co-locates, so the bucket kernel can both merge cross-block
+        # partials and count distinct users per type — ONE int-keyed
+        # shuffle replaces the former (type, user)-cardinality Ray
+        # Aggregate + type groupby (and sidesteps the null-string
+        # shuffle-key hazard entirely; measured 3.4 s -> ~1.5 s sf0.1)
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["user_id"], 256)))
 
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["event_type", "_knull", "user_id"])
-               .aggregate(Sum("c", alias_name="c")))
+    def per_type(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n_users": pa.array([], pa.int64()),
+                          "n_events": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[
+            ("event_type", "ascending"), ("user_id", "ascending")])
+        g = g.take(idx)
+        types = g["event_type"]
+        users = g["user_id"]
+        if isinstance(types, pa.ChunkedArray):
+            types = types.combine_chunks()
+        if isinstance(users, pa.ChunkedArray):
+            users = users.combine_chunks()
+        cnt = g["c"].to_numpy(zero_copy_only=False)
+        nrow = g.num_rows
+        new_type = new_segment_mask(types, nrow)
+        new_pair = new_type | new_segment_mask(users, nrow)
+        pstarts = np.flatnonzero(new_pair)
+        c_pair = np.add.reduceat(cnt, pstarts)
+        nt_d = new_type[pstarts]
+        tstarts = np.flatnonzero(nt_d)
+        n_events = np.add.reduceat(c_pair, tstarts)
+        # a NULL user is a real (type, NULL) pair for count(*) but
+        # contributes 0 to count(DISTINCT user_id)
+        uvalid = pc.cast(pc.is_valid(users), pa.int64()) \
+            .to_numpy(zero_copy_only=False)[pstarts]
+        n_users = np.add.reduceat(uvalid, tstarts)
+        # reduceat on a single-element trailing segment is fine; fix
+        # the all-zero edge where tstarts==len: not possible (nt_d[0]
+        # is True)
+        tt = types.take(pa.array(pstarts[tstarts], pa.int64()))
+        return pa.table({"event_type": tt,
+                         "n_users": pa.array(n_users, pa.int64()),
+                         "n_events": pa.array(n_events, pa.int64())})
 
-    def type_partial(batch: pa.Table) -> pa.Table:
-        # a NULL user is a real (type, NULL) pair for the event count
-        # (count(*)) but contributes 0 to count(DISTINCT user_id)
-        t = pa.table({"event_type": batch["event_type"],
-                      "_knull": batch["_knull"],
-                      "u": pc.cast(pc.is_valid(batch["user_id"]),
-                                   pa.int64()),
-                      "c": batch["c"]})
-        g = t.group_by(["event_type", "_knull"]).aggregate(
-            [("u", "sum"), ("c", "sum")])
-        return g.rename_columns(["event_type", "_knull",
-                                 "n_users", "n_events"])
-
-    out = (pairs.map_batches(type_partial, batch_format="pyarrow")
-                .groupby(["event_type", "_knull"])
-                .aggregate(Sum("n_users", alias_name="n_users"),
-                           Sum("n_events", alias_name="n_events")))
-    return restore_null_key(_collect(out), "event_type") \
-        .sort_by("event_type").select(
-            ["event_type", "n_users", "n_events"])
+    parts = _collect(ds.map_batches(pair_partial, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(per_type, batch_format="pyarrow"))
+    acc: dict = {}
+    if "event_type" in parts.column_names:
+        for et, nu, ne in zip(parts["event_type"].to_pylist(),
+                              parts["n_users"].to_pylist(),
+                              parts["n_events"].to_pylist()):
+            a, b = acc.get(et, (0, 0))
+            acc[et] = (a + nu, b + ne)
+    keys = sorted((k for k in acc if k is not None))
+    if None in acc:
+        keys.append(None)  # NULL type last (DuckDB ORDER BY default)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "n_users": pa.array([acc[k][0] for k in keys], pa.int64()),
+        "n_events": pa.array([acc[k][1] for k in keys], pa.int64())})
 
 
 # ===========================================================================
