@@ -8788,37 +8788,73 @@ def join_key_skew_orders(sf_dir: str) -> pa.Table:
     with the oracle's tree (exact ints up to 2^53 rows)."""
     import math
 
-    from ray.data.aggregate import Count, Max, Sum
+    from .stages.windows import _bucket_of
 
     ds = _t(sf_dir, "orders", ["o_custkey"])
 
     def partial(b: pa.Table) -> pa.Table:
         col = b["o_custkey"]
-        return _vc_partial(b.filter(pc.is_valid(col))["o_custkey"], "k", "n")
+        g = _vc_partial(b.filter(pc.is_valid(col))["o_custkey"], "k", "n")
+        return g.append_column(
+            "_bucket", pa.array(_bucket_of(g["k"], 256)))
 
-    counts = (ds.map_batches(partial, batch_format="pyarrow")
-                .groupby("k")
-                .aggregate(Sum("n", alias_name="n")))
-    agg = counts.aggregate(Sum("n", alias_name="total"),
-                           Count(alias_name="nk"),
-                           Max("n", alias_name="mx"))
-    total = int(agg["total"] or 0)
+    def pick(group: pa.Table) -> pa.Table:
+        # per-bucket merge + LOCAL top-10: every key lives in exactly
+        # one bucket, so the global top-10 is inside the union of
+        # per-bucket top-10s; stats reduce to tagged single rows.
+        # (The former key-cardinality Ray Aggregate plus a second
+        # sort-limit consumer re-executing the groupby: 6.0 s -> ~1.3 s)
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ["kind", "v1", "v2"]})
+        if g.num_rows == 0:
+            return empty
+        m = (g.group_by("k").aggregate([("n", "sum")])
+             .rename_columns(["k", "n"]))
+        n = m["n"].to_numpy()
+        k = m["k"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((k, -n))[:10]
+        kinds = [0, 1] + [2] * len(order)
+        v1 = [int(n.sum()), int(n.max())] + n[order].tolist()
+        v2 = [m.num_rows, 0] + k[order].tolist()
+        return pa.table({"kind": pa.array(kinds, pa.int64()),
+                         "v1": pa.array(v1, pa.int64()),
+                         "v2": pa.array(v2, pa.int64())})
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    if "kind" not in parts.column_names or parts.num_rows == 0:
+        return pa.table({c: pa.array([], pa.int64()) for c in
+                         ["total_rows", "distinct_keys", "max_key_rows",
+                          "top10_rows", "top10_share_x10k",
+                          "max_share_x10k"]})
+    total = nk = mx = 0
+    cands = []
+    for kind, v1, v2 in zip(parts["kind"].to_pylist(),
+                            parts["v1"].to_pylist(),
+                            parts["v2"].to_pylist()):
+        if kind == 0:
+            total += v1
+            nk += v2
+        elif kind == 1:
+            mx = max(mx, v1)
+        else:
+            cands.append((v1, v2))
     if total == 0:
         return pa.table({c: pa.array([], pa.int64()) for c in
                          ["total_rows", "distinct_keys", "max_key_rows",
                           "top10_rows", "top10_share_x10k",
                           "max_share_x10k"]})
-    top = _collect(counts.sort(["n", "k"], descending=[True, False])
-                   .limit(10))
-    top10 = int(pc.sum(top["n"]).as_py() or 0)
+    cands.sort(key=lambda t: (-t[0], t[1]))
+    top10 = sum(nv for nv, _ in cands[:10])
     return _row(
         total_rows=total,
-        distinct_keys=int(agg["nk"]),
-        max_key_rows=int(agg["mx"]),
+        distinct_keys=nk,
+        max_key_rows=mx,
         top10_rows=top10,
         top10_share_x10k=int(math.floor(10000.0 * top10 / total + 0.5)),
-        max_share_x10k=int(math.floor(
-            10000.0 * int(agg["mx"]) / total + 0.5)))
+        max_share_x10k=int(math.floor(10000.0 * mx / total + 0.5)))
 
 
 # ===========================================================================
