@@ -3399,55 +3399,65 @@ def retention_next_day_events(sf_dir: str) -> pa.Table:
     so a second groupby Max over both tags, then a per-batch count of
     pairs holding both tags, replaces any join. Tag maxes are exact
     (0/1 ints)."""
-    from ray.data.aggregate import Count, Max, Sum
+    from .stages.windows import _bucket_of
 
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        ts = _ts_us(batch["ts"])
-        days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
-        t = pa.table({"d": days, "user_id": batch["user_id"]})
-        # SQL's self-join on user_id never matches NULL = NULL
-        t = t.filter(pc.is_valid(t["user_id"]))
-        g = t.group_by(["d", "user_id"]).aggregate([([], "count_all")])
-        return g.select(["d", "user_id"])
+    def prep(b: pa.Table) -> pa.Table:
+        # SQL's self-join on user_id never matches NULL = NULL, and a
+        # NULL day (NULL ts) can never satisfy b.d = a.d + 1
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"u": t["user_id"], "d": days})
+        t2 = t2.group_by(["u", "d"]).aggregate([]).select(["u", "d"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["u"], 256)))
 
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["d", "user_id"])
-               .aggregate(Count("user_id", alias_name="_c")))
+    def pick(group: pa.Table) -> pa.Table:
+        # the day+1 self-join as per-user ADJACENCY (the
+        # dayover_user_jaccard kernel): each bucket owns its users, so
+        # a sorted diff==1 mask counts next-day retention exactly —
+        # ONE int-keyed shuffle replaces the former three
+        # pair-cardinality groupbys (5.5 s -> ~1.5 s at sf0.1)
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({"d": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        keep = ~(same & np.concatenate([[False], d[1:] == d[:-1]]))
+        u, d = u[keep], d[keep]
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        adj = same & np.concatenate([[False], (d[1:] - d[:-1]) == 1])
+        rd = d[np.flatnonzero(adj)] - 1
+        if len(rd) == 0:
+            return empty
+        dv, dc = np.unique(rd, return_counts=True)
+        return pa.table({"d": pa.array(dv, pa.int64()),
+                         "n": pa.array(dc, pa.int64())})
 
-    def fan(batch: pa.Table) -> pa.Table:
-        d = batch["d"]
-        u = batch["user_id"]
-        ones = pa.array(np.ones(batch.num_rows, dtype=np.int64))
-        zeros = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
-        today = pa.table({"d": d, "user_id": u, "t0": ones, "t1": zeros})
-        # a pair active on day d also witnesses "tomorrow" for day d-1
-        dm1 = pc.subtract(d, pa.scalar(1, pa.int64()))
-        tomorrow = pa.table({"d": dm1, "user_id": u, "t0": zeros, "t1": ones})
-        return pa.concat_tables([today, tomorrow])
-
-    tagged = (pairs.map_batches(fan, batch_format="pyarrow")
-                   .groupby(["d", "user_id"])
-                   .aggregate(Max("t0", alias_name="t0"),
-                              Max("t1", alias_name="t1")))
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        both = pc.and_(pc.equal(batch["t0"], 1), pc.equal(batch["t1"], 1))
-        t = pa.table({"d": batch["d"]}).filter(both)
-        return _vc_partial(t["d"], "d", "n_retained")
-
-    out = (tagged.map_batches(count_partial, batch_format="pyarrow")
-                 .groupby("d").aggregate(Sum("n_retained",
-                                             alias_name="n_retained")))
-    t = _collect(out)
-    if t.num_rows == 0:  # no consecutive-day activity anywhere
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    acc: dict = {}
+    if "d" in parts.column_names:
+        for d, n in zip(parts["d"].to_pylist(), parts["n"].to_pylist()):
+            acc[d] = acc.get(d, 0) + n
+    if not acc:  # no consecutive-day activity anywhere
         return pa.table({"event_date": pa.array([], pa.date32()),
                          "n_retained": pa.array([], pa.int64())})
-    t = t.sort_by("d")
+    days = sorted(acc)
     return pa.table({
-        "event_date": pc.cast(pc.cast(t["d"], pa.int32()), pa.date32()),
-        "n_retained": t["n_retained"],
+        "event_date": pc.cast(pc.cast(pa.array(days, pa.int64()),
+                                      pa.int32()), pa.date32()),
+        "n_retained": pa.array([acc[d] for d in days], pa.int64()),
     })
 
 
