@@ -4320,50 +4320,82 @@ def rolling_7day_users_events(sf_dir: str) -> pa.Table:
     (broadcast day set), re-deduped by one pair-cardinality groupby,
     and counted per day via calendar-sized driver-merged partials.
     Shuffle volume: 7 x |distinct pairs|, independent of event count."""
-    import ray
-    from ray.data.aggregate import Count
+    from .stages.windows import _bucket_of
 
     ds = _t(sf_dir, "events", ["ts", "user_id"])
 
-    def pair_partial(batch: pa.Table) -> pa.Table:
-        ts = _ts_us(batch["ts"])
-        days = ts.cast(pa.date32()).cast(pa.int32()).cast(pa.int64())
-        t = pa.table({"d": days, "user_id": batch["user_id"]})
-        t = t.filter(pc.is_valid(t["user_id"]))  # COUNT(DISTINCT) nulls
-        g = t.group_by(["d", "user_id"]).aggregate([([], "count_all")])
-        return g.select(["d", "user_id"])
+    def prep(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                             pc.is_valid(b["user_id"])))
+        days = (_ts_us(t["ts"]).cast(pa.date32())
+                .cast(pa.int32()).cast(pa.int64()))
+        t2 = pa.table({"u": t["user_id"], "d": days})
+        t2 = t2.group_by(["u", "d"]).aggregate([]).select(["u", "d"])
+        return t2.append_column(
+            "_bucket", pa.array(_bucket_of(t2["u"], 256)))
 
-    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
-               .groupby(["d", "user_id"])
-               .aggregate(Count("user_id", alias_name="_c"))).materialize()
+    def pick(group: pa.Table) -> pa.Table:
+        # per-user COVERAGE INTERVALS instead of a x7 pair expansion:
+        # a user is inside window w iff active in [w-6, w], i.e. w lies
+        # in the union of [d_i, d_i+6] — contiguous runs split only
+        # where consecutive active days differ by > 7, so each run
+        # emits ONE (+1 at run_start, -1 at run_last+7) delta pair.
+        # Day-keyed calendar-bounded partials, no second shuffle
+        # (formerly: x7 expansion + pair-cardinality re-dedup groupby,
+        # 5.1 s -> ~1.3 s at sf0.1). kind 0 = delta, kind 1 = observed
+        # calendar day marker (output rows are observed days only).
+        g = group.drop_columns(["_bucket"])
+        empty = pa.table({c: pa.array([], pa.int64())
+                          for c in ["kind", "day", "v"]})
+        if g.num_rows == 0:
+            return empty
+        idx = pc.sort_indices(g, sort_keys=[("u", "ascending"),
+                                            ("d", "ascending")])
+        g = g.take(idx)
+        u = g["u"].to_numpy()
+        d = g["d"].to_numpy()
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        keep = ~(same & np.concatenate([[False], d[1:] == d[:-1]]))
+        u, d = u[keep], d[keep]
+        new_run = np.concatenate(
+            [[True], (u[1:] != u[:-1]) | ((d[1:] - d[:-1]) > 7)])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], len(d)) - 1
+        sv, sc = np.unique(d[starts], return_counts=True)
+        ev, ec = np.unique(d[ends] + 7, return_counts=True)
+        dv, _dc = np.unique(d, return_counts=True)
+        kind = np.concatenate([np.zeros(len(sv) + len(ev), np.int64),
+                               np.ones(len(dv), np.int64)])
+        day = np.concatenate([sv, ev, dv])
+        v = np.concatenate([sc, -ec, np.ones(len(dv), np.int64)])
+        return pa.table({"kind": pa.array(kind), "day": pa.array(day),
+                         "v": pa.array(v)})
 
-    # calendar-sized distinct-day set, driver-merged then broadcast
-    day_parts = _collect(pairs.map_batches(
-        lambda b: _vc_partial(b["d"], "d", "n"), batch_format="pyarrow"))
-    days = np.unique(day_parts["d"].to_numpy(zero_copy_only=False))
-    days_ref = ray.put(days)
-
-    def expand(batch: pa.Table) -> pa.Table:
-        dset = ray.get(days_ref)
-        d = batch["d"].to_numpy(zero_copy_only=False)
-        u = batch["user_id"].to_numpy(zero_copy_only=False)
-        wd = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), len(d))
-        wu = np.repeat(u, 7)
-        keep = np.isin(wd, dset)  # only real calendar days have windows
-        return pa.table({"wd": pa.array(wd[keep], pa.int64()),
-                         "user_id": pa.array(wu[keep], pa.int64())})
-
-    uniq = (pairs.map_batches(expand, batch_format="pyarrow")
-                 .groupby(["wd", "user_id"])
-                 .aggregate(Count("user_id", alias_name="_c")))
-
-    parts = _collect(uniq.map_batches(
-        lambda b: _vc_partial(b["wd"], "wd", "n"), batch_format="pyarrow"))
-    g = (parts.group_by(["wd"]).aggregate([("n", "sum")])
-              .rename_columns(["wd", "wau"]).sort_by("wd"))
+    parts = _collect(ds.map_batches(prep, batch_format="pyarrow")
+                       .groupby("_bucket")
+                       .map_groups(pick, batch_format="pyarrow"))
+    deltas: dict = {}
+    observed = set()
+    if "kind" in parts.column_names:
+        for kind, day, v in zip(parts["kind"].to_pylist(),
+                                parts["day"].to_pylist(),
+                                parts["v"].to_pylist()):
+            if kind == 0:
+                deltas[day] = deltas.get(day, 0) + v
+            else:
+                observed.add(day)
+    if not observed:
+        return pa.table({"event_date": pa.array([], pa.date32()),
+                         "wau": pa.array([], pa.int64())})
+    dd = sorted(deltas)
+    cum = np.cumsum([deltas[x] for x in dd])
+    obs = np.array(sorted(observed), dtype=np.int64)
+    pos = np.searchsorted(np.array(dd, dtype=np.int64), obs, side="right")
+    wau = cum[pos - 1]  # pos >= 1: an observed day always has a +1 delta
     return pa.table({
-        "event_date": pc.cast(pc.cast(g["wd"], pa.int32()), pa.date32()),
-        "wau": g["wau"],
+        "event_date": pc.cast(pc.cast(pa.array(obs, pa.int64()),
+                                      pa.int32()), pa.date32()),
+        "wau": pa.array(wau, pa.int64()),
     })
 
 

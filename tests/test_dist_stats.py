@@ -274,3 +274,38 @@ def test_perplexity_profile_rows_only(ray_session):
     for r in out.to_pylist():
         assert 0 < r["median_ppl_x100"] <= r["p90_ppl_x100"], r
     assert out.equals(qe.perplexity_profile_corpus(sf))
+
+
+def test_rolling_7day_wau_gap_boundaries(ray_session, tmp_path):
+    """Coverage-interval runs: user 1 active days 0 and 7 (gap == 7,
+    contiguous coverage — must merge, never double-count), user 2 days
+    0 and 8 (gap 8, separate runs), user 3 day 3 only; matches the SQL
+    BETWEEN window oracle exactly."""
+    import engine.queries_ext  # noqa: F401
+    from engine.queries import ORACLE_SQL, QUERIES
+    from oracle_utils import compare, duckdb_con
+
+    day = 86_400_000_000
+    base = 1_700_000_000_000_000
+    rows = [(1, 0), (1, 7), (2, 0), (2, 8), (3, 3)]
+    events = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": pa.array([base + d * day for _, d in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+        "event_type": pa.array(["view"] * len(rows)),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    d = _write_dir(tmp_path, events, "sfwau")
+    con = duckdb_con(d)
+    q = "rolling_7day_users_events"
+    out = QUERIES[q](d)
+    assert not compare(out, con.execute(ORACLE_SQL[q]).fetchdf())
+    base_day = out["event_date"][0].as_py()
+    got = {(r["event_date"] - base_day).days: r["wau"]
+           for r in out.to_pylist()}
+    # observed days 0,3,7,8: day 0 {1,2}; day 3 {1,2,3}; day 7 {1,3}
+    # (user 1 present across the ==7 gap; user 2's days 0/8 both
+    # OUTSIDE [1,7]); day 8 {1,2,3}
+    assert got == {0: 2, 3: 3, 7: 2, 8: 3}
