@@ -139,3 +139,45 @@ def restore_null_key(t, col: str, flag: str = "_knull"):
     i = t.schema.get_field_index(col)
     restored = pc.if_else(isn, pa.scalar(None, k.type), k)
     return t.set_column(i, col, restored).drop_columns([flag])
+
+
+def bucketed_key_merge(ds, key_cols, sum_cols, num_buckets: int = 256):
+    """Exact per-key sums WITHOUT a key-cardinality Ray Aggregate.
+
+    The repo-standard rewrite (order_total_reconciliation and five
+    sibling queries measured Ray's sort-based Aggregate at ~85k rows/s
+    on key-cardinality inputs, 3-20x slower than this shape): hash the
+    key into ``num_buckets`` coarse buckets, ONE int-keyed shuffle
+    co-locates each key, and a per-bucket Arrow ``group_by`` does the
+    merge vectorized. Input should already be per-block partials (the
+    caller's combiner) so shuffle volume is distinct-keys-per-block.
+    NULL keys hash to the sentinel bucket and form one group per the
+    Arrow group_by (SQL GROUP BY semantics). Returns a Dataset with
+    ``key_cols + sum_cols`` (sums aliased back to their input names).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .stages.windows import _bucket_of
+
+    keys = list(key_cols) if isinstance(key_cols, (list, tuple)) \
+        else [key_cols]
+    sums = list(sum_cols)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = _bucket_of(b[keys[0]], num_buckets).astype(np.uint64)
+        for k in keys[1:]:
+            h = h * np.uint64(0x9E3779B97F4A7C15) + \
+                _bucket_of(b[k], num_buckets).astype(np.uint64)
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets))
+                                .astype(np.int64)))
+
+    def merge(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bucket"])
+        out = g.group_by(keys).aggregate([(c, "sum") for c in sums])
+        return out.rename_columns(keys + sums)
+
+    return (ds.map_batches(add_bucket, batch_format="pyarrow")
+              .groupby("_bucket")
+              .map_groups(merge, batch_format="pyarrow"))

@@ -5095,9 +5095,11 @@ def large_volume_customers(sf_dir: str,
         return (t.group_by("l_orderkey").aggregate([("qty", "sum")])
                 .rename_columns(["l_orderkey", "total_qty"]))
 
-    heavy = (li.map_batches(qty_partial, batch_format="pyarrow")
-               .groupby("l_orderkey")
-               .aggregate(Sum("total_qty", alias_name="total_qty"))
+    from .dsutil import bucketed_key_merge
+
+    heavy = (bucketed_key_merge(
+                 li.map_batches(qty_partial, batch_format="pyarrow"),
+                 "l_orderkey", ["total_qty"])
                .map_batches(
                    lambda b, _th=threshold: b.filter(pc.and_(
                        pc.greater(b["total_qty"],
@@ -5340,11 +5342,12 @@ def small_quantity_revenue_part(sf_dir: str,
                 .aggregate([("sq", "sum"), ("n", "sum")])
                 .rename_columns(["l_partkey", "sq", "n"]))
 
-    agg = (li1.map_batches(part_partial, batch_format="pyarrow")
-              .groupby("l_partkey")
-              .aggregate(Sum("sq", alias_name="sq"),
-                         Sum("n", alias_name="n"))
-              .materialize())
+    from .dsutil import bucketed_key_merge
+
+    # part-cardinality merge via the bucketed shape (dsutil helper)
+    agg = bucketed_key_merge(
+        li1.map_batches(part_partial, batch_format="pyarrow"),
+        "l_partkey", ["sq", "n"]).materialize()
     n_parts = agg.count()
 
     li2 = _t(sf_dir, "lineitem",
@@ -7447,10 +7450,11 @@ def important_parts_value(sf_dir: str) -> pa.Table:
                 .group_by(["p_partkey"]).aggregate([("value_c", "sum")])
                 .rename_columns(["p_partkey", "value_c"]))
 
-    v = (li.map_batches(partial, batch_format="pyarrow")
-           .groupby("p_partkey")
-           .aggregate(Sum("value_c", alias_name="value_c"))
-           .materialize())
+    from .dsutil import bucketed_key_merge
+
+    v = bucketed_key_merge(
+        li.map_batches(partial, batch_format="pyarrow"),
+        "p_partkey", ["value_c"]).materialize()
 
     def sum_partial(b: pa.Table) -> pa.Table:
         s = pc.sum(b["value_c"]).as_py()
