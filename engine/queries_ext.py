@@ -11438,3 +11438,297 @@ def perplexity_profile_corpus(sf_dir: str) -> pa.Table:
             [None if got[g][1] is None else int(got[g][1][1])
              for g in keys], pa.int64()),
     })
+
+
+# ===========================================================================
+# Code-corpus screening pack (session 11): the screens a CODE-data
+# curation pipeline runs before training — autogenerated-file markers,
+# minified/long-line detection, secret-ish blob detection, URL/email
+# leaks, license headers. Reference parity surface: the rule-driven
+# content checks (src/checker/masking_checker.py's pattern screens,
+# range_checker.py's threshold rules) recast for source-code corpora.
+# All are single-pass column-pruned scans: per-block Arrow/NumPy
+# kernels, domain-bounded partials (sources x blocks / langs x blocks),
+# ONE tiny groupby Sum merge, nothing corpus-sized on the driver.
+# ===========================================================================
+
+
+@query(
+    "code_screen_documents",
+    """
+    WITH s AS (
+      SELECT text,
+             strlen(text) AS nb,
+             strlen(text) - strlen(replace(text, '{', '')) AS n_open,
+             strlen(text) - strlen(replace(text, '}', '')) AS n_close,
+             strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))
+                 AS n_digit
+      FROM documents)
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, '@generated')
+                          OR contains(text, 'DO NOT EDIT')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_autogen,
+           CAST(sum(CASE WHEN n_open <> n_close
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_brace_imbalanced,
+           CAST(sum(CASE WHEN regexp_matches(text, '[^\\n]{201}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_long_line,
+           CAST(sum(CASE WHEN nb > 0 AND 10 * n_digit > nb
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high_digit,
+           CAST(sum(CASE WHEN regexp_matches(text, '[0-9a-f]{64}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hex_blob
+    FROM s
+    """,
+)
+def code_screen_documents(sf_dir: str) -> pa.Table:
+    """Code-corpus screening scoreboard — one row of exact counters for
+    the five screens a code-data pipeline applies before training:
+    autogenerated-file markers (``@generated`` / ``DO NOT EDIT``),
+    brace-imbalance (truncated/binary-ish files), any line longer than
+    200 bytes (minified JS / data-in-code), digit-dominated content
+    (10*digits > bytes: embedded data tables), and 64+-char lowercase-hex
+    runs (checked-in digests/keys — the masking_checker.py:50-112 hash
+    screen recast as a leak detector). Vectorized: two
+    ``match_substring`` probes, two RE2 ``match_substring_regex`` probes
+    (same RE2 the DuckDB oracle runs), brace/digit counts from ONE
+    byte-view pass (np.add.reduceat over class masks). NULL text counts
+    in n_docs and trips no screen (SQL CASE yields 0). Single-row int64
+    partials per block, Python-int driver merge, no shuffle."""
+    from .stages.textfeat import byte_view, segment_sums
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        data, offsets = byte_view(filled)
+        nb = (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+        def class_count(mask: np.ndarray) -> np.ndarray:
+            # cumsum segment sums (empty-doc-safe, unlike reduceat)
+            return segment_sums(mask.astype(np.int64), offsets)
+
+        n_open = class_count(data == ord("{"))
+        n_close = class_count(data == ord("}"))
+        n_digit = class_count((data >= ord("0")) & (data <= ord("9")))
+
+        def probe(pat: str, regex: bool = False) -> np.ndarray:
+            hit = (pc.match_substring_regex(filled, pat) if regex
+                   else pc.match_substring(filled, pat))
+            return hit.to_numpy(zero_copy_only=False).astype(bool)
+
+        autogen = probe("@generated") | probe("DO NOT EDIT")
+        return _row(
+            n_docs=b.num_rows,
+            n_autogen=int(autogen.sum()),
+            n_brace_imbalanced=int((n_open != n_close).sum()),
+            n_long_line=int(probe(r"[^\n]{201}", regex=True).sum()),
+            n_high_digit=int(((nb > 0) & (10 * n_digit > nb)).sum()),
+            n_hex_blob=int(probe("[0-9a-f]{64}", regex=True).sum()),
+        )
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    cols = ["n_docs", "n_autogen", "n_brace_imbalanced", "n_long_line",
+            "n_high_digit", "n_hex_blob"]
+    if "n_docs" not in parts.column_names:
+        return _row(**{c: 0 for c in cols})
+    return _row(**{c: int(pc.sum(parts[c]).as_py() or 0) for c in cols})
+
+
+@query(
+    "line_structure_by_lang",
+    """
+    WITH s AS (
+      SELECT lang, strlen(text) AS nb,
+             strlen(text) - strlen(replace(text, chr(10), '')) AS nl
+      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN nl = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_singleline,
+           CAST(sum(nl + 1) AS BIGINT) AS sum_lines,
+           CAST(sum(CASE WHEN nb > 200 * (nl + 1) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_minified
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def line_structure_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language line-structure profile: doc counts, single-line
+    docs, total line count, and minification flags (mean line length
+    over 200 bytes, as the integer cross-multiplication
+    ``bytes > 200 * lines`` — no float threshold). The minified screen
+    is the standard pre-training filter for minified JS / bundled
+    assets; on the shipped single-line word-soup corpus the 200-byte
+    mean discriminates real docs (n_chars 48-553), so the driver
+    compare carries signal. Newline counts come from one byte-view
+    pass; partials are lang-cardinality-bounded per block and merge in
+    ONE tiny groupby Sum. NULL lang / NULL text rows are filtered on
+    both engines."""
+    from ray.data.aggregate import Sum
+
+    from .stages.textfeat import byte_view, segment_sums
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["lang"]),
+                             pc.is_valid(b["text"])))
+        if t.num_rows == 0:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_singleline": pa.array([], pa.int64()),
+                             "sum_lines": pa.array([], pa.int64()),
+                             "n_minified": pa.array([], pa.int64())})
+        data, offsets = byte_view(t["text"])
+        nb = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        nl = segment_sums((data == 10).astype(np.int64), offsets)
+        g = pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(len(nb), np.int64)),
+            "sl": pa.array((nl == 0).astype(np.int64)),
+            "lines": pa.array(nl + 1),
+            "mini": pa.array((nb > 200 * (nl + 1)).astype(np.int64)),
+        }).group_by("lang").aggregate(
+            [("one", "sum"), ("sl", "sum"), ("lines", "sum"),
+             ("mini", "sum")])
+        return g.rename_columns(
+            ["lang", "n_docs", "n_singleline", "sum_lines", "n_minified"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_singleline", alias_name="n_singleline"),
+                        Sum("sum_lines", alias_name="sum_lines"),
+                        Sum("n_minified", alias_name="n_minified")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_singleline": pa.array([], pa.int64()),
+                         "sum_lines": pa.array([], pa.int64()),
+                         "n_minified": pa.array([], pa.int64())})
+    return t.sort_by("lang").select(
+        ["lang", "n_docs", "n_singleline", "sum_lines", "n_minified"])
+
+
+@query(
+    "url_email_leak_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, 'http://')
+                          OR contains(text, 'https://')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+           CAST(sum(CASE WHEN regexp_matches(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_email
+    FROM documents WHERE source IS NOT NULL
+    GROUP BY source ORDER BY source
+    """,
+)
+def url_email_leak_by_source(sf_dir: str) -> pa.Table:
+    """Per-source URL / e-mail leak profile — the web-leak companion to
+    the SSN/phone/CC PII screens (masking_checker.py parity surface):
+    which ingest feeds carry live URLs or e-mail addresses that a
+    scrub stage must strip. Substring probes for the URL schemes; ONE
+    RE2 pattern for e-mails, passed verbatim to both engines (Arrow
+    ``match_substring_regex`` and DuckDB ``regexp_matches`` are both
+    RE2, so the match set is identical by construction). Partials are
+    source-cardinality-bounded per block; ONE tiny groupby Sum; NULL
+    source filtered, NULL text trips nothing."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]"
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["source"]))
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_url": pa.array([], pa.int64()),
+                             "n_email": pa.array([], pa.int64())})
+        filled = pc.fill_null(t["text"], "")
+        url = pc.or_(pc.match_substring(filled, "http://"),
+                     pc.match_substring(filled, "https://"))
+        email = pc.match_substring_regex(filled, email_re)
+        g = pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "url": pc.cast(url, pa.int64()),
+            "email": pc.cast(email, pa.int64()),
+        }).group_by("source").aggregate(
+            [("one", "sum"), ("url", "sum"), ("email", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_url", "n_email"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_url", alias_name="n_url"),
+                        Sum("n_email", alias_name="n_email")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_url": pa.array([], pa.int64()),
+                         "n_email": pa.array([], pa.int64())})
+    return t.sort_by("source").select(
+        ["source", "n_docs", "n_url", "n_email"])
+
+
+@query(
+    "license_header_docs_by_source",
+    """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN contains(substr(text, 1, 256), 'Copyright')
+                          OR contains(substr(text, 1, 256),
+                                      'SPDX-License-Identifier')
+                          OR contains(substr(text, 1, 256),
+                                      'Licensed under')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_license
+    FROM documents WHERE source IS NOT NULL
+    GROUP BY source ORDER BY source
+    """,
+)
+def license_header_docs_by_source(sf_dir: str) -> pa.Table:
+    """Per-source license-header detection over the first 256
+    CHARACTERS of each doc (``Copyright`` / ``SPDX-License-Identifier``
+    / ``Licensed under``) — the screen behind license-aware corpus
+    splits and header-strip transforms. Both engines slice by code
+    points (Arrow ``utf8_slice_codeunits``, DuckDB ``substr``), so
+    parity holds on any valid UTF-8, not just ASCII. Same bounded
+    per-block partial + ONE tiny groupby Sum shape as the other
+    source-profile screens."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["source"]))
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64()),
+                             "n_license": pa.array([], pa.int64())})
+        head = pc.utf8_slice_codeunits(
+            pc.fill_null(t["text"], ""), 0, 256)
+        hit = pc.or_(
+            pc.or_(pc.match_substring(head, "Copyright"),
+                   pc.match_substring(head, "SPDX-License-Identifier")),
+            pc.match_substring(head, "Licensed under"))
+        g = pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "lic": pc.cast(hit, pa.int64()),
+        }).group_by("source").aggregate(
+            [("one", "sum"), ("lic", "sum")])
+        return g.rename_columns(["source", "n_docs", "n_license"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_license", alias_name="n_license")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "n_license": pa.array([], pa.int64())})
+    return t.sort_by("source").select(["source", "n_docs", "n_license"])
