@@ -11732,3 +11732,82 @@ def license_header_docs_by_source(sf_dir: str) -> pa.Table:
                          "n_docs": pa.array([], pa.int64()),
                          "n_license": pa.array([], pa.int64())})
     return t.sort_by("source").select(["source", "n_docs", "n_license"])
+
+
+@query(
+    "epoch_shuffle_rank_documents",
+    """
+    SELECT doc_id,
+           row_number() OVER (
+               ORDER BY (doc_id * 2654435761 + 12345) % 4294967296,
+                        doc_id) - 1 AS pos
+    FROM documents ORDER BY doc_id
+    """,
+)
+def epoch_shuffle_rank_documents(sf_dir: str) -> pa.Table:
+    """Seeded epoch shuffle for training-data pipelines: every doc's
+    exact position in a deterministic global permutation (seed folded
+    into a Knuth multiplicative hash of the stable id, doc_id
+    tie-break) — the op that replaces ``random_shuffle`` when the order
+    must be reproducible across reruns, resumes and parallelism levels.
+
+    Scale plan — NO all-to-all row shuffle: the permutation rank
+    decomposes over hash-prefix buckets. Pass 1 streams per-block
+    bucket counts (256 x blocks int partials, driver prefix-sum gives
+    each bucket's global offset); pass 2 groups rows by the SAME bucket
+    key (the one co-location this op needs) and each bucket emits
+    ``offset[bucket] + local rank`` from an in-bucket vectorized sort.
+    Bucket sizes are hash-uniform (~n/256), never key-skewed. At 100 TB
+    the bucket count widens with the corpus; rank arithmetic is int64."""
+    from .stages.windows import _bucket_of  # noqa: F401 (shape parity)
+
+    SEED = np.uint64(12345)
+    M32 = np.uint64(4294967296)
+
+    def seeded_hash(ids: np.ndarray) -> np.ndarray:
+        return (ids.astype(np.uint64) * np.uint64(2654435761) + SEED) % M32
+
+    ds = _t(sf_dir, "documents", ["doc_id"])
+
+    def bucket_counts(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = (seeded_hash(ids) >> np.uint64(24)).astype(np.int64)
+        c = np.bincount(bucket, minlength=256).astype(np.int64)
+        nz = np.flatnonzero(c)
+        return pa.table({"bucket": pa.array(nz),
+                         "n": pa.array(c[nz])})
+
+    parts = _collect(ds.map_batches(bucket_counts, batch_format="pyarrow"))
+    totals = np.zeros(256, np.int64)
+    if parts.num_rows:
+        np.add.at(totals, parts["bucket"].to_numpy(),
+                  parts["n"].to_numpy())
+    offsets = np.concatenate([[0], np.cumsum(totals)[:-1]])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        h = seeded_hash(ids)
+        return pa.table({
+            "doc_id": b["doc_id"],
+            "_h": pa.array(h.astype(np.int64)),
+            "_bucket": pa.array((h >> np.uint64(24)).astype(np.int64)),
+        })
+
+    def rank_bucket(group: pa.Table) -> pa.Table:
+        bucket = group["_bucket"][0].as_py()
+        ids = group["doc_id"].to_numpy(zero_copy_only=False)
+        h = group["_h"].to_numpy()
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), np.int64)
+        pos[order] = offsets[bucket] + np.arange(len(ids), dtype=np.int64)
+        return pa.table({"doc_id": group["doc_id"],
+                         "pos": pa.array(pos)})
+
+    out = (ds.map_batches(add_bucket, batch_format="pyarrow")
+             .groupby("_bucket")
+             .map_groups(rank_bucket, batch_format="pyarrow"))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+    return t.sort_by("doc_id").select(["doc_id", "pos"])
