@@ -78,6 +78,10 @@ QUERY_SET = [
     "c4_line_filter_documents",
     "event_transition_counts_events",
     "term_cooccurrence_documents",
+    # round-4 session-11 additions (code-corpus screening scan,
+    # shuffle-free global permutation ranks)
+    "code_screen_documents",
+    "epoch_shuffle_rank_documents",
 ]
 
 
