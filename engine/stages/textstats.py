@@ -225,16 +225,17 @@ def ngram_doc_frequency(ds, n: int = 5, text_col: str = "text",
        distinct (gram, doc) with one pyarrow ``group_by``, then
        ``value_counts`` over grams. Because a doc never spans batches,
        these per-batch distinct-doc counts are EXACT partials.
-    2. ``groupby("gram").Sum`` merges partials — the only shuffle, over
-       (gram, int) rows, already collapsed to batch-distinct grams.
+    2. ONE coarse-bucket shuffle merges partials (dsutil.
+       bucketed_key_merge — the repo-standard rewrite after Ray's
+       sort-based Aggregate measured ~85k rows/s on key-cardinality
+       inputs) over (gram, int) rows already collapsed to
+       batch-distinct grams.
 
     Returns a Dataset (gram, doc_freq), gram-cardinality-sized. Matches
     the DuckDB oracle ``array_to_string(ts[i:i+n-1], ' ')`` +
     ``count(DISTINCT doc_id)`` byte-for-byte (same single-space split,
     empties kept).
     """
-    from ray.data.aggregate import Sum
-
     empty = pa.table({"gram": pa.array([], pa.string()),
                       "df_part": pa.array([], pa.int64())})
 
@@ -271,9 +272,14 @@ def ngram_doc_frequency(ds, n: int = 5, text_col: str = "text",
         return pa.table({"gram": vc.field("values"),
                          "df_part": pc.cast(vc.field("counts"), pa.int64())})
 
-    out = (ds.map_batches(partial, batch_format="pyarrow")
-             .groupby("gram")
-             .aggregate(Sum("df_part", alias_name="doc_freq")))
+    from ..dsutil import bucketed_key_merge
+
+    merged = bucketed_key_merge(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        "gram", ["df_part"])
+    out = merged.map_batches(
+        lambda t: t.rename_columns(["gram", "doc_freq"]),
+        batch_format="pyarrow")
     if min_doc_freq > 1:
         out = out.filter(expr=f"doc_freq >= {min_doc_freq}")
     return out
