@@ -1,0 +1,97 @@
+"""Trained LR quality filter: convergence, accuracy, parallelism invariance.
+
+The classifier must (a) learn a near-perfect keep/drop boundary on the
+planted corpus (the features encode the violation signals, so a linear
+model that fails here is a training bug), (b) produce a BIT-IDENTICAL
+output table at any corpus partitioning (bounded hash-sample + driver
+GD + integer confusion partials), and (c) show a decreasing loss.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from engine.stages.lrfilter import (
+    FEATURES, drop_labels, predict_drop, train_logreg,
+)
+
+
+def _metric(t: pa.Table, key: str) -> int:
+    for r in t.to_pylist():
+        if r["kind"] == "metric" and r["key"] == key:
+            return r["n"]
+    raise KeyError(key)
+
+
+def test_train_logreg_separable_toy():
+    # 1-D separable data: x < 0 -> class 0, x > 0 -> class 1
+    rng = np.random.default_rng(7)
+    x = np.concatenate([rng.integers(-2000, -100, 200),
+                        rng.integers(100, 2000, 200)])
+    X = x.reshape(-1, 1).astype(np.int64)
+    y = (x > 0).astype(np.int8)
+    w, mean, std, losses = train_logreg(X, y, iters=200, lr=1.0)
+    assert losses[-1] < losses[0] / 10
+    pred = predict_drop(X, w, mean, std)
+    assert np.array_equal(pred, y.astype(bool))
+
+
+def test_drop_labels_match_drop_classes():
+    from engine.corpus import DROP_CLASSES
+
+    cls = pa.array(list(DROP_CLASSES) + ["clean", "email", "toxic", "duplicate"])
+    y = drop_labels(cls)
+    assert y[: len(DROP_CLASSES)].all()
+    assert not y[len(DROP_CLASSES):].any()
+
+
+def test_lr_filter_learns_planted_boundary(ray_session):
+    from engine.queries_ext import _lr_quality_filter
+
+    t = _lr_quality_filter(6000)
+    assert _metric(t, "f1_x10k") >= 9700
+    assert _metric(t, "accuracy_x10k") >= 9900
+    # loss strictly improved (GD actually ran)
+    assert _metric(t, "loss_final_x10k") < _metric(t, "loss_first_x10k") // 4
+    # per-class sanity: every planted drop class fully flagged, clean kept
+    by_cls = {r["key"]: (r["n"], r["n2"]) for r in t.to_pylist()
+              if r["kind"] == "class"}
+    for cls in ("empty_null", "gibberish", "long_line", "low_alpha",
+                "wrong_lang", "missing_lang"):
+        n, flagged = by_cls[cls]
+        assert n > 0 and flagged >= 0.97 * n, (cls, n, flagged)
+    n_clean, flagged_clean = by_cls["clean"]
+    assert flagged_clean <= 0.01 * n_clean
+
+
+def test_lr_filter_parallelism_invariant(ray_session):
+    from engine.queries_ext import _lr_quality_filter
+
+    a = _lr_quality_filter(3000, num_blocks=2)
+    b = _lr_quality_filter(3000, num_blocks=16)
+    assert a.equals(b)
+
+
+def test_lr_filter_query_contract(ray_session):
+    from engine.queries_ext import lr_quality_filter_corpus
+
+    t = lr_quality_filter_corpus("/root/testdata/sf0.001")
+    assert t.column_names == ["kind", "key", "n", "n2"]
+    kinds = set(t["kind"].to_pylist())
+    assert kinds == {"class", "metric", "weight"}
+    # one weight per feature + bias
+    n_weights = sum(1 for k in t["kind"].to_pylist() if k == "weight")
+    assert n_weights == len(FEATURES) + 1
+    assert _metric(t, "n_scored") >= 4000
+
+
+def test_lr_filter_sample_cap_bounds_driver(ray_session):
+    """With a small sample cap the training set is bounded but the model
+    still scores the full corpus; metrics stay near-perfect (the planted
+    signal is strong even from 512 examples)."""
+    from engine.queries_ext import _lr_quality_filter
+
+    t = _lr_quality_filter(6000, sample_cap=512)
+    assert _metric(t, "n_train") <= 512
+    assert _metric(t, "n_scored") == 6000
+    assert _metric(t, "f1_x10k") >= 9500
