@@ -11813,6 +11813,178 @@ def epoch_shuffle_rank_documents(sf_dir: str) -> pa.Table:
     return t.sort_by("doc_id").select(["doc_id", "pos"])
 
 
+@query(
+    "indent_profile_by_lang",
+    """
+    WITH s AS (
+      SELECT lang,
+             length(regexp_extract_all(text, '(?m)^\\t[^\\n]*')) AS nt,
+             length(regexp_extract_all(text, '(?m)^ [^\\n]*')) AS ns
+      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(nt) AS BIGINT) AS n_tab_lines,
+           CAST(sum(ns) AS BIGINT) AS n_space_lines,
+           CAST(sum(CASE WHEN nt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_tab_docs,
+           CAST(sum(CASE WHEN ns > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_space_docs,
+           CAST(sum(CASE WHEN nt > 0 AND ns > 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_mixed_docs
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def indent_profile_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language indentation profile: tab-indented vs space-indented
+    line counts and docs using each style (plus mixed-style docs — the
+    formatting-inconsistency screen a code-corpus pipeline runs before
+    training, and the style statistic behind tabs-vs-spaces corpus
+    splits). Counting is ONE RE2 ``count_substring_regex`` per style and
+    block; the patterns consume the full line (``^\\t[^\\n]*``) because
+    Arrow's counter re-anchors ``^`` at each resume position, so a
+    bare ``(?m)^ `` would double-count runs of leading spaces (DuckDB
+    scans the whole string once and would not) — verified match on
+    consecutive-space/tab fixtures. Partials are lang-bounded per block,
+    merged in ONE tiny groupby Sum; NULL lang / NULL text filtered on
+    both engines."""
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    empty = pa.table({
+        "lang": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_tab_lines": pa.array([], pa.int64()),
+        "n_space_lines": pa.array([], pa.int64()),
+        "n_tab_docs": pa.array([], pa.int64()),
+        "n_space_docs": pa.array([], pa.int64()),
+        "n_mixed_docs": pa.array([], pa.int64()),
+    })
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["lang"]),
+                             pc.is_valid(b["text"])))
+        if t.num_rows == 0:
+            return empty
+        nt = pc.count_substring_regex(t["text"], r"(?m)^\t[^\n]*")
+        ns = pc.count_substring_regex(t["text"], r"(?m)^ [^\n]*")
+        nt_np = nt.to_numpy(zero_copy_only=False).astype(np.int64)
+        ns_np = ns.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "nt": pa.array(nt_np),
+            "ns": pa.array(ns_np),
+            "td": pa.array((nt_np > 0).astype(np.int64)),
+            "sd": pa.array((ns_np > 0).astype(np.int64)),
+            "md": pa.array(((nt_np > 0) & (ns_np > 0)).astype(np.int64)),
+        }).group_by("lang").aggregate(
+            [("one", "sum"), ("nt", "sum"), ("ns", "sum"),
+             ("td", "sum"), ("sd", "sum"), ("md", "sum")])
+        return g.rename_columns(
+            ["lang", "n_docs", "n_tab_lines", "n_space_lines",
+             "n_tab_docs", "n_space_docs", "n_mixed_docs"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_tab_lines", alias_name="n_tab_lines"),
+                        Sum("n_space_lines", alias_name="n_space_lines"),
+                        Sum("n_tab_docs", alias_name="n_tab_docs"),
+                        Sum("n_space_docs", alias_name="n_space_docs"),
+                        Sum("n_mixed_docs", alias_name="n_mixed_docs")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return empty
+    return t.sort_by("lang").select(
+        ["lang", "n_docs", "n_tab_lines", "n_space_lines",
+         "n_tab_docs", "n_space_docs", "n_mixed_docs"])
+
+
+@query(
+    "comment_density_by_lang",
+    """
+    WITH s AS (
+      SELECT lang,
+             length(regexp_extract_all(
+                 text, '(?m)^[ \\t]*(#|//|--|/\\*)[^\\n]*')) AS nc,
+             1 + strlen(text) - strlen(replace(text, chr(10), '')) AS nl
+      FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(nc) AS BIGINT) AS n_comment_lines,
+           CAST(sum(nl) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN nc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_commented_docs,
+           CAST(sum(CASE WHEN 2 * nc > nl THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_comment_heavy
+    FROM s GROUP BY lang ORDER BY lang
+    """,
+)
+def comment_density_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language comment-density profile: comment-line counts
+    (``#`` / ``//`` / ``--`` / ``/*`` after optional indentation), total
+    lines, docs with any comment, and majority-comment docs
+    (``2*nc > nl`` as an integer cross-multiplication — the
+    boilerplate/license-stub screen for code corpora; a doc that is
+    mostly comments carries little trainable code). ONE RE2 count per
+    block with the same line-consuming pattern trick as
+    indent_profile_by_lang (Arrow re-anchors ``^`` at resume positions);
+    line totals from the byte-view newline cumsum. Lang-bounded partials,
+    ONE tiny groupby Sum; NULL lang / NULL text filtered on both
+    engines."""
+    from ray.data.aggregate import Sum
+
+    from .stages.textfeat import byte_view, segment_sums
+
+    ds = _t(sf_dir, "documents", ["lang", "text"])
+    empty = pa.table({
+        "lang": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_comment_lines": pa.array([], pa.int64()),
+        "n_lines": pa.array([], pa.int64()),
+        "n_commented_docs": pa.array([], pa.int64()),
+        "n_comment_heavy": pa.array([], pa.int64()),
+    })
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["lang"]),
+                             pc.is_valid(b["text"])))
+        if t.num_rows == 0:
+            return empty
+        nc = pc.count_substring_regex(
+            t["text"], r"(?m)^[ \t]*(#|//|--|/\*)[^\n]*")
+        nc_np = nc.to_numpy(zero_copy_only=False).astype(np.int64)
+        data, offsets = byte_view(t["text"])
+        nl = segment_sums((data == 10).astype(np.int64), offsets) + 1
+        g = pa.table({
+            "lang": t["lang"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "nc": pa.array(nc_np),
+            "nl": pa.array(nl),
+            "cd": pa.array((nc_np > 0).astype(np.int64)),
+            "ch": pa.array((2 * nc_np > nl).astype(np.int64)),
+        }).group_by("lang").aggregate(
+            [("one", "sum"), ("nc", "sum"), ("nl", "sum"),
+             ("cd", "sum"), ("ch", "sum")])
+        return g.rename_columns(
+            ["lang", "n_docs", "n_comment_lines", "n_lines",
+             "n_commented_docs", "n_comment_heavy"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("lang")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_comment_lines", alias_name="n_comment_lines"),
+                        Sum("n_lines", alias_name="n_lines"),
+                        Sum("n_commented_docs",
+                            alias_name="n_commented_docs"),
+                        Sum("n_comment_heavy",
+                            alias_name="n_comment_heavy")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return empty
+    return t.sort_by("lang").select(
+        ["lang", "n_docs", "n_comment_lines", "n_lines",
+         "n_commented_docs", "n_comment_heavy"])
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300) -> pa.Table:
     """Core of lr_quality_filter_corpus, parameterized so tests can vary
