@@ -236,6 +236,8 @@ def main() -> None:
     near_dedup_sec = None
     near_dups = None
     near_dedup_oph_sec = None
+    lr_filter_sec = None
+    lr_f1_x10k = None
     incr_index_sec = None
     incr_sec = None
     incr_flags = None
@@ -350,6 +352,20 @@ def main() -> None:
             best_v = dt if best_v is None else min(best_v, dt)
         validate_sec = round(best_v, 3)
 
+        # trained LR quality filter at corpus scale (feature pass +
+        # bounded-sample GD + streaming confusion scoring); the reported
+        # F1 is the model-quality artifact next to the wall time
+        from engine.queries_ext import _lr_quality_filter
+
+        for _ in range(2):
+            t0 = time.time()
+            lr_table = _lr_quality_filter(n_rows)
+            dt = round(time.time() - t0, 3)
+            lr_filter_sec = dt if lr_filter_sec is None else min(
+                lr_filter_sec, dt)
+        lr_f1_x10k = next(r["n"] for r in lr_table.to_pylist()
+                          if r["kind"] == "metric" and r["key"] == "f1_x10k")
+
     result = {
         "metric": "corpus_filter_scrub_sec",
         "value": round(headline, 3),
@@ -369,6 +385,8 @@ def main() -> None:
         "incr_neardup_sec": incr_sec,
         "incr_neardup_flags": incr_flags,
         "incr_shard_rows": incr_shard_rows,
+        "lr_filter_sec": lr_filter_sec,
+        "lr_filter_f1_x10k": lr_f1_x10k,
         "probe_start": probe_start,
         "probe_end": probe(),
         "probe_waits": waits,  # hot pre-probes we waited out (<= 3 min)

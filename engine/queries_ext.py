@@ -11985,6 +11985,64 @@ def comment_density_by_lang(sf_dir: str) -> pa.Table:
          "n_commented_docs", "n_comment_heavy"])
 
 
+@query(
+    "encoding_anomaly_documents",
+    """
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN contains(text, chr(65533))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement,
+           CAST(sum(CASE WHEN regexp_matches(
+                             text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+           CAST(sum(CASE WHEN strlen(text) <> length(text)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonascii,
+           CAST(sum(CASE WHEN contains(text, chr(13))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_carriage
+    FROM documents
+    """,
+)
+def encoding_anomaly_documents(sf_dir: str) -> pa.Table:
+    """Encoding-anomaly scoreboard — the mojibake / binary-contamination
+    screens a web/code corpus runs before training: docs containing the
+    UTF-8 replacement character U+FFFD (a decode already failed
+    upstream), C0 control characters other than tab/LF/CR (binary
+    spill into text; includes NUL), any non-ASCII content (byte length
+    != code-point length — the multibyte profile that sizes
+    transliteration work), and any carriage return (CRLF / bare-CR
+    line-ending normalization debt). One column-pruned pass: two
+    ``match_substring`` probes, one RE2 class probe (same RE2 the
+    DuckDB oracle runs), one binary-vs-utf8 length compare. NULL text
+    counts in n_docs and trips no screen. Single-row int64 partials per
+    block, Python-int driver merge, no shuffle."""
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+
+        def n(mask) -> int:
+            return int(pc.sum(pc.cast(mask, pa.int64())).as_py() or 0)
+
+        return _row(
+            n_docs=b.num_rows,
+            n_replacement=n(pc.match_substring(filled, "�")),
+            n_control=n(pc.match_substring_regex(
+                filled, r"[\x00-\x08\x0b\x0c\x0e-\x1f]")),
+            n_nonascii=n(pc.not_equal(pc.binary_length(filled),
+                                      pc.utf8_length(filled))),
+            n_carriage=n(pc.match_substring(filled, "\r")),
+        )
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    cols = ["n_docs", "n_replacement", "n_control", "n_nonascii",
+            "n_carriage"]
+    if "n_docs" not in parts.column_names:
+        return _row(**{c: 0 for c in cols})
+    return _row(**{c: int(pc.sum(parts[c]).as_py() or 0) for c in cols})
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300) -> pa.Table:
     """Core of lr_quality_filter_corpus, parameterized so tests can vary
