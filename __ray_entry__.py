@@ -113,6 +113,19 @@ _SWEEP_FIRST = (
     "forecast_revenue_change",
     "top_supplier_revenue",
     # ---- 50-slot window boundary: round-5 rotation head below ----
+    # -- session-11/12 additions (newest never-certified first): the
+    # code-corpus screening pack, epoch shuffle, indentation/comment/
+    # encoding screens (oracle-SQL) and the trained LR filter
+    # (rows-only) --
+    "code_screen_documents",
+    "line_structure_by_lang",
+    "url_email_leak_by_source",
+    "license_header_docs_by_source",
+    "epoch_shuffle_rank_documents",
+    "indent_profile_by_lang",
+    "comment_density_by_lang",
+    "encoding_anomaly_documents",
+    "lr_quality_filter_corpus",
     # -- cross-doc repeated-span detection + incremental shard-vs-index
     # near-dedup (oracle: duplicate/strip_spans, shipping_priority;
     # rows-only: incremental_*, ingest_shard, jpeg decode) --
