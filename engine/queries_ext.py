@@ -12043,6 +12043,93 @@ def encoding_anomaly_documents(sf_dir: str) -> pa.Table:
     return _row(**{c: int(pc.sum(parts[c]).as_py() or 0) for c in cols})
 
 
+@query(
+    "nfc_debt_by_source",
+    """
+    WITH s AS (
+      SELECT source, text,
+             strlen(text) <> length(text) AS nonascii,
+             nfc_normalize(text) AS nfc
+      FROM documents WHERE source IS NOT NULL AND text IS NOT NULL)
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN nonascii THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonascii,
+           CAST(sum(CASE WHEN nfc <> text THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_not_nfc,
+           CAST(sum(length(nfc) - length(text)) AS BIGINT) AS delta_chars
+    FROM s GROUP BY source ORDER BY source
+    """,
+)
+def nfc_debt_by_source(sf_dir: str) -> pa.Table:
+    """Unicode-normalization debt per source: docs not in NFC form and
+    the code-point delta NFC would apply — the canonicalization screen a
+    corpus runs before dedup/decontamination (denormalized text defeats
+    byte-identity dedup: 'é' composed vs decomposed hash differently).
+    Parity: DuckDB's utf8proc ``nfc_normalize`` and Python
+    ``unicodedata.normalize('NFC', ...)`` agree (verified on combining
+    sequences, ligatures, Hangul and multi-mark edge cases). Scale plan:
+    ASCII is NFC by definition, so the per-row normalize runs ONLY on
+    the non-ASCII subset (vectorized ``binary_length != utf8_length``
+    prefilter — on a mostly-ASCII corpus the Python normalization cost
+    rounds to zero); source-bounded partials, ONE tiny groupby Sum.
+    NULL source / NULL text filtered on both engines."""
+    import unicodedata
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["source", "text"])
+    empty = pa.table({
+        "source": pa.array([], pa.string()),
+        "n_docs": pa.array([], pa.int64()),
+        "n_nonascii": pa.array([], pa.int64()),
+        "n_not_nfc": pa.array([], pa.int64()),
+        "delta_chars": pa.array([], pa.int64()),
+    })
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.and_(pc.is_valid(b["source"]),
+                             pc.is_valid(b["text"])))
+        if t.num_rows == 0:
+            return empty
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        nonascii = pc.not_equal(pc.binary_length(col),
+                                pc.utf8_length(col)).to_numpy(
+                                    zero_copy_only=False)
+        not_nfc = np.zeros(t.num_rows, np.int64)
+        delta = np.zeros(t.num_rows, np.int64)
+        for i in np.flatnonzero(nonascii):  # non-ASCII subset only
+            s = col[int(i)].as_py()
+            n = unicodedata.normalize("NFC", s)
+            if n != s:
+                not_nfc[i] = 1
+                delta[i] = len(n) - int(n_chars[i])
+        g = pa.table({
+            "source": t["source"],
+            "one": pa.array(np.ones(t.num_rows, np.int64)),
+            "na": pa.array(nonascii.astype(np.int64)),
+            "nn": pa.array(not_nfc),
+            "dc": pa.array(delta),
+        }).group_by("source").aggregate(
+            [("one", "sum"), ("na", "sum"), ("nn", "sum"), ("dc", "sum")])
+        return g.rename_columns(
+            ["source", "n_docs", "n_nonascii", "n_not_nfc", "delta_chars"])
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("source")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_nonascii", alias_name="n_nonascii"),
+                        Sum("n_not_nfc", alias_name="n_not_nfc"),
+                        Sum("delta_chars", alias_name="delta_chars")))
+    t = _collect(out)
+    if t.num_rows == 0:
+        return empty
+    return t.sort_by("source").select(
+        ["source", "n_docs", "n_nonascii", "n_not_nfc", "delta_chars"])
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300) -> pa.Table:
     """Core of lr_quality_filter_corpus, parameterized so tests can vary
