@@ -126,6 +126,7 @@ _SWEEP_FIRST = (
     "comment_density_by_lang",
     "encoding_anomaly_documents",
     "nfc_debt_by_source",
+    "mixture_weights_by_source",
     "lr_quality_filter_corpus",
     # -- cross-doc repeated-span detection + incremental shard-vs-index
     # near-dedup (oracle: duplicate/strip_spans, shipping_priority;

@@ -12130,6 +12130,74 @@ def nfc_debt_by_source(sf_dir: str) -> pa.Table:
         ["source", "n_docs", "n_nonascii", "n_not_nfc", "delta_chars"])
 
 
+@query(
+    "mixture_weights_by_source",
+    """
+    WITH c AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS sq
+      FROM documents WHERE source IS NOT NULL GROUP BY source)
+    SELECT source, n_docs,
+           CAST(floor(10000.0 * sq / (SELECT sum(sq) FROM c) + 0.5)
+                AS BIGINT) AS weight_x10k,
+           CAST(floor(10000.0 * n_docs /
+                      (SELECT sum(n_docs) FROM c) + 0.5) AS BIGINT)
+               AS natural_x10k
+    FROM c ORDER BY source
+    """,
+)
+def mixture_weights_by_source(sf_dir: str) -> pa.Table:
+    """Temperature-sampling mixture weights per source (alpha = 0.5, the
+    XLM-R-style rebalancing: sampling probability proportional to
+    n^alpha instead of n, up-weighting small sources so one giant crawl
+    doesn't drown the rest) next to the natural share — the data-mixing
+    manifest a multi-source training run samples from. Exactness: the
+    per-source sqrt is quantized to x1e6 integers BEFORE summation
+    (float sqrt is bit-identical across DuckDB/libm and numpy; a float
+    SUM of the sqrts would be accumulation-order-sensitive), so the
+    denominator is an exact Python-int sum and each weight is one
+    order-free float division. Per-block source value_counts partials,
+    ONE source-bounded groupby, driver merge in exact ints."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _t(sf_dir, "documents", ["source"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.is_valid(b["source"]))
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_docs": pa.array([], pa.int64())})
+        vc = pc.value_counts(t["source"].combine_chunks())
+        return pa.table({"source": vc.field("values"),
+                         "n_docs": vc.field("counts").cast(pa.int64())})
+
+    t = _collect(ds.map_batches(partial, batch_format="pyarrow")
+                   .groupby("source")
+                   .aggregate(Sum("n_docs", alias_name="n_docs")))
+    if t.num_rows == 0:
+        return pa.table({"source": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "weight_x10k": pa.array([], pa.int64()),
+                         "natural_x10k": pa.array([], pa.int64())})
+    rows = sorted(zip(t["source"].to_pylist(), t["n_docs"].to_pylist()))
+    sqs = [int(math.floor(math.sqrt(float(n)) * 1e6)) for _, n in rows]
+    tot_sq = sum(sqs)          # exact int
+    tot_n = sum(n for _, n in rows)
+    return pa.table({
+        "source": pa.array([s for s, _ in rows], pa.string()),
+        "n_docs": pa.array([n for _, n in rows], pa.int64()),
+        "weight_x10k": pa.array(
+            [int(math.floor(10000.0 * q / tot_sq + 0.5)) for q in sqs],
+            pa.int64()),
+        "natural_x10k": pa.array(
+            [int(math.floor(10000.0 * n / tot_n + 0.5)) for _, n in rows],
+            pa.int64()),
+    })
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300) -> pa.Table:
     """Core of lr_quality_filter_corpus, parameterized so tests can vary
