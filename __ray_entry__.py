@@ -127,6 +127,7 @@ _SWEEP_FIRST = (
     "encoding_anomaly_documents",
     "nfc_debt_by_source",
     "mixture_weights_by_source",
+    "keyword_stuffing_documents",
     "lr_quality_filter_corpus",
     # -- cross-doc repeated-span detection + incremental shard-vs-index
     # near-dedup (oracle: duplicate/strip_spans, shipping_priority;

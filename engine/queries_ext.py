@@ -12198,6 +12198,79 @@ def mixture_weights_by_source(sf_dir: str) -> pa.Table:
     })
 
 
+@query(
+    "keyword_stuffing_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL),
+    cnt AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    per AS (
+      SELECT doc_id, max(c) AS mx, CAST(sum(c) AS BIGINT) AS tot
+      FROM cnt GROUP BY doc_id)
+    SELECT count(*) AS n_docs,
+           CAST(sum(CASE WHEN 5 * mx > tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stuffed_20,
+           CAST(sum(CASE WHEN 2 * mx > tot THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stuffed_50,
+           CAST(max(tot) AS BIGINT) AS max_tokens
+    FROM per
+    """,
+)
+def keyword_stuffing_documents(sf_dir: str) -> pa.Table:
+    """Keyword-stuffing screen: docs whose single most frequent
+    whitespace token exceeds 20% / 50% of all tokens (the SEO-spam /
+    template-boilerplate filter that complements the Gopher
+    distinct-token ratio — a page repeating one term passes the
+    distinct-ratio rule but fails this one). Thresholds are integer
+    cross-multiplications (``5*mx > tot``) on both engines — no float
+    share. Per-block exact kernel: tokens explode via ``split_pattern``,
+    per-(doc, token) counts from ONE in-block Arrow group_by, per-doc
+    max via a second tiny group_by — block-local because a doc never
+    spans blocks; single-row int partials, Python-int driver merge, no
+    shuffle."""
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col)
+        col = col.filter(valid)
+        if len(col) == 0:
+            return _row(n_docs=0, n_stuffed_20=0, n_stuffed_50=0,
+                        max_tokens=0)
+        toks = pc.split_pattern(col, " ")
+        n_words = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = np.repeat(np.arange(len(col), dtype=np.int64), n_words)
+        per_pair = (pa.table({"d": pa.array(doc_idx), "tok": flat})
+                    .group_by(["d", "tok"]).aggregate([([], "count_all")]))
+        mx = (per_pair.select(["d", "count_all"])
+              .group_by(["d"]).aggregate([("count_all", "max")]))
+        mxv = np.zeros(len(col), np.int64)
+        mxv[mx["d"].to_numpy(zero_copy_only=False)] = \
+            mx["count_all_max"].to_numpy(zero_copy_only=False)
+        tot = n_words.astype(np.int64)
+        return _row(
+            n_docs=len(col),
+            n_stuffed_20=int((5 * mxv > tot).sum()),
+            n_stuffed_50=int((2 * mxv > tot).sum()),
+            max_tokens=int(tot.max()),
+        )
+
+    parts = _collect(ds.map_batches(partial, batch_format="pyarrow"))
+    cols = ["n_docs", "n_stuffed_20", "n_stuffed_50"]
+    if "n_docs" not in parts.column_names:
+        return _row(n_docs=0, n_stuffed_20=0, n_stuffed_50=0, max_tokens=0)
+    out = {c: int(pc.sum(parts[c]).as_py() or 0) for c in cols}
+    out["max_tokens"] = int(pc.max(parts["max_tokens"]).as_py() or 0)
+    return _row(**out)
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300) -> pa.Table:
     """Core of lr_quality_filter_corpus, parameterized so tests can vary
