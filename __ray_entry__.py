@@ -129,6 +129,7 @@ _SWEEP_FIRST = (
     "mixture_weights_by_source",
     "keyword_stuffing_documents",
     "lr_quality_filter_corpus",
+    "neardup_recall_corpus",
     # -- cross-doc repeated-span detection + incremental shard-vs-index
     # near-dedup (oracle: duplicate/strip_spans, shipping_priority;
     # rows-only: incremental_*, ingest_shard, jpeg decode) --

@@ -12271,6 +12271,155 @@ def keyword_stuffing_documents(sf_dir: str) -> pa.Table:
     return _row(**out)
 
 
+def _neardup_recall(n_rows: int, *, num_blocks: int | None = None) -> pa.Table:
+    """Core of neardup_recall_corpus (parameterized for the tests).
+
+    Builds an eval corpus of clean synthetic docs plus DETERMINISTIC
+    planted perturbations — light (4 bytes appended to a >=50-char doc:
+    byte-shingle Jaccard ~0.9, MUST cluster at the 0.8 threshold) and
+    heavy (a >=100-char doc truncated to its first 40 chars: Jaccard
+    <=0.4, must NOT cluster) — then runs the production MinHash+LSH
+    labeler and scores pair-level recall / false-cluster rate. Keys
+    encode (row, kind) as ``row_id*4 + {0 orig, 1 light, 2 heavy}`` so
+    the eval side needs no side table: a planted pair is detected iff
+    both parities appear in the label set WITH THE SAME cluster label.
+    Denominators come from exact per-block counters; pair checks run in
+    ONE coarse pair-bucket groupby over the (near-dup-set-sized) label
+    table. The eval corpus is materialized once (generation feeds two
+    consumers — the labeler and the counters; production reads from
+    parquet, where storage already plays this role)."""
+    from . import corpus
+    from .dsutil import key_bucket
+    from .stages.neardup import minhash_lsh_labels
+
+    base = corpus.generate_dataset(n_rows, num_blocks=num_blocks,
+                                   with_golden=True)
+
+    def build(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.fill_null(b["violation_class"], ""),
+                              "clean"))
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "kind": pa.array([], pa.int8()),
+                             "text": pa.array([], pa.large_string())})
+        ids = t["row_id"].to_numpy()
+        text = t["content"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nch = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        light_m = (ids % 10 == 0) & (nch >= 50)
+        heavy_m = (ids % 10 == 5) & (nch >= 100)
+        parts = [pa.table({"key": pa.array(ids * 4),
+                           "kind": pa.array(np.zeros(len(ids), np.int8)),
+                           "text": text})]
+        if light_m.any():
+            lt = text.filter(pa.array(light_m))
+            parts.append(pa.table({
+                "key": pa.array(ids[light_m] * 4 + 1),
+                "kind": pa.array(np.ones(int(light_m.sum()), np.int8)),
+                "text": pc.binary_join_element_wise(
+                    lt, pa.scalar(" qq7", lt.type),
+                    pa.scalar("", lt.type)),
+            }))
+        if heavy_m.any():
+            ht = pc.utf8_slice_codeunits(
+                text.filter(pa.array(heavy_m)), 0, 40)
+            parts.append(pa.table({
+                "key": pa.array(ids[heavy_m] * 4 + 2),
+                "kind": pa.array(np.full(int(heavy_m.sum()), 2, np.int8)),
+                "text": ht.cast(pa.large_string()),
+            }))
+        return pa.concat_tables(parts)
+
+    combined = base.map_batches(build, batch_format="pyarrow").materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        k = b["kind"].to_numpy()
+        return _row(n0=int((k == 0).sum()), n1=int((k == 1).sum()),
+                    n2=int((k == 2).sum()))
+
+    cp = _collect(combined.map_batches(count_partial,
+                                       batch_format="pyarrow"))
+    n_clean = int(pc.sum(cp["n0"]).as_py() or 0)
+    n_light = int(pc.sum(cp["n1"]).as_py() or 0)
+    n_heavy = int(pc.sum(cp["n2"]).as_py() or 0)
+
+    labels = minhash_lsh_labels(combined, text_col="text", key_col="key")
+
+    NB = 256
+
+    def tag_bucket(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy()
+        pair = k // 4
+        parity = (k % 4).astype(np.int8)
+        keep = parity > 0
+        keep |= np.isin(pair % 10, (0, 5))  # originals of candidate rows
+        t = pa.table({"pair": pa.array(pair[keep]),
+                      "parity": pa.array(parity[keep]),
+                      "label": b["label"].filter(pa.array(keep))})
+        return t.append_column("_bucket",
+                               pa.array(key_bucket(t, ["pair"], NB)))
+
+    def pair_verdicts(g: pa.Table) -> pa.Table:
+        pair = g["pair"].to_numpy(zero_copy_only=False)
+        parity = g["parity"].to_numpy(zero_copy_only=False)
+        label = g["label"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((parity, pair))
+        pair, parity, label = pair[order], parity[order], label[order]
+        det = {1: 0, 2: 0}
+        starts = np.flatnonzero(np.concatenate(
+            [[True], pair[1:] != pair[:-1]]))
+        ends = np.concatenate([starts[1:], [len(pair)]])
+        for s, e in zip(starts, ends):
+            pv, lv = parity[s:e], label[s:e]
+            if pv[0] != 0:
+                continue  # original not clustered -> no same-cluster pair
+            for want in (1, 2):
+                m = pv == want
+                if m.any() and (lv[m] == lv[0]).any():
+                    det[want] += 1
+        return _row(d1=det[1], d2=det[2])
+
+    vp = _collect(labels.map_batches(tag_bucket, batch_format="pyarrow")
+                        .groupby("_bucket")
+                        .map_groups(pair_verdicts, batch_format="pyarrow"))
+    d1 = int(pc.sum(vp["d1"]).as_py() or 0) if "d1" in vp.column_names else 0
+    d2 = int(pc.sum(vp["d2"]).as_py() or 0) if "d2" in vp.column_names else 0
+
+    import math
+
+    def x10k(num: int, den: int) -> int:
+        return int(math.floor(10000.0 * num / den + 0.5)) if den else 0
+
+    return _row(
+        n_clean_docs=n_clean,
+        n_light_pairs=n_light,
+        n_heavy_pairs=n_heavy,
+        n_light_detected=d1,
+        n_heavy_detected=d2,
+        recall_light_x10k=x10k(d1, n_light),
+        detect_heavy_x10k=x10k(d2, n_heavy),
+    )
+
+
+@query("neardup_recall_corpus")
+def neardup_recall_corpus(sf_dir: str) -> pa.Table:
+    """Near-dedup quality evaluation: pair-level recall of the
+    production MinHash+LSH clustering on planted light perturbations
+    (4-byte append — Jaccard ~0.9, must cluster at threshold 0.8) and
+    the false-cluster rate on heavy perturbations (truncation to 40 of
+    >=100 chars — Jaccard <=0.4, must not cluster). The measurable
+    model-quality artifact for the dedup family, next to
+    langid_confusion_corpus and lr_quality_filter_corpus. Rows-only
+    (LSH clustering is not SQL-expressible); determinism across
+    parallelism is asserted by the test suite."""
+    import pyarrow.parquet as pq_mod
+
+    n_rows = max(4000,
+                 pq_mod.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    return _neardup_recall(n_rows)
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300) -> pa.Table:
     """Core of lr_quality_filter_corpus, parameterized so tests can vary

@@ -95,3 +95,33 @@ def test_lr_filter_sample_cap_bounds_driver(ray_session):
     assert _metric(t, "n_train") <= 512
     assert _metric(t, "n_scored") == 6000
     assert _metric(t, "f1_x10k") >= 9500
+
+
+def test_neardup_recall_planted(ray_session):
+    from engine.queries_ext import _neardup_recall
+
+    t = _neardup_recall(6000).to_pylist()[0]
+    assert t["n_light_pairs"] > 100 and t["n_heavy_pairs"] > 100
+    # light perturbations (Jaccard ~0.9) must cluster at threshold 0.8
+    assert t["recall_light_x10k"] >= 9500, t
+    # heavy truncations (Jaccard <=0.4) must not
+    assert t["detect_heavy_x10k"] <= 500, t
+
+
+def test_neardup_recall_parallelism_invariant(ray_session):
+    from engine.queries_ext import _neardup_recall
+
+    a = _neardup_recall(2500, num_blocks=2)
+    b = _neardup_recall(2500, num_blocks=12)
+    assert a.equals(b)
+
+
+def test_neardup_recall_query_contract(ray_session):
+    from engine.queries_ext import neardup_recall_corpus
+
+    t = neardup_recall_corpus("/root/testdata/sf0.001")
+    assert t.num_rows == 1
+    assert t.column_names == [
+        "n_clean_docs", "n_light_pairs", "n_heavy_pairs",
+        "n_light_detected", "n_heavy_detected",
+        "recall_light_x10k", "detect_heavy_x10k"]
