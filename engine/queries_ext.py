@@ -12446,8 +12446,9 @@ def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
     import ray
 
     from . import corpus
-    from .stages.lrfilter import (FEATURES, drop_labels, features_from_scored,
-                                  predict_drop, train_logreg)
+    from .stages.lrfilter import (FEATURES, drop_labels, drop_prob_bins,
+                                  features_from_scored, predict_drop,
+                                  train_logreg)
     from .stages.models import build_models
     from .stages.score import scorer_task
     from .stages.sketches import _hash64_ints
@@ -12490,21 +12491,30 @@ def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
     yv = samp["y"].to_numpy()
     w, mean, std, losses = train_logreg(X, yv, iters=iters)
 
-    # -- streaming scoring pass: bounded integer confusion partials --
+    # -- streaming scoring pass: bounded integer confusion partials
+    # (|classes| x 2 x 2 x 10 cells per block; the probability-decile
+    # column doubles as the calibration/reliability profile) --
     def confusion_partial(batch: pa.Table) -> pa.Table:
         feats = np.stack([batch[nm].to_numpy() for nm in FEATURES], axis=1)
         pred = predict_drop(feats, w, mean, std)
+        bins = drop_prob_bins(feats, w, mean, std)
         t = pa.table({"cls": batch["cls"], "y": batch["y"],
-                      "pred": pa.array(pred.astype(np.int8))})
-        g = t.group_by(["cls", "y", "pred"]).aggregate([([], "count_all")])
-        return g.rename_columns(["cls", "y", "pred", "n"])
+                      "pred": pa.array(pred.astype(np.int8)),
+                      "bin": pa.array(bins)})
+        g = (t.group_by(["cls", "y", "pred", "bin"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["cls", "y", "pred", "bin", "n"])
 
     parts = _collect(feat_ds.map_batches(confusion_partial,
                                          batch_format="pyarrow"))
     acc: dict = {}
+    calib: dict = {}
     for r in parts.to_pylist():
         k = (r["cls"], r["y"], r["pred"])
         acc[k] = acc.get(k, 0) + r["n"]
+        tot, ndrop = calib.get(r["bin"], (0, 0))
+        calib[r["bin"]] = (tot + r["n"],
+                           ndrop + (r["n"] if r["y"] else 0))
 
     tp = fp = fn = tn = 0
     per_cls: dict = {}
@@ -12543,6 +12553,8 @@ def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
         {"kind": "metric", "key": "loss_first_x10k", "n": x10k(losses[0]), "n2": 0},
         {"kind": "metric", "key": "loss_final_x10k", "n": x10k(losses[-1]), "n2": 0},
     ]
+    rows += [{"kind": "calib", "key": f"bin_{b}", "n": calib[b][0],
+              "n2": calib[b][1]} for b in sorted(calib)]
     rows += [{"kind": "weight", "key": nm, "n": x10k(float(wv)), "n2": 0}
              for nm, wv in zip(list(FEATURES) + ["bias"], w)]
     return pa.Table.from_pylist(rows)

@@ -159,3 +159,16 @@ def predict_drop(feats: np.ndarray, w: np.ndarray, mean: np.ndarray,
     """
     Zrow = (feats.astype(np.float64) - mean) / std
     return (Zrow @ w[:-1] + w[-1]) >= 0.0
+
+
+def drop_prob_bins(feats: np.ndarray, w: np.ndarray, mean: np.ndarray,
+                   std: np.ndarray, n_bins: int = 10) -> np.ndarray:
+    """Predicted drop-probability decile per row (int8 0..n_bins-1) —
+    feeds the calibration (reliability) profile. Deterministic for the
+    same reason as predict_drop: (w, mean, std) are fixed constants and
+    each row's sigmoid is evaluated independently of batching; the bin
+    edge test is one float comparison on that per-row value."""
+    Zrow = (feats.astype(np.float64) - mean) / std
+    p = _sigmoid(Zrow @ w[:-1] + w[-1])
+    return np.minimum((p * n_bins).astype(np.int64),
+                      n_bins - 1).astype(np.int8)

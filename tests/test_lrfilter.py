@@ -78,7 +78,7 @@ def test_lr_filter_query_contract(ray_session):
     t = lr_quality_filter_corpus("/root/testdata/sf0.001")
     assert t.column_names == ["kind", "key", "n", "n2"]
     kinds = set(t["kind"].to_pylist())
-    assert kinds == {"class", "metric", "weight"}
+    assert kinds == {"class", "metric", "weight", "calib"}
     # one weight per feature + bias
     n_weights = sum(1 for k in t["kind"].to_pylist() if k == "weight")
     assert n_weights == len(FEATURES) + 1
