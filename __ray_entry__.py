@@ -128,6 +128,7 @@ _SWEEP_FIRST = (
     "nfc_debt_by_source",
     "mixture_weights_by_source",
     "keyword_stuffing_documents",
+    "paragraph_dup_documents",
     "lr_quality_filter_corpus",
     "neardup_recall_corpus",
     # -- cross-doc repeated-span detection + incremental shard-vs-index

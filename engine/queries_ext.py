@@ -12271,6 +12271,88 @@ def keyword_stuffing_documents(sf_dir: str) -> pa.Table:
     return _row(**out)
 
 
+@query(
+    "paragraph_dup_documents",
+    """
+    WITH p AS (
+      SELECT unnest(string_split(text, chr(10))) AS para
+      FROM documents WHERE text IS NOT NULL),
+    c AS (
+      SELECT para, count(*) AS n FROM p
+      WHERE trim(para, ' ' || chr(9) || chr(13)) <> ''
+      GROUP BY para)
+    SELECT CAST(sum(n) AS BIGINT) AS n_paras,
+           count(*) AS n_distinct,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_paras,
+           CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+               AS n_rows_in_dups,
+           CAST(max(n) AS BIGINT) AS max_copies
+    FROM c
+    """,
+)
+def paragraph_dup_documents(sf_dir: str) -> pa.Table:
+    """Paragraph-level duplicate profile: explode docs into
+    newline-delimited paragraphs (blank paragraphs excluded), count
+    copies of each distinct paragraph — the sub-document dedup
+    statistic (boilerplate headers/footers repeat across pages that are
+    NOT whole-doc duplicates; the planted whole-doc dup groups give it
+    real signal on the shipped single-line corpus too). Identity is the
+    dedup-family 64-bit content hash (same documented
+    collision-contract as duplicate_rate_by_source; DuckDB groups by
+    the exact string — they agree absent a 64-bit collision). Per-block
+    explode + local value_counts partials, ONE coarse hash-bucket
+    merge (dsutil.bucketed_key_merge), then single-row stat partials
+    over the counts dataset — nothing paragraph-cardinality-sized on
+    the driver."""
+    from .dsutil import bucketed_key_merge
+    from .stages.sketches import _hash64_strings
+
+    ds = _t(sf_dir, "documents", ["text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        paras = pc.list_flatten(pc.split_pattern(col, "\n"))
+        if isinstance(paras, pa.ChunkedArray):
+            paras = paras.combine_chunks()
+        keep = pc.not_equal(pc.utf8_trim(paras, " \t\r"), "")
+        paras = paras.filter(keep)
+        if len(paras) == 0:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        h = _hash64_strings(paras).astype(np.int64)
+        hv, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(hv),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    counts = bucketed_key_merge(
+        ds.map_batches(partial, batch_format="pyarrow"), ["h"], ["n"])
+
+    def stat_partial(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy()
+        return _row(n_paras=int(n.sum()), n_distinct=len(n),
+                    n_dup_paras=int((n > 1).sum()),
+                    n_rows_in_dups=int(n[n > 1].sum()),
+                    max_copies=int(n.max()) if len(n) else 0)
+
+    parts = _collect(counts.map_batches(stat_partial,
+                                        batch_format="pyarrow"))
+    if "n_paras" not in parts.column_names:
+        return _row(n_paras=0, n_distinct=0, n_dup_paras=0,
+                    n_rows_in_dups=0, max_copies=0)
+    out = {c: int(pc.sum(parts[c]).as_py() or 0)
+           for c in ["n_paras", "n_distinct", "n_dup_paras",
+                     "n_rows_in_dups"]}
+    out["max_copies"] = int(pc.max(parts["max_copies"]).as_py() or 0)
+    return _row(**out)
+
+
 def _neardup_recall(n_rows: int, *, num_blocks: int | None = None) -> pa.Table:
     """Core of neardup_recall_corpus (parameterized for the tests).
 
