@@ -82,6 +82,12 @@ QUERY_SET = [
     # shuffle-free global permutation ranks)
     "code_screen_documents",
     "epoch_shuffle_rank_documents",
+    # round-4 session-12 additions (code/encoding screens, sub-document
+    # dedup profile)
+    "comment_density_by_lang",
+    "encoding_anomaly_documents",
+    "keyword_stuffing_documents",
+    "paragraph_dup_documents",
 ]
 
 
