@@ -42,81 +42,21 @@ def entry() -> Any:
 
 
 # Driver-sweep ordering (the driver certifies a fixed-size window — 50 in
-# rounds 1-3 — from the head of this tuple). Round-4 rotation, sized so a
-# 50-slot window covers exactly blocks 1-6 below: (1) the 17 oracle-SQL
-# queries the round-3 verdict flagged as never driver-certified (item 1's
-# done-bar, incl. the §2 parity queries percentage_range_discount / M8 and
-# ssn_mask_format_customer_name / M11), then (2-6) the session-8/7/6/5/4
-# additions (17+4+13+3+1+12 = 50). Everything after — the spans /
-# incremental / jpeg block, the session-9/10 distribution / reconciliation
-# / profile additions, and the rows-only recerts — rotates to the round-5
-# head (43 entries + 7 recert slots). Every oracle query is also
-# re-checked against DuckDB on every pytest run
-# (tests/test_queries_oracle.py), so a query outside the window is still
-# continuously verified, just not driver-certified yet.
+# every round so far — from the head of this tuple). Round-5 rotation
+# (round-4 verdict item 1): the 47 oracle-SQL queries that have never had a
+# driver CORRECTNESS row (session-9..12 additions plus the spans /
+# incremental / skew block) sit contiguously in slots 1-47, so one 50-slot
+# window certifies all of them and closes the last systematic evidence gap
+# (141 + 47 = all 188 oracle queries driver-certified at least once).
+# Slots 48-50 give first driver rows to the three round-4 model/eval
+# additions (rows-only). Everything already certified in rounds 1-4
+# follows. Every oracle query is also re-checked against DuckDB on every
+# pytest run (tests/test_queries_oracle.py), so a query outside the window
+# is still continuously verified, just not driver-certified this round.
 _SWEEP_FIRST = (
-    # -- (1) never driver-swept oracle-SQL queries (round-3 verdict item 1) --
-    "percentage_range_discount",
-    "ssn_mask_format_customer_name",
-    "top_sources_documents",
-    "winsorize_clip_events",
-    "asof_forward_events_orders",
-    "weighted_sample_documents",
-    "histogram_events_value",
-    "conversion_latency_percentiles_events",
-    "benford_first_digit_events",
-    "share_of_total_events_by_type",
-    "equidepth_histogram_events",
-    "null_profile_orders",
-    "customers_without_orders",
-    "value_percentiles_cont_events",
-    "fuzzy_name_pairs_customer",
-    "fuzzy_name_pairs2_customer",
-    "pivot_events_by_type",
-    # -- (2) session-8 additions --
-    "c4_line_filter_documents",
-    "cc_luhn_pii_documents",
-    "event_transition_counts_events",
-    "term_cooccurrence_documents",
-    # -- (3) session-7 additions: TPC-H Q5/Q7/Q8/Q9/Q21/Q11 shapes --
-    "local_supplier_volume",
-    "volume_shipping_nations",
-    "market_share_nation",
-    "widget_revenue_nations",
-    "waiting_suppliers",
-    "important_parts_value",
-    "part_supplier_counts",
-    "excess_share_suppliers",
-    "grouped_percentiles_cont_events",
-    "grouped_mad_outliers_events",
-    "min_acctbal_supplier_per_part",
-    "lead_lag_events_value",
-    "cohort_retention_events",
-    # -- session-6 additions: TPC-H Q13/Q19/Q22 shapes --
-    "order_count_distribution",
-    "disjunctive_revenue_part",
-    "idle_high_balance_customers",
-    # -- session-5 additions --
-    "linestatus_priority_counts",
-    # -- session-4 additions: Gopher-style quality rules, TPC-H
-    # Q14/Q10/Q18/Q4/Q17 shapes, FIRST/LAST_VALUE window --
-    "gopher_quality_documents",
-    "promo_revenue_lineitem_part",
-    "returned_items_top_customers",
-    "large_volume_customers",
-    "late_shipment_priority_orders",
-    "small_quantity_revenue_part",
-    "first_last_event_per_user",
-    "winsorize_by_event_type",
-    "running_customer_spend_orders",
-    "value_ranks_events_per_user",
-    "forecast_revenue_change",
-    "top_supplier_revenue",
-    # ---- 50-slot window boundary: round-5 rotation head below ----
-    # -- session-11/12 additions (newest never-certified first): the
-    # code-corpus screening pack, epoch shuffle, indentation/comment/
-    # encoding screens (oracle-SQL) and the trained LR filter
-    # (rows-only) --
+    # -- round-5 head: the 47 oracle-SQL queries never driver-certified
+    # (sessions 9-12 + the spans/incremental/skew block; round-4 verdict
+    # item 1) — contiguous so a 50-slot window covers all of them --
     "code_screen_documents",
     "line_structure_by_lang",
     "url_email_leak_by_source",
@@ -129,26 +69,16 @@ _SWEEP_FIRST = (
     "mixture_weights_by_source",
     "keyword_stuffing_documents",
     "paragraph_dup_documents",
-    "lr_quality_filter_corpus",
-    "neardup_recall_corpus",
-    # -- cross-doc repeated-span detection + incremental shard-vs-index
-    # near-dedup (oracle: duplicate/strip_spans, shipping_priority;
-    # rows-only: incremental_*, ingest_shard, jpeg decode) --
     "duplicate_spans_documents",
     "strip_spans_documents",
-    "incremental_neardup_documents",
     "incremental_exact_dedup_documents",
-    "ingest_shard_documents",
-    "multimodal_jpeg_decode_features",
     "shipping_priority_orders",
     "corr_by_returnflag_lineitem",
     "join_key_skew_orders",
-    # -- session-9 additions: rank-position windows + distribution stats --
     "percentile_position_events_per_user",
     "gini_value_events",
     "ks_ab_drift_events",
     "longest_daily_streak_events",
-    # -- session-10 additions: reconciliation + distribution profiles --
     "order_total_reconciliation",
     "dayover_user_jaccard_events",
     "chi2_type_weekday_events",
@@ -174,8 +104,16 @@ _SWEEP_FIRST = (
     "activity_gini_events_per_user",
     "reactivated_users_monthly",
     "price_stddev_by_brand_part",
-    # -- rows-only queries (no oracle SQL): driver records a rows-only
-    # check; first driver rows for the ones never swept --
+    # -- slots 48-50: first driver rows for the round-4 model/eval
+    # additions (rows-only) --
+    "lr_quality_filter_corpus",
+    "neardup_recall_corpus",
+    "incremental_neardup_documents",
+    # -- remaining never-swept rows-only queries (ANN family, model
+    # evals, multimodal, sketches) — first driver rows if the window
+    # extends past 50 --
+    "ingest_shard_documents",
+    "multimodal_jpeg_decode_features",
     "langid_confusion_corpus",
     "perplexity_profile_corpus",
     "multimodal_decode_features",
@@ -189,8 +127,59 @@ _SWEEP_FIRST = (
     "approx_distinct_orderkeys",
     "approx_percentiles_events",
     "bloom_fk_prefilter_events_customer",
-    # -- previously-certified queries, most-recently-certified last (r3
-    # greens below, r1/r2 greens interleaved by the registry order) --
+    # -- rows-only queries last swept r1/r2 (recerts) --
+    # -- previously driver-certified oracle queries (r1-r4 greens,
+    # most-recently-certified first) --
+    "percentage_range_discount",
+    "ssn_mask_format_customer_name",
+    "top_sources_documents",
+    "winsorize_clip_events",
+    "asof_forward_events_orders",
+    "weighted_sample_documents",
+    "histogram_events_value",
+    "conversion_latency_percentiles_events",
+    "benford_first_digit_events",
+    "share_of_total_events_by_type",
+    "equidepth_histogram_events",
+    "null_profile_orders",
+    "customers_without_orders",
+    "value_percentiles_cont_events",
+    "fuzzy_name_pairs_customer",
+    "fuzzy_name_pairs2_customer",
+    "pivot_events_by_type",
+    "c4_line_filter_documents",
+    "cc_luhn_pii_documents",
+    "event_transition_counts_events",
+    "term_cooccurrence_documents",
+    "local_supplier_volume",
+    "volume_shipping_nations",
+    "market_share_nation",
+    "widget_revenue_nations",
+    "waiting_suppliers",
+    "important_parts_value",
+    "part_supplier_counts",
+    "excess_share_suppliers",
+    "grouped_percentiles_cont_events",
+    "grouped_mad_outliers_events",
+    "min_acctbal_supplier_per_part",
+    "lead_lag_events_value",
+    "cohort_retention_events",
+    "order_count_distribution",
+    "disjunctive_revenue_part",
+    "idle_high_balance_customers",
+    "linestatus_priority_counts",
+    "gopher_quality_documents",
+    "promo_revenue_lineitem_part",
+    "returned_items_top_customers",
+    "large_volume_customers",
+    "late_shipment_priority_orders",
+    "small_quantity_revenue_part",
+    "first_last_event_per_user",
+    "winsorize_by_event_type",
+    "running_customer_spend_orders",
+    "value_ranks_events_per_user",
+    "forecast_revenue_change",
+    "top_supplier_revenue",
     "mode_event_type_per_user",
     "event_sequence_signature_events",
     "max_gap_events_per_user",
