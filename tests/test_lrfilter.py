@@ -125,3 +125,52 @@ def test_neardup_recall_query_contract(ray_session):
         "n_clean_docs", "n_light_pairs", "n_heavy_pairs",
         "n_light_detected", "n_heavy_detected",
         "recall_light_x10k", "detect_heavy_x10k"]
+
+
+def test_lr_filter_noisy_band_informative(ray_session):
+    """The non-separable boundary band (round-4 verdict item 3) makes the
+    metrics informative: F1 strictly below the saturated 10000 but above
+    a stated floor, calibration deciles populated across the range, and
+    the reliability profile ordered (bin 9 drops far more often than
+    bin 0)."""
+    from engine.queries_ext import _lr_quality_filter
+
+    t = _lr_quality_filter(20000, boundary_frac=0.05)
+    rows = t.to_pylist()
+    metrics = {r["key"]: r["n"] for r in rows if r["kind"] == "metric"}
+    assert 9000 <= metrics["f1_x10k"] <= 9900, metrics
+    calib = {int(r["key"].split("_")[1]): (r["n"], r["n2"])
+             for r in rows if r["kind"] == "calib"}
+    populated = [b for b, (tot, _) in calib.items() if tot > 0]
+    assert len(populated) >= 8, calib  # beyond {0, 9}
+    frac = {b: nd / tot for b, (tot, nd) in calib.items() if tot}
+    assert frac[9] > 0.9 and frac[0] < 0.1, frac
+    assert frac[8] > frac[1], frac
+    # the band class is reported and genuinely mixed-label
+    by_cls = {r["key"]: (r["n"], r["n2"]) for r in rows
+              if r["kind"] == "class"}
+    n_band, flagged_band = by_cls["boundary"]
+    assert n_band > 0 and 0 < flagged_band < n_band
+
+
+def test_lr_filter_noisy_parallelism_invariant(ray_session):
+    from engine.queries_ext import _lr_quality_filter
+
+    a = _lr_quality_filter(3000, num_blocks=2, boundary_frac=0.05)
+    b = _lr_quality_filter(3000, num_blocks=16, boundary_frac=0.05)
+    assert a.equals(b)
+
+
+def test_lr_filter_calib_excludes_duplicates(ray_session):
+    """Calibration bins mirror the confusion-metric exclusion of the
+    duplicate class (ADVICE round 4): total calib mass equals the
+    non-duplicate row count."""
+    from engine.queries_ext import _lr_quality_filter
+
+    t = _lr_quality_filter(6000)
+    rows = t.to_pylist()
+    n_dup = sum(r["n"] for r in rows
+                if r["kind"] == "class" and r["key"] == "duplicate")
+    calib_tot = sum(r["n"] for r in rows if r["kind"] == "calib")
+    assert n_dup > 0
+    assert calib_tot == 6000 - n_dup
