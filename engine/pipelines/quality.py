@@ -53,7 +53,21 @@ def quality_pipeline(
     import ray
 
     langid, lm = build_models()
-    thresholds = thresholds or {}
+    thresholds = dict(thresholds or {})
+
+    # Optional repeated-span excision (Lee-et-al-style, stages/spans.py)
+    # BEFORE scoring, so metrics / sha256 / dedup all see the stripped
+    # bytes — the sha256 invariant holds pipeline-internally and is
+    # relaxed vs the raw input only for rows that actually lost spans
+    # (their ``n_removed`` > 0). Gated through ``thresholds`` so the
+    # default flagship plan is unchanged.
+    if thresholds.pop("strip_spans", False):
+        from ..stages.spans import DEFAULT_SPAN_K, strip_duplicate_spans
+
+        ds = strip_duplicate_spans(
+            ds, text_col="content", key_col="path",
+            k=thresholds.pop("span_k", DEFAULT_SPAN_K),
+        )
 
     if scorer_concurrency is None:
         score_fn = scorer_task(ray.put(langid), ray.put(lm))
@@ -92,7 +106,12 @@ def corpus_from_documents(sf_dir: str):
 
     from ..stages.textfeat import byte_view
 
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet")
+    # Only the four columns the corpus shape needs leave storage — at
+    # 100 TB the unused document columns never hit the object store.
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "text"],
+    )
 
     def adapt(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -74,6 +74,22 @@ def _gram_view(texts, k: int):
     return grams, starts, counts
 
 
+def _key64(keys) -> pa.Array:
+    """Document key column -> int64 identity for the distinct-doc
+    (min != max) test. Integer keys cast exactly; string/binary keys
+    are hashed with the vectorized 64-bit mix (sketches._hash64_strings)
+    — a collision between two distinct docs only suppresses grams shared
+    EXCLUSIVELY by that pair (~n^2/2^64 of pairs), acceptable for the
+    span-dedup use."""
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    if pa.types.is_integer(keys.type):
+        return keys.cast(pa.int64())
+    from .sketches import _hash64_strings
+
+    return pa.array(_hash64_strings(keys).view(np.int64))
+
+
 def _gram_bucket(grams: pa.Array, k: int, num_buckets: int) -> np.ndarray:
     """Deterministic coarse bucket per gram: FNV-style uint64 poly hash
     over the k bytes, vectorized column-at-a-time over the (n, k) view
@@ -110,10 +126,7 @@ def duplicate_gram_set(ds, text_col: str = "text", key_col: str = "doc_id",
                              "kmin": pa.array([], pa.int64()),
                              "kmax": pa.array([], pa.int64()),
                              "_b": pa.array([], pa.int64())})
-        keys = batch[key_col]
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
-        key_of = keys.cast(pa.int64()).take(
+        key_of = _key64(batch[key_col]).take(
             pa.array(np.repeat(np.arange(len(counts)), counts)))
         t = pa.table({"gram": grams, "kmin": key_of, "kmax": key_of})
         g = t.group_by("gram").aggregate([("kmin", "min"), ("kmax", "max")])
@@ -321,7 +334,10 @@ def strip_duplicate_spans(ds, text_col: str = "text",
     import ray
 
     dup = duplicate_gram_set(ds, text_col, key_col, k, num_buckets)
-    dup_t = pa.concat_tables(ray.get(dup.materialize().to_arrow_refs()))
+    tabs = [t for t in ray.get(dup.materialize().to_arrow_refs())
+            if t.num_rows]  # a no-dup corpus yields schema-less blocks
+    dup_t = (pa.concat_tables(tabs) if tabs
+             else pa.table({"gram": pa.array([], pa.binary(k))}))
     ref = ray.put(dup_t["gram"].combine_chunks())
 
     def strip(batch: pa.Table) -> pa.Table:

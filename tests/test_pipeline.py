@@ -126,3 +126,64 @@ def test_example_script(ray_session):
     assert counts == {"CNT-001": 1, "NULL-001": 2, "DUP-001": 1,
                       "RNG-001": 1, "FK-001": 1, "MASK-001": 2, "MASK-004": 2}
     assert summary["failed"] == 7
+
+
+def test_pipeline_strip_spans_stage(ray_session, corpus_2k):
+    """Optional thresholds-gated repeated-span excision (round-4 verdict
+    item 8): spans strip BEFORE scoring, so sha256/metrics/dedup see the
+    stripped bytes. Rows that lost no span pass through byte-identical;
+    stripped rows shrink by exactly n_removed; full-doc duplicates (the
+    planted dup groups) are fully covered and strip to empty."""
+    import ray.data as rd
+
+    from engine.stages.spans import DEFAULT_SPAN_K
+
+    ds = rd.from_arrow(corpus_2k).repartition(8)
+    out = quality_pipeline(
+        ds, scorer_concurrency=(1, 2), num_buckets=32,
+        thresholds={"strip_spans": True},
+    ).materialize()
+    assert "n_removed" in out.schema().names
+    # compare PRE-scrub: n_chars and content_sha256_pre are computed by
+    # the score stage after the strip but before PII scrubbing
+    import hashlib
+
+    orig = {r["row_id"]: r["content"] for r in
+            corpus_2k.select(["row_id", "content"]).to_pylist()}
+    cls = {r["row_id"]: r["violation_class"] for r in
+           corpus_2k.select(["row_id", "violation_class"]).to_pylist()}
+    rows = out.select_columns(
+        ["row_id", "n_chars", "n_removed", "content_sha256_pre"]).take_all()
+    n_stripped = 0
+    for r in rows:
+        o = orig[r["row_id"]]
+        if o is None:
+            continue
+        if r["n_removed"] == 0:
+            # sha256 invariant holds for rows that lost no span
+            assert r["content_sha256_pre"] == \
+                hashlib.sha256(o.encode()).hexdigest()
+        else:
+            n_stripped += 1
+        # n_chars and n_removed are both byte counts
+        assert r["n_chars"] == len(o.encode()) - r["n_removed"]
+    assert n_stripped > 0
+    # every dup-group member long enough to carry a k-gram is fully
+    # covered by cross-doc spans -> stripped to empty
+    for r in rows:
+        if cls[r["row_id"]] == "duplicate" and \
+                len(orig[r["row_id"]] or "") >= DEFAULT_SPAN_K:
+            assert r["n_chars"] == 0, r["row_id"]
+
+
+def test_pipeline_strip_spans_default_off(ray_session, corpus_2k):
+    """The default flagship plan is unchanged: no strip stage, no
+    n_removed column, caller's thresholds dict not mutated."""
+    import ray.data as rd
+
+    thresholds = {"strip_spans": False}
+    out = quality_pipeline(
+        rd.from_arrow(corpus_2k.slice(0, 200)), scorer_concurrency=(1, 1),
+        num_buckets=8, thresholds=thresholds)
+    assert "n_removed" not in out.schema().names
+    assert thresholds == {"strip_spans": False}
