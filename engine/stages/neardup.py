@@ -50,6 +50,21 @@ _SHINGLE_K = 8  # byte shingle width
 _BROADCAST_VERIFY_BUDGET_BYTES = 4 << 30
 
 
+def _valid_text(batch: pa.Table, text_col: str) -> pa.Table:
+    """Drop NULL-text rows before signature generation: NULL never
+    participates in near-dup clustering (round-5 fix — matches exact
+    dedup's NULL-key exclusion, dedup_incremental.py, and the spans
+    "NULL doc has no substrings" semantic; previously NULL docs carried
+    the all-MAX zero-shingle signature and clustered with every empty
+    doc). EMPTY-but-non-NULL docs still cluster with each other — the
+    documented empty-set Jaccard = 1.0. Dropped rows surface as
+    flag=False via the fill_null(False) on the flag-back join."""
+    col = batch[text_col]
+    if col.null_count:
+        batch = batch.filter(pc.is_valid(col))
+    return batch
+
+
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.Generator(np.random.PCG64(seed))
     a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -498,6 +513,7 @@ def _edges_broadcast(
     make_sigs = _sig_fn(scheme)
 
     def sig_tbl(batch: pa.Table) -> pa.Table:
+        batch = _valid_text(batch, text_col)
         sigs = make_sigs(batch[text_col], num_perm)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
@@ -678,6 +694,7 @@ def minhash_lsh_edges(
     make_sigs = _sig_fn(scheme)
 
     def sig_batch(batch: pa.Table) -> pa.Table:
+        batch = _valid_text(batch, text_col)
         sigs = make_sigs(batch[text_col], num_perm)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
@@ -1146,6 +1163,11 @@ def mark_near_duplicates(
 ):
     """Corpus-level near-dedup: append ``near_dup_flag`` (True = drop, the
     row is a non-representative member of a near-dup cluster).
+
+    NULL ``text_col`` rows never participate (flag always False) —
+    consistent with exact dedup's NULL-key exclusion and the spans NULL
+    semantic; see :func:`_valid_text`. Empty-but-non-NULL docs DO
+    cluster with each other (empty-set Jaccard = 1.0, jaccard()).
 
     ``keep`` selects the cluster representative: ``"min_key"`` (default,
     deterministic, unbounded scale) keeps the minimum-key member;

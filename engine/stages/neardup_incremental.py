@@ -75,6 +75,9 @@ def minhash_signature_table(ds, text_col: str = "text",
     make_sigs = _sig_fn(scheme)
 
     def sig_tbl(batch: pa.Table) -> pa.Table:
+        from .neardup import _valid_text
+
+        batch = _valid_text(batch, text_col)  # NULL text never indexed
         sigs = make_sigs(batch[text_col], num_perm)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
