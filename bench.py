@@ -88,6 +88,12 @@ QUERY_SET = [
     "encoding_anomaly_documents",
     "keyword_stuffing_documents",
     "paragraph_dup_documents",
+    # round-5: the slowest registry tail (round-4 verdict item 7) — any
+    # future Aggregate-style regression in the expensive queries is now
+    # driver-visible round over round
+    "percentile_position_events_per_user",
+    "order_total_reconciliation",
+    "small_quantity_revenue_part",
 ]
 
 
@@ -159,8 +165,9 @@ def ensure_corpus(sf: float) -> tuple[str, int]:
     return path, n_rows
 
 
-def run_headline(path: str, out_dir: str) -> float:
-    """read_parquet -> quality pipeline -> write_parquet; returns seconds.
+def run_headline(path: str, out_dir: str) -> tuple[float, str]:
+    """read_parquet -> quality pipeline -> write_parquet; returns
+    (seconds, ds.stats() text for the stage-level breakdown).
 
     Models are built before the timer starts: a one-time setup cost,
     amortized to nothing over a 100 TB run."""
@@ -184,7 +191,54 @@ def run_headline(path: str, out_dir: str) -> float:
     ds = rd.read_parquet(path, override_num_blocks=n_blocks)
     out = quality_pipeline(ds, num_buckets=max(NUM_CPUS * 8, 256))
     out.write_parquet(out_dir)
-    return time.time() - t0
+    dt = time.time() - t0
+    try:
+        stats = out.stats()
+    except Exception:
+        stats = ""
+    return dt, stats
+
+
+def stage_breakdown(stats: str, wall_sec: float) -> list[dict]:
+    """Parse ds.stats() into a machine-diffable per-stage table (round-4
+    verdict item 9): operator name, executed-in seconds, total remote
+    wall / UDF seconds, output rows + bytes, and derived rows/s + MB/s
+    (per remote-wall second — the useful-compute rate; stages run
+    pipelined, so per-operator wall does not sum to end-to-end wall)."""
+    def _sec(val: str, unit: str) -> float:
+        return float(val) * {"us": 1e-6, "ms": 1e-3, "s": 1.0}[unit]
+
+    out: list[dict] = []
+    op = None
+    for line in stats.splitlines():
+        m = re.match(r"Operator \d+ (.+?): (?:.*?in ([\d.]+)(us|ms|s))?", line)
+        if m and line.startswith("Operator"):
+            op = {"stage": m.group(1)[:120],
+                  "executed_sec": round(_sec(m.group(2), m.group(3)), 3)
+                  if m.group(2) else None}
+            out.append(op)
+            continue
+        if op is None or not line.startswith("* "):
+            continue  # suboperator lines (indented) roll up to the parent
+        m = re.match(r"\* Remote wall time: .*?([\d.]+)(us|ms|s) total", line)
+        if m:
+            op["remote_wall_sec"] = round(_sec(m.group(1), m.group(2)), 3)
+        m = re.match(r"\* UDF time: .*?([\d.]+)(us|ms|s) total", line)
+        if m:
+            op["udf_sec"] = round(_sec(m.group(1), m.group(2)), 3)
+        m = re.match(r"\* Output num rows per block: .*?(\d+) total", line)
+        if m:
+            op["out_rows"] = int(m.group(1))
+        m = re.match(r"\* Output size bytes per block: .*?(\d+) total", line)
+        if m:
+            op["out_bytes"] = int(m.group(1))
+    for op in out:
+        w = op.get("remote_wall_sec") or op.get("executed_sec")
+        if w and op.get("out_rows"):
+            op["rows_per_sec"] = round(op["out_rows"] / w, 1)
+        if w and op.get("out_bytes"):
+            op["mb_per_sec"] = round(op["out_bytes"] / w / 1e6, 1)
+    return out
 
 
 def main() -> None:
@@ -232,10 +286,12 @@ def main() -> None:
     # (±20% observed); steady-state throughput is the quantity a 100 TB
     # run amortizes to, and repeat runs re-use warm workers
     headline = None
+    headline_stats = ""
     for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
-        t = run_headline(path, out_dir)
-        headline = t if headline is None else min(headline, t)
+        t, stats = run_headline(path, out_dir)
+        if headline is None or t < headline:
+            headline, headline_stats = t, stats
 
     qtimes: dict[str, float] = {}
     validate_sec = None
@@ -249,6 +305,11 @@ def main() -> None:
     incr_flags = None
     incr_shard_rows = None
     near_dups_oph = None
+    lr_noisy_sec = None
+    lr_noisy_f1 = None
+    lr_noisy_calib = None
+    neardup_recall = None
+    incr_1pct = None
     vsummary = {"total_checks": 0}
     if not HEADLINE_ONLY:
         from engine.queries import QUERIES
@@ -345,6 +406,116 @@ def main() -> None:
             incr_sec = dt if incr_sec is None else min(incr_sec, dt)
         incr_shard_rows = ray.data.read_parquet(shard_path).count()
 
+        # ---- 1% shard (the realistic daily ratio; round-4 verdict
+        # item 6) for BOTH incremental families, with flags asserted
+        # equal to the one-shot path restricted to the shard. Keys are
+        # remapped so every index key orders before every shard key
+        # (index keeps its copy, the shard's is the duplicate — the
+        # parity precondition, tests/test_*_incremental.py). ----
+        import numpy as np
+
+        from engine.stages.dedup import mark_duplicates
+        from engine.stages.dedup_incremental import (
+            mark_new_exact_duplicates)
+        from engine.stages.heuristics import _sha256_column
+        from engine.stages.neardup import minhash_lsh_labels
+        from engine.stages.textfeat import byte_view
+
+        _SHARD_BASE = np.int64(1) << np.int64(62)
+
+        def _keyed_1pct(side: str):
+            def f(b: pa.Table) -> pa.Table:
+                b = b.combine_chunks()
+                k = _doc_keys(b)
+                m = (k % 100 == 7) if side == "shard" else (k % 100 != 7)
+                key = k[m] % (np.int64(1) << np.int64(61))
+                if side == "shard":
+                    key = key + _SHARD_BASE
+                content = b["content"].filter(pa.array(m))
+                data, offsets = byte_view(content)
+                return pa.table({
+                    "doc_key": pa.array(key),
+                    "content": content,
+                    "sha": _sha256_column(data, offsets, content),
+                })
+            return f
+
+        shard1_path = f"{path}_shard1pct"
+        shutil.rmtree(shard1_path, ignore_errors=True)
+        ray.data.read_parquet(path, columns=cols).map_batches(
+            _keyed_1pct("shard"), batch_format="pyarrow",
+        ).write_parquet(shard1_path)
+        index1 = ray.data.read_parquet(path, columns=cols).map_batches(
+            _keyed_1pct("index"), batch_format="pyarrow").materialize()
+
+        # near: index sig once (untimed — same one-time cost as the 10%
+        # row), then the timed per-shard flag pass
+        sig1 = minhash_signature_table(
+            index1, text_col="content", key_col="doc_key").materialize()
+        incr1_near_sec = None
+        for _ in range(2):
+            t0 = time.time()
+            flagged1 = mark_new_near_duplicates(
+                ray.data.read_parquet(shard1_path), sig1,
+                text_col="content", key_col="doc_key").materialize()
+            dt = round(time.time() - t0, 3)
+            incr1_near_sec = dt if incr1_near_sec is None else min(
+                incr1_near_sec, dt)
+        def _true_keys(ds, flag_col: str) -> set:
+            def f(b: pa.Table) -> pa.Table:
+                return b.filter(pc.cast(b[flag_col], pa.bool_())).select(
+                    ["doc_key"])
+            return {r["doc_key"] for r in ds.map_batches(
+                f, batch_format="pyarrow").take_all()}
+
+        incr1_near_keys = _true_keys(flagged1, "near_dup_flag")
+
+        # exact: membership index is the 99% sha set
+        idx_keys = index1.select_columns(["sha"]).map_batches(
+            lambda b: b.rename_columns(["key"]), batch_format="pyarrow")
+        incr1_exact_sec = None
+        for _ in range(2):
+            t0 = time.time()
+            eflagged1 = mark_new_exact_duplicates(
+                ray.data.read_parquet(shard1_path),
+                idx_keys, key_col="sha", id_col="doc_key").materialize()
+            dt = round(time.time() - t0, 3)
+            incr1_exact_sec = dt if incr1_exact_sec is None else min(
+                incr1_exact_sec, dt)
+        incr1_exact_keys = _true_keys(eflagged1, "dup_flag")
+
+        # one-shot over the COMBINED corpus, restricted to the shard —
+        # the parity oracle for both rows (untimed)
+        combined1 = index1.union(ray.data.read_parquet(shard1_path))
+        oneshot_near_keys = {
+            r["key"] for r in minhash_lsh_labels(
+                combined1, text_col="content", key_col="doc_key",
+            ).take_all()
+            if r["key"] >= int(_SHARD_BASE) and r["label"] != r["key"]}
+
+        def _shard_dups(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.cast(b["dup_flag"], pa.bool_()),
+                pc.greater_equal(b["doc_key"],
+                                 pa.scalar(int(_SHARD_BASE), pa.int64())))
+            return b.filter(keep).select(["doc_key"])
+
+        oneshot_exact_keys = {
+            r["doc_key"] for r in mark_duplicates(
+                combined1, key="sha", tiebreak=("doc_key",),
+            ).map_batches(_shard_dups, batch_format="pyarrow").take_all()}
+        incr_1pct = {
+            "shard_rows": ray.data.read_parquet(shard1_path).count(),
+            "near_sec": incr1_near_sec,
+            "near_flags": len(incr1_near_keys),
+            "near_parity_mismatch": len(
+                incr1_near_keys ^ oneshot_near_keys),
+            "exact_sec": incr1_exact_sec,
+            "exact_flags": len(incr1_exact_keys),
+            "exact_parity_mismatch": len(
+                incr1_exact_keys ^ oneshot_exact_keys),
+        }
+
         # rule-driven validation chain over the SF tables (fused compiler)
         from engine.rules import load_rules
         from engine.validate import run_validation
@@ -372,6 +543,36 @@ def main() -> None:
         lr_f1_x10k = next(r["n"] for r in lr_table.to_pylist()
                           if r["kind"] == "metric" and r["key"] == "f1_x10k")
 
+        # the same filter on the NON-SEPARABLE boundary-band corpus
+        # (round-4 verdict item 3): F1 strictly < 10000 and calibration
+        # deciles populated across the range — the informative metric
+        t0 = time.time()
+        noisy_rows = _lr_quality_filter(
+            n_rows, boundary_frac=0.05).to_pylist()
+        lr_noisy_sec = round(time.time() - t0, 3)
+        lr_noisy_f1 = next(r["n"] for r in noisy_rows
+                           if r["kind"] == "metric"
+                           and r["key"] == "f1_x10k")
+        lr_noisy_calib = {r["key"]: [r["n"], r["n2"]] for r in noisy_rows
+                          if r["kind"] == "calib"}
+
+        # kperm-vs-OPH planted-pair recall/false-cluster table (round-4
+        # verdict item 5) at corpus scale — the accuracy side of the
+        # 2.65x OPH speed win tracked above
+        from engine.queries_ext import _neardup_recall
+
+        neardup_recall = {}
+        for scheme in ("kperm", "oph"):
+            t0 = time.time()
+            r = _neardup_recall(n_rows, scheme=scheme).to_pylist()[0]
+            neardup_recall[scheme] = {
+                "recall_light_x10k": r["recall_light_x10k"],
+                "detect_heavy_x10k": r["detect_heavy_x10k"],
+                "n_light_pairs": r["n_light_pairs"],
+                "n_heavy_pairs": r["n_heavy_pairs"],
+                "sec": round(time.time() - t0, 3),
+            }
+
     result = {
         "metric": "corpus_filter_scrub_sec",
         "value": round(headline, 3),
@@ -393,6 +594,12 @@ def main() -> None:
         "incr_shard_rows": incr_shard_rows,
         "lr_filter_sec": lr_filter_sec,
         "lr_filter_f1_x10k": lr_f1_x10k,
+        "lr_filter_noisy_sec": lr_noisy_sec,
+        "lr_filter_noisy_f1_x10k": lr_noisy_f1,
+        "lr_filter_noisy_calib": lr_noisy_calib,
+        "neardup_recall": neardup_recall,
+        "incr_1pct": incr_1pct,
+        "stage_breakdown": stage_breakdown(headline_stats, headline),
         "probe_start": probe_start,
         "probe_end": probe(),
         "probe_waits": waits,  # hot pre-probes we waited out (<= 3 min)
