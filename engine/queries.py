@@ -749,6 +749,10 @@ def sha256_documents(sf_dir: str) -> pa.Table:
         lambda b: add_metrics(b, content_col="text").select(["doc_id", "content_sha256_pre"]),
         batch_format="pyarrow",
     ).sort("doc_id")
+    # ^ CERTIFICATION ONLY: canonical order for the driver's hash
+    # compare. Production callers consume the unsorted Dataset — the
+    # stage itself is order-free. Same for every sort below marked
+    # "certification-only sort".
     t = _collect(out)
     return t.rename_columns(["doc_id", "content_sha256"])
 
@@ -798,7 +802,7 @@ def scrub_emails_documents(sf_dir: str) -> pa.Table:
         return pa.table({"doc_id": batch["doc_id"], "email_redactions": cnt,
                          "text_scrubbed": repl})
 
-    out = ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(scrub, batch_format="pyarrow").sort("doc_id")  # certification-only sort (see note above)
     return _collect(out).select(
         ["doc_id", "email_redactions", "text_scrubbed"])
 
@@ -824,7 +828,7 @@ def token_count_documents(sf_dir: str) -> pa.Table:
             "token_count": pc.count_substring_regex(b["text"], TOKEN_RE).cast(pa.int64()),
         }),
         batch_format="pyarrow",
-    ).sort("doc_id")
+    ).sort("doc_id")  # certification-only sort (see note above)
     return _collect(out).select(["doc_id", "token_count"])
 
 
@@ -853,7 +857,7 @@ def quality_stats_documents(sf_dir: str) -> pa.Table:
                          "n_lines": m["n_lines"], "max_line_len": m["max_line_len"],
                          "alpha_ratio_ppm": ppm})
 
-    out = ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(stats, batch_format="pyarrow").sort("doc_id")  # certification-only sort (see note above)
     return _collect(out).select(
         ["doc_id", "n_chars", "n_lines", "max_line_len", "alpha_ratio_ppm"])
 
@@ -884,7 +888,7 @@ def quality_filter_documents(sf_dir: str) -> pa.Table:
         keep = (n >= 10) & (n <= 100000) & (ml <= 400) & (ar >= 0.25)
         return pa.table({"doc_id": m["doc_id"], "keep": pa.array(keep)})
 
-    out = ds.map_batches(verdict, batch_format="pyarrow").sort("doc_id")
+    out = ds.map_batches(verdict, batch_format="pyarrow").sort("doc_id")  # certification-only sort (see note above)
     return _collect(out).select(["doc_id", "keep"])
 
 
@@ -914,7 +918,7 @@ def exact_dedup_documents(sf_dir: str) -> pa.Table:
         batch_format="pyarrow",
     )
     marked = mark_duplicates(hashed, key="content_sha256_pre", tiebreak=("doc_id",))
-    kept = marked.filter(expr="dup_flag == False").select_columns(["doc_id"]).sort("doc_id")
+    kept = marked.filter(expr="dup_flag == False").select_columns(["doc_id"]).sort("doc_id")  # certification-only sort (see note above)
     return _collect(kept).select(["doc_id"])
 
 

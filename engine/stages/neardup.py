@@ -1192,7 +1192,18 @@ def mark_near_duplicates(
     exchange). Opt-in next to exact dedup (stages/dedup.py): exact dedup
     is the flagship default because the keep/drop contract is
     exact-content-keyed; near-dedup is the aggressive variant for
-    training-data curation."""
+    training-data curation.
+
+    ``scheme`` (round-5 decision, BASELINE.md round-5 recall table):
+    ``"kperm"`` STAYS the default — the planted-pair eval
+    (neardup_recall_corpus) measures both schemes at recall 1.0 /
+    false-cluster 0 at 600k docs, but their near-threshold flag sets on
+    ORGANIC pairs differ ~4% (16,697 vs 16,006 at sf0.1), and the
+    4-round flag lineage that anchors regression tracking is kperm.
+    ``scheme="oph"`` is the recommended 100-TB preset: ~2.4-2.9x
+    cheaper end-to-end with identical planted-pair quality; pick one
+    scheme per corpus and keep it for the corpus's lifetime
+    (signatures/indexes are not comparable across schemes)."""
     from ..dsutil import (DEFAULT_MAX_BROADCAST_KEYS, compact,
                           join_partitions)
 
