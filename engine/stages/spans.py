@@ -320,10 +320,21 @@ def _coverage_distributed(ds, dup_ds, text_col: str, key_col: str,
                 .map_groups(per_doc, batch_format="pyarrow"))
 
 
+#: Driver-memory guard for the strip path's dup-gram broadcast:
+#: 50M grams x (k=32 B payload + Arrow overhead) ~= 2 GB on the driver
+#: plus one object-store copy. Template-heavy corpora (e.g. generated
+#: code, boilerplate-dominated crawls) can push the duplicated-gram set
+#: toward the corpus gram count — byte-level excision is the wrong tool
+#: there; flag-and-drop whole docs via duplicate_spans + a coverage
+#: threshold instead.
+DEFAULT_MAX_BROADCAST_GRAMS = 50_000_000
+
+
 def strip_duplicate_spans(ds, text_col: str = "text",
                           key_col: str = "doc_id",
                           k: int = DEFAULT_SPAN_K,
-                          num_buckets: int = 256):
+                          num_buckets: int = 256,
+                          max_broadcast_grams: int = DEFAULT_MAX_BROADCAST_GRAMS):
     """Dataset -> Dataset with ``text`` rewritten to exclude every byte
     covered by a cross-doc duplicated k-gram (the removal half of Lee et
     al.; detection identical to :func:`duplicate_spans`, broadcast path
@@ -336,6 +347,16 @@ def strip_duplicate_spans(ds, text_col: str = "text",
     dup = duplicate_gram_set(ds, text_col, key_col, k, num_buckets)
     tabs = [t for t in ray.get(dup.materialize().to_arrow_refs())
             if t.num_rows]  # a no-dup corpus yields schema-less blocks
+    n_grams = sum(t.num_rows for t in tabs)
+    if n_grams > max_broadcast_grams:
+        raise ValueError(
+            f"strip_duplicate_spans: duplicated-gram set has {n_grams:,} "
+            f"grams (> max_broadcast_grams={max_broadcast_grams:,}); the "
+            "driver broadcast would not fit. Byte-level excision is the "
+            "wrong tool for a corpus this template-heavy — flag and drop "
+            "whole documents instead (duplicate_spans + a covered_chars/"
+            "doc-length threshold), or raise max_broadcast_grams if the "
+            "driver genuinely has the memory.")
     dup_t = (pa.concat_tables(tabs) if tabs
              else pa.table({"gram": pa.array([], pa.binary(k))}))
     ref = ray.put(dup_t["gram"].combine_chunks())

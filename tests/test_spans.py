@@ -171,3 +171,19 @@ def test_strip_no_duplicates_is_identity(ray_session):
                                  "text", "doc_id", k=32).take_all()}
     assert out[1]["text"] == docs[1] and out[2]["text"] == docs[2]
     assert out[1]["n_removed"] == out[2]["n_removed"] == 0
+
+
+def test_strip_broadcast_gram_guard(ray_session):
+    """The strip path refuses (loudly) when the duplicated-gram set
+    exceeds the driver-broadcast budget — template-heavy corpora must
+    flag-and-drop, not byte-excise (round-5 scale guard)."""
+    import ray.data as rd
+
+    ds = rd.from_arrow(_docs_table(PLANT))
+    with pytest.raises(ValueError, match="max_broadcast_grams"):
+        strip_duplicate_spans(ds, "text", "doc_id", k=32,
+                              max_broadcast_grams=3)
+    # at the default budget the same corpus strips fine
+    out = {r["doc_id"]: r for r in
+           strip_duplicate_spans(ds, "text", "doc_id", k=32).take_all()}
+    assert out[0]["text"] == "A" * 5 + "B" * 5
