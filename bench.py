@@ -309,6 +309,7 @@ def main() -> None:
     lr_noisy_f1 = None
     lr_noisy_calib = None
     neardup_recall = None
+    neardup_sweep = None
     incr_1pct = None
     vsummary = {"total_checks": 0}
     if not HEADLINE_ONLY:
@@ -573,6 +574,20 @@ def main() -> None:
                 "sec": round(time.time() - t0, 3),
             }
 
+        # detection S-curve across five planted Jaccard levels for both
+        # schemes — the NON-saturated dedup quality metric (the recall
+        # rows above sit far from the threshold and read 1.0/0.0)
+        from engine.queries_ext import _neardup_threshold_sweep
+
+        t0 = time.time()
+        sweep_rows = _neardup_threshold_sweep(n_rows).to_pylist()
+        neardup_sweep = {
+            "sec": round(time.time() - t0, 3),
+            "rate_x10k": {f"{r['scheme']}_j{r['target_x100']}":
+                          r["rate_x10k"] for r in sweep_rows},
+            "n_pairs_per_level": sweep_rows[0]["n_pairs"],
+        }
+
     result = {
         "metric": "corpus_filter_scrub_sec",
         "value": round(headline, 3),
@@ -598,6 +613,7 @@ def main() -> None:
         "lr_filter_noisy_f1_x10k": lr_noisy_f1,
         "lr_filter_noisy_calib": lr_noisy_calib,
         "neardup_recall": neardup_recall,
+        "neardup_sweep": neardup_sweep,
         "incr_1pct": incr_1pct,
         "stage_breakdown": stage_breakdown(headline_stats, headline),
         "probe_start": probe_start,

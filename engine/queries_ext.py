@@ -12504,6 +12504,180 @@ def neardup_recall_corpus(sf_dir: str) -> pa.Table:
     return _neardup_recall(n_rows)
 
 
+#: Target byte-shingle Jaccard levels (x100) for the threshold sweep —
+#: bracketing the 0.8 LSH threshold where kperm and OPH actually differ.
+_SWEEP_TARGETS = (95, 85, 78, 70, 50)
+
+
+def _neardup_threshold_sweep(n_rows: int, *, num_blocks: int | None = None,
+                             schemes: tuple[str, ...] = ("kperm", "oph"),
+                             ) -> pa.Table:
+    """Detection-rate S-curve of the production LSH pipeline across the
+    similarity spectrum, per signature scheme.
+
+    The planted-pair recall eval (:func:`_neardup_recall`) sits far from
+    the 0.8 threshold and saturates at 1.0/0.0 for BOTH schemes — it
+    proves plumbing, not discrimination. This sweep makes the metric
+    informative: each selected clean doc (row_id % 3 == 0, >= 160
+    bytes) is ASSIGNED one target Jaccard level (disjoint levels — no
+    cross-level chaining can inflate low-J detection transitively) and
+    gets a deterministic per-(row, level) random ASCII suffix sized so
+    the byte-shingle Jaccard of (orig, variant) lands at the target:
+    ``m = (b-7)(1-J)/J`` appended bytes for a ``b``-byte doc. A planted
+    pair is detected iff orig and variant carry the same cluster label
+    from the UNMODIFIED production :func:`minhash_lsh_labels`.
+
+    Expected shape: ~1.0 at J=0.95, an S-curve roll-off through the
+    0.78 near-threshold band (where scheme estimator variance shows),
+    ~0 at J=0.5. Targets are NOMINAL: the sizing treats the doc's
+    shingle SET size as ~(b-7), but repetitive (template) docs have
+    fewer distinct shingles, so realized set-Jaccard skews below the
+    label — the curve therefore rolls off somewhat early (e.g. ~0.77
+    detection at the J=0.85 label), which does not affect the
+    monotone-shape or scheme-comparison claims the eval exists to
+    make. Suffix bytes come from a vectorized splitmix64
+    keystream of (row_id, level) — per-row, batch-boundary-independent,
+    so the table is bit-identical at any parallelism. Rows-only (LSH is
+    not SQL-expressible)."""
+    from . import corpus
+    from .dsutil import key_bucket
+    from .stages.neardup import minhash_lsh_labels
+    from .stages.sketches import _hash64_ints
+
+    NLEV = len(_SWEEP_TARGETS)
+    targets = np.asarray(_SWEEP_TARGETS, dtype=np.float64)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def build(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(pc.fill_null(b["violation_class"], ""),
+                              "clean"))
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "lev": pa.array([], pa.int8()),
+                          "text": pa.array([], pa.large_string())})
+        if t.num_rows == 0:
+            return empty
+        ids = t["row_id"].to_numpy()
+        text = t["content"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        nb = pc.binary_length(text).to_numpy(zero_copy_only=False)
+        sel = (ids % 3 == 0) & (nb >= 160)
+        if not sel.any():
+            return empty
+        sid = ids[sel]
+        sb = nb[sel].astype(np.float64)
+        st = text.filter(pa.array(sel)).cast(pa.large_string())
+        lev = ((sid // 3) % NLEV).astype(np.int64)
+        tj = targets[lev]
+        m = np.maximum(1, np.rint((sb - 7.0) * (100.0 - tj) / tj)
+                       ).astype(np.int64)
+        # vectorized per-(row, level) ASCII keystream: suffix byte p of
+        # row i = splitmix64(seed_i ^ (p//8 + 1)) sliced at byte p%8
+        mmax = int(m.max())
+        pos = np.arange(mmax, dtype=np.uint64)
+        seed = _hash64_ints(sid.astype(np.uint64) * np.uint64(NLEV)
+                            + lev.astype(np.uint64))
+        v = _hash64_ints(seed[:, None] ^ ((pos[None, :] // np.uint64(8)
+                                           + np.uint64(1)) * GOLD))
+        sh = ((pos % np.uint64(8)) * np.uint64(8))[None, :]
+        byte = (97 + ((v >> sh) & np.uint64(0xFF)) % np.uint64(26)
+                ).astype(np.uint8)
+        mask = pos[None, :] < m[:, None].astype(np.uint64)
+        data = byte[mask]  # row-major -> suffixes concatenated in order
+        offs = np.r_[0, np.cumsum(m)].astype(np.int64)
+        suffix = pa.LargeStringArray.from_buffers(
+            len(sid), pa.py_buffer(offs.tobytes()),
+            pa.py_buffer(data.tobytes()))
+        variant = pc.binary_join_element_wise(
+            st, suffix, pa.scalar("", pa.large_string()))
+        orig_keys = pa.array(sid * 2, pa.int64())
+        var_keys = pa.array(sid * 2 + 1, pa.int64())
+        return pa.concat_tables([
+            pa.table({"key": orig_keys,
+                      "lev": pa.array(lev.astype(np.int8)), "text": st}),
+            pa.table({"key": var_keys,
+                      "lev": pa.array(lev.astype(np.int8)),
+                      "text": variant}),
+        ])
+
+    base = corpus.generate_dataset(n_rows, num_blocks=num_blocks,
+                                   with_golden=True)
+    combined = base.map_batches(build, batch_format="pyarrow").materialize()
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        k = b["key"].to_numpy()
+        lv = b["lev"].to_numpy()
+        orig = (k % 2) == 0
+        cols = {f"n{j}": int(((lv == j) & orig).sum()) for j in range(NLEV)}
+        return _row(**cols)
+
+    cp = _collect(combined.map_batches(count_partial,
+                                       batch_format="pyarrow"))
+    n_pairs = [int(pc.sum(cp[f"n{j}"]).as_py() or 0) for j in range(NLEV)]
+
+    NB = 256
+    out_rows = []
+    for scheme in schemes:
+        labels = minhash_lsh_labels(combined, text_col="text",
+                                    key_col="key", scheme=scheme)
+
+        def tag_bucket(b: pa.Table) -> pa.Table:
+            k = b["key"].to_numpy()
+            t = pa.table({"pair": pa.array(k // 2),
+                          "parity": pa.array((k % 2).astype(np.int8)),
+                          "label": b["label"]})
+            return t.append_column(
+                "_bucket", pa.array(key_bucket(t, ["pair"], NB)))
+
+        def pair_verdicts(g: pa.Table) -> pa.Table:
+            pair = g["pair"].to_numpy(zero_copy_only=False)
+            parity = g["parity"].to_numpy(zero_copy_only=False)
+            label = g["label"].to_numpy(zero_copy_only=False)
+            order = np.lexsort((parity, pair))
+            pair, parity, label = pair[order], parity[order], label[order]
+            det = [0] * NLEV
+            starts = np.flatnonzero(np.concatenate(
+                [[True], pair[1:] != pair[:-1]]))
+            ends = np.concatenate([starts[1:], [len(pair)]])
+            for s, e in zip(starts, ends):
+                if e - s == 2 and parity[s] == 0 and parity[s + 1] == 1 \
+                        and label[s] == label[s + 1]:
+                    det[int((pair[s] // 3) % NLEV)] += 1
+            return _row(**{f"d{j}": det[j] for j in range(NLEV)})
+
+        vp = _collect(labels.map_batches(tag_bucket, batch_format="pyarrow")
+                            .groupby("_bucket")
+                            .map_groups(pair_verdicts,
+                                        batch_format="pyarrow"))
+        import math
+
+        for j in range(NLEV):
+            d = (int(pc.sum(vp[f"d{j}"]).as_py() or 0)
+                 if f"d{j}" in vp.column_names else 0)
+            rate = (int(math.floor(10000.0 * d / n_pairs[j] + 0.5))
+                    if n_pairs[j] else 0)
+            out_rows.append({"scheme": scheme,
+                             "target_x100": _SWEEP_TARGETS[j],
+                             "n_pairs": n_pairs[j], "n_detected": d,
+                             "rate_x10k": rate})
+    return pa.Table.from_pylist(out_rows)
+
+
+@query("neardup_threshold_sweep_corpus")
+def neardup_threshold_sweep_corpus(sf_dir: str) -> pa.Table:
+    """Near-dup detection S-curve across five planted Jaccard levels
+    (0.95/0.85/0.78/0.70/0.50) for BOTH signature schemes — the
+    non-saturated counterpart of neardup_recall_corpus and the
+    quantified basis for the kperm-default decision (BASELINE.md
+    round-5 scheme table). Rows-only; deterministic at any
+    parallelism."""
+    import pyarrow.parquet as pq_mod
+
+    n_rows = max(4000,
+                 pq_mod.read_metadata(f"{sf_dir}/documents.parquet").num_rows)
+    return _neardup_threshold_sweep(n_rows)
+
+
 def _lr_quality_filter(n_rows: int, *, num_blocks: int | None = None,
                        sample_cap: int = 65536, iters: int = 300,
                        boundary_frac: float = 0.0) -> pa.Table:

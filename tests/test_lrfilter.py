@@ -174,3 +174,40 @@ def test_lr_filter_calib_excludes_duplicates(ray_session):
     calib_tot = sum(r["n"] for r in rows if r["kind"] == "calib")
     assert n_dup > 0
     assert calib_tot == 6000 - n_dup
+
+
+def test_neardup_threshold_sweep_shape(ray_session):
+    """The sweep is the NON-saturated dedup metric: full detection at
+    J=0.95, a monotone roll-off through the near-threshold band, zero
+    well below threshold — for both schemes."""
+    from engine.queries_ext import _neardup_threshold_sweep
+
+    t = _neardup_threshold_sweep(12000)
+    rows = {(r["scheme"], r["target_x100"]): r for r in t.to_pylist()}
+    for scheme in ("kperm", "oph"):
+        r = {j: rows[(scheme, j)] for j in (95, 85, 78, 70, 50)}
+        assert all(v["n_pairs"] > 100 for v in r.values())
+        assert r[95]["rate_x10k"] >= 9800, r
+        # informative middle: neither saturated nor empty
+        assert 2000 <= r[85]["rate_x10k"] <= 9800, r
+        assert r[50]["rate_x10k"] <= 200, r
+        # monotone in target Jaccard
+        rates = [r[j]["rate_x10k"] for j in (95, 85, 78, 70, 50)]
+        assert rates == sorted(rates, reverse=True), rates
+
+
+def test_neardup_threshold_sweep_parallelism_invariant(ray_session):
+    from engine.queries_ext import _neardup_threshold_sweep
+
+    a = _neardup_threshold_sweep(3000, num_blocks=2, schemes=("kperm",))
+    b = _neardup_threshold_sweep(3000, num_blocks=12, schemes=("kperm",))
+    assert a.equals(b)
+
+
+def test_neardup_threshold_sweep_query_contract(ray_session):
+    from engine.queries_ext import neardup_threshold_sweep_corpus
+
+    t = neardup_threshold_sweep_corpus("/root/testdata/sf0.001")
+    assert t.column_names == ["scheme", "target_x100", "n_pairs",
+                              "n_detected", "rate_x10k"]
+    assert t.num_rows == 10  # 5 levels x 2 schemes
